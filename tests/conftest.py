@@ -1,0 +1,25 @@
+"""Test config: force CPU JAX with a virtual 8-device mesh for sharding tests.
+
+Must run before any jax import (pytest imports conftest first).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_DIR = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_models_dir():
+    d = REFERENCE_DIR / "models"
+    if not d.is_dir():
+        pytest.skip("reference models dir not available")
+    return d
