@@ -1,0 +1,366 @@
+"""Vectorized numpy dequantizers for the ggml block-quant wire formats.
+
+These are the *reference* decoders of this framework: the Pallas kernels and
+the load-time weight relayout are validated against them, and they are
+validated against the bit layouts in
+/root/reference/ggml/src/ggml-common.h:167-418 with semantics per
+/root/reference/ggml/src/ggml-quants.c (dequantize_row_*).
+
+All functions take a flat uint8 buffer holding whole blocks and the element
+count, and return float32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..gguf.constants import GGML_TYPE_TRAITS, QK_K, GGMLType
+
+# IQ4 non-linear codebook (ggml-common.h kvalues_iq4nl) — wire-format constant.
+KVALUES_IQ4NL = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113],
+    dtype=np.float32,
+)
+
+
+def _blocks(data: np.ndarray, n: int, t: GGMLType) -> np.ndarray:
+    tt = GGML_TYPE_TRAITS[t]
+    if n % tt.block_size:
+        raise ValueError(f"{t.name}: {n} not a multiple of block size {tt.block_size}")
+    nb = n // tt.block_size
+    data = np.asarray(data, dtype=np.uint8).reshape(-1)
+    if data.size < nb * tt.type_size:
+        raise ValueError(f"{t.name}: buffer too small ({data.size} < {nb * tt.type_size})")
+    return data[: nb * tt.type_size].reshape(nb, tt.type_size)
+
+
+def _f16(b: np.ndarray) -> np.ndarray:
+    """View pairs of bytes as little-endian float16 → float32."""
+    return b.copy().view("<f2").astype(np.float32)
+
+
+def dequant_f32(data, n):
+    return np.asarray(data, np.uint8)[: 4 * n].copy().view("<f4").astype(np.float32)
+
+
+def dequant_f16(data, n):
+    return np.asarray(data, np.uint8)[: 2 * n].copy().view("<f2").astype(np.float32)
+
+
+def dequant_bf16(data, n):
+    u = np.asarray(data, np.uint8)[: 2 * n].copy().view("<u2").astype(np.uint32) << 16
+    return u.view(np.float32)
+
+
+def dequant_f64(data, n):
+    return np.asarray(data, np.uint8)[: 8 * n].copy().view("<f8").astype(np.float32)
+
+
+def _dequant_int(dtype):
+    def f(data, n):
+        it = np.dtype(dtype)
+        return np.asarray(data, np.uint8)[: it.itemsize * n].copy().view(it).astype(np.float32)
+
+    return f
+
+
+def _split_nibbles(qs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return qs & 0x0F, qs >> 4
+
+
+def dequant_q4_0(data, n):
+    b = _blocks(data, n, GGMLType.Q4_0)
+    d = _f16(b[:, 0:2])  # [nb, 1]
+    lo, hi = _split_nibbles(b[:, 2:18])
+    q = np.concatenate([lo, hi], axis=1).astype(np.int8) - 8
+    return (q * d).reshape(-1)
+
+
+def dequant_q4_1(data, n):
+    b = _blocks(data, n, GGMLType.Q4_1)
+    d = _f16(b[:, 0:2])
+    m = _f16(b[:, 2:4])
+    lo, hi = _split_nibbles(b[:, 4:20])
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return (q * d + m).reshape(-1)
+
+
+def _q5_high_bits(qh_bytes: np.ndarray) -> np.ndarray:
+    """[nb,4] LE bytes -> [nb,32] the 5th bit per element (0/1)."""
+    qh = qh_bytes.copy().view("<u4").reshape(-1, 1).astype(np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)
+    return ((qh >> shifts) & 1).astype(np.uint8)
+
+
+def dequant_q5_0(data, n):
+    b = _blocks(data, n, GGMLType.Q5_0)
+    d = _f16(b[:, 0:2])
+    hb = _q5_high_bits(b[:, 2:6])
+    lo, hi = _split_nibbles(b[:, 6:22])
+    q = np.concatenate([lo, hi], axis=1).astype(np.int16) | (hb.astype(np.int16) << 4)
+    return ((q - 16) * d).reshape(-1)
+
+
+def dequant_q5_1(data, n):
+    b = _blocks(data, n, GGMLType.Q5_1)
+    d = _f16(b[:, 0:2])
+    m = _f16(b[:, 2:4])
+    hb = _q5_high_bits(b[:, 4:8])
+    lo, hi = _split_nibbles(b[:, 8:24])
+    q = (np.concatenate([lo, hi], axis=1).astype(np.int16) | (hb.astype(np.int16) << 4)).astype(
+        np.float32
+    )
+    return (q * d + m).reshape(-1)
+
+
+def dequant_q8_0(data, n):
+    b = _blocks(data, n, GGMLType.Q8_0)
+    d = _f16(b[:, 0:2])
+    q = b[:, 2:34].copy().view(np.int8).astype(np.float32)
+    return (q * d).reshape(-1)
+
+
+def dequant_q8_K(data, n):
+    b = _blocks(data, n, GGMLType.Q8_K)
+    d = b[:, 0:4].copy().view("<f4")
+    q = b[:, 4 : 4 + QK_K].copy().view(np.int8).astype(np.float32)
+    return (q * d).reshape(-1)
+
+
+def _unpack_2bit_qk(qs: np.ndarray) -> np.ndarray:
+    """[nb, 64] packed 2-bit -> [nb, 256] in ggml element order.
+
+    Element e: chunk=e//128, shift=(e%128)//32, byte=chunk*32 + e%32.
+    """
+    nb = qs.shape[0]
+    out = np.empty((nb, 256), dtype=np.uint8)
+    for chunk in range(2):
+        cb = qs[:, chunk * 32 : chunk * 32 + 32]
+        for shift in range(4):
+            out[:, chunk * 128 + shift * 32 : chunk * 128 + (shift + 1) * 32] = (
+                cb >> (2 * shift)
+            ) & 3
+    return out
+
+
+def dequant_q2_K(data, n):
+    b = _blocks(data, n, GGMLType.Q2_K)
+    scales = b[:, 0:16]  # [nb,16] 4-bit scale | 4-bit min per 16-elem group
+    q = _unpack_2bit_qk(b[:, 16:80]).astype(np.float32)  # [nb,256]
+    d = _f16(b[:, 80:82])
+    dmin = _f16(b[:, 82:84])
+    sc = (scales & 0xF).astype(np.float32)  # [nb,16]
+    mn = (scales >> 4).astype(np.float32)
+    dl = (d * sc).repeat(16, axis=1)  # group g covers elements 16g..16g+15
+    ml = (dmin * mn).repeat(16, axis=1)
+    return (dl * q - ml).reshape(-1)
+
+
+def _q3_scales(raw: np.ndarray) -> np.ndarray:
+    """[nb,12] packed 6-bit scales -> [nb,16] int8 in 0..63 (reference aux unpack)."""
+    a = raw.copy().view("<u4")  # [nb,3]
+    a0, a1, tmp = a[:, 0], a[:, 1], a[:, 2]
+    kmask1 = np.uint32(0x03030303)
+    kmask2 = np.uint32(0x0F0F0F0F)
+    out = np.empty((raw.shape[0], 4), dtype=np.uint32)
+    out[:, 0] = (a0 & kmask2) | (((tmp >> np.uint32(0)) & kmask1) << np.uint32(4))
+    out[:, 1] = (a1 & kmask2) | (((tmp >> np.uint32(2)) & kmask1) << np.uint32(4))
+    out[:, 2] = ((a0 >> np.uint32(4)) & kmask2) | (((tmp >> np.uint32(4)) & kmask1) << np.uint32(4))
+    out[:, 3] = ((a1 >> np.uint32(4)) & kmask2) | (((tmp >> np.uint32(6)) & kmask1) << np.uint32(4))
+    return out.view(np.int8).reshape(raw.shape[0], 16)
+
+
+def dequant_q3_K(data, n):
+    b = _blocks(data, n, GGMLType.Q3_K)
+    hmask = b[:, 0:32]
+    q = _unpack_2bit_qk(b[:, 32:96]).astype(np.int8)  # [nb,256] in 0..3
+    scales = _q3_scales(b[:, 96:108]).astype(np.float32) - 32.0  # [nb,16]
+    d = _f16(b[:, 108:110])
+    # high bit: element e uses bit (e//32) of hmask[e%32]
+    e = np.arange(256)
+    hbit = (hmask[:, e % 32] >> (e // 32)[None, :]) & 1  # [nb,256]
+    qv = q.astype(np.float32) - np.where(hbit, 0.0, 4.0)
+    dl = (d * scales).repeat(16, axis=1)
+    return (dl * qv).reshape(-1)
+
+
+def _k4_scale_min(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[nb,12] packed 6-bit (scale,min) pairs -> two [nb,8] uint8 arrays."""
+    sc = np.empty((scales.shape[0], 8), dtype=np.uint8)
+    mn = np.empty_like(sc)
+    j = np.arange(4)
+    sc[:, :4] = scales[:, :4] & 63
+    mn[:, :4] = scales[:, 4:8] & 63
+    sc[:, 4:] = (scales[:, 8:12] & 0xF) | ((scales[:, j] >> 6) << 4)
+    mn[:, 4:] = (scales[:, 8:12] >> 4) | ((scales[:, j + 4] >> 6) << 4)
+    return sc, mn
+
+
+def _unpack_k4_nibbles(qs: np.ndarray) -> np.ndarray:
+    """[nb,128] nibble-packed -> [nb,256]: per 64-group, 32 low then 32 high."""
+    nb = qs.shape[0]
+    g = qs.reshape(nb, 4, 32)
+    out = np.empty((nb, 4, 2, 32), dtype=np.uint8)
+    out[:, :, 0, :] = g & 0xF
+    out[:, :, 1, :] = g >> 4
+    return out.reshape(nb, 256)
+
+
+def dequant_q4_K(data, n):
+    b = _blocks(data, n, GGMLType.Q4_K)
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    sc, mn = _k4_scale_min(b[:, 4:16])
+    q = _unpack_k4_nibbles(b[:, 16:144]).astype(np.float32)
+    dl = (d * sc.astype(np.float32)).repeat(32, axis=1)
+    ml = (dmin * mn.astype(np.float32)).repeat(32, axis=1)
+    return (dl * q - ml).reshape(-1)
+
+
+def dequant_q5_K(data, n):
+    b = _blocks(data, n, GGMLType.Q5_K)
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    sc, mn = _k4_scale_min(b[:, 4:16])
+    qh = b[:, 16:48]  # [nb,32]; element e uses bit (e//32) of qh[e%32]
+    ql = _unpack_k4_nibbles(b[:, 48:176]).astype(np.int16)
+    e = np.arange(256)
+    hbit = ((qh[:, e % 32] >> (e // 32)[None, :]) & 1).astype(np.int16)
+    q = (ql + (hbit << 4)).astype(np.float32)
+    dl = (d * sc.astype(np.float32)).repeat(32, axis=1)
+    ml = (dmin * mn.astype(np.float32)).repeat(32, axis=1)
+    return (dl * q - ml).reshape(-1)
+
+
+def dequant_q6_K(data, n):
+    b = _blocks(data, n, GGMLType.Q6_K)
+    ql = b[:, 0:128]
+    qh = b[:, 128:192]
+    scales = b[:, 192:208].copy().view(np.int8).astype(np.float32)  # [nb,16]
+    d = _f16(b[:, 208:210])
+    nb = b.shape[0]
+    # element e: chunk=e//128, quarter=(e%128)//32, l=e%32
+    # ql byte = chunk*64 + (quarter%2)*32 + l ; nibble = low if quarter<2 else high
+    # qh byte = chunk*32 + l ; bits (2*quarter, 2*quarter+1)
+    out = np.empty((nb, 256), dtype=np.float32)
+    for chunk in range(2):
+        lo = ql[:, chunk * 64 : chunk * 64 + 64]
+        hh = qh[:, chunk * 32 : chunk * 32 + 32]
+        for quarter in range(4):
+            nib = lo[:, (quarter % 2) * 32 : (quarter % 2) * 32 + 32]
+            nib = (nib & 0xF) if quarter < 2 else (nib >> 4)
+            hb = (hh >> (2 * quarter)) & 3
+            q = (nib.astype(np.int16) | (hb.astype(np.int16) << 4)) - 32
+            out[:, chunk * 128 + quarter * 32 : chunk * 128 + (quarter + 1) * 32] = q
+    dl = (d * scales).repeat(16, axis=1)  # scale per 16 elements, in element order
+    return (dl * out).reshape(-1)
+
+
+def dequant_iq4_nl(data, n):
+    b = _blocks(data, n, GGMLType.IQ4_NL)
+    d = _f16(b[:, 0:2])
+    lo, hi = _split_nibbles(b[:, 2:18])
+    q = KVALUES_IQ4NL[np.concatenate([lo, hi], axis=1)]
+    return (q * d).reshape(-1)
+
+
+def dequant_iq4_xs(data, n):
+    b = _blocks(data, n, GGMLType.IQ4_XS)
+    d = _f16(b[:, 0:2])
+    scales_h = b[:, 2:4].copy().view("<u2").astype(np.uint16)  # [nb,1]
+    scales_l = b[:, 4:8]  # [nb,4]
+    qs = b[:, 8:136]
+    ib = np.arange(8)
+    ls_l = (scales_l[:, ib // 2] >> (4 * (ib % 2))[None, :]) & 0xF
+    ls_h = (scales_h >> (2 * ib)[None, :]) & 3
+    ls = (ls_l | (ls_h << 4)).astype(np.float32) - 32.0  # [nb,8]
+    # per 32-group: 16 bytes; j<16 low nibble, j+16 high nibble
+    g = qs.reshape(-1, 8, 16)
+    q = np.empty((b.shape[0], 8, 32), dtype=np.uint8)
+    q[:, :, :16] = g & 0xF
+    q[:, :, 16:] = g >> 4
+    vals = KVALUES_IQ4NL[q]
+    dl = (d[:, None] * ls[..., None])  # [nb,8,1]
+    return (dl * vals).reshape(-1)
+
+
+def dequant_tq1_0(data, n):
+    b = _blocks(data, n, GGMLType.TQ1_0)
+    # layout: qs[(256-16)/5=48] base-3 packed x5, qh[4] x4, d  (ggml-common.h block_tq1_0)
+    qs = b[:, 0:48]
+    qh = b[:, 48:52]
+    d = _f16(b[:, 52:54])
+    pow3 = np.array([1, 3, 9, 27, 81], dtype=np.uint16)
+    out = np.empty((b.shape[0], 256), dtype=np.float32)
+    # elements 0..239 from qs: element e -> byte index: interleaved in groups of 32
+    # reference dequantize_row_tq1_0: for each group of 32 bytes, 5 passes
+    qs16 = qs.astype(np.uint16)
+    for grp in range(2):  # bytes 0..31 -> elems 0..159 ; only first grp has 32 bytes
+        nbytes = 32 if grp == 0 else 16
+        base = grp * 160
+        byts = qs16[:, grp * 32 : grp * 32 + nbytes]
+        for j in range(5):
+            q = ((byts * pow3[j]) & 0xFF) * 3 // 256
+            out[:, base + j * nbytes : base + (j + 1) * nbytes] = q.astype(np.float32) - 1
+    qh16 = qh.astype(np.uint16)
+    for j in range(4):
+        q = ((qh16 * pow3[j]) & 0xFF) * 3 // 256
+        out[:, 240 + j * 4 : 240 + (j + 1) * 4] = q.astype(np.float32) - 1
+    return (out * d).reshape(-1)
+
+
+def dequant_tq2_0(data, n):
+    b = _blocks(data, n, GGMLType.TQ2_0)
+    qs = b[:, 0:64]
+    d = _f16(b[:, 64:66])
+    out = np.empty((b.shape[0], 256), dtype=np.float32)
+    # reference: for each 32-byte half, 4 shift passes of 32 elements
+    for half in range(2):
+        byts = qs[:, half * 32 : half * 32 + 32]
+        for j in range(4):
+            q = (byts >> (2 * j)) & 3
+            out[:, half * 128 + j * 32 : half * 128 + (j + 1) * 32] = q.astype(np.float32) - 1
+    return (out * d).reshape(-1)
+
+
+DEQUANT_FNS = {
+    GGMLType.F32: dequant_f32,
+    GGMLType.F16: dequant_f16,
+    GGMLType.BF16: dequant_bf16,
+    GGMLType.F64: dequant_f64,
+    GGMLType.I8: _dequant_int(np.int8),
+    GGMLType.I16: _dequant_int("<i2"),
+    GGMLType.I32: _dequant_int("<i4"),
+    GGMLType.I64: _dequant_int("<i8"),
+    GGMLType.Q4_0: dequant_q4_0,
+    GGMLType.Q4_1: dequant_q4_1,
+    GGMLType.Q5_0: dequant_q5_0,
+    GGMLType.Q5_1: dequant_q5_1,
+    GGMLType.Q8_0: dequant_q8_0,
+    GGMLType.Q8_K: dequant_q8_K,
+    GGMLType.Q2_K: dequant_q2_K,
+    GGMLType.Q3_K: dequant_q3_K,
+    GGMLType.Q4_K: dequant_q4_K,
+    GGMLType.Q5_K: dequant_q5_K,
+    GGMLType.Q6_K: dequant_q6_K,
+    GGMLType.IQ4_NL: dequant_iq4_nl,
+    GGMLType.IQ4_XS: dequant_iq4_xs,
+    GGMLType.TQ1_0: dequant_tq1_0,
+    GGMLType.TQ2_0: dequant_tq2_0,
+}
+
+
+def dequantize(data: np.ndarray, ggml_type: GGMLType, n_elements: int) -> np.ndarray:
+    """Dequantize a flat buffer of `n_elements` to float32."""
+    fn = DEQUANT_FNS.get(ggml_type)
+    if fn is None:
+        raise NotImplementedError(f"dequantize not implemented for {ggml_type.name}")
+    return fn(data, n_elements)
+
+
+def dequantize_tensor(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> np.ndarray:
+    """Dequantize a tensor (rows contiguous along the last axis)."""
+    n = 1
+    for s in shape:
+        n *= s
+    return dequantize(data, ggml_type, n).reshape(shape)
