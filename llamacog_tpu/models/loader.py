@@ -1,0 +1,98 @@
+"""GGUF → model params loader.
+
+Maps reference tensor names (gguf-py tensor_mapping / src/llama-arch.cpp
+LLM_TN) into the functional param pytree used by models/llama.py. Weights
+either stay block-quantized as planar QuantTensors ("quantized" mode — the
+production path) or are dequantized to a dense dtype at load ("dequant").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..gguf import GGMLType, GGUFModelReader
+from ..quant.decode_np import dequantize_tensor
+from ..quant.planar import from_gguf
+from ..tokenizer import Vocab, build_tokenizer
+from .config import ModelConfig
+
+# small tensors that are always dense (norms, biases)
+_ALWAYS_DENSE_SUFFIXES = ("_norm.weight", ".bias", "exp_probs_b.bias")
+
+_LAYER_TENSORS = {
+    "attn_norm": "attn_norm.weight",
+    "attn_q": "attn_q.weight",
+    "attn_k": "attn_k.weight",
+    "attn_v": "attn_v.weight",
+    "attn_output": "attn_output.weight",
+    "attn_q_norm": "attn_q_norm.weight",
+    "attn_k_norm": "attn_k_norm.weight",
+    "ffn_norm": "ffn_norm.weight",
+    "ffn_gate": "ffn_gate.weight",
+    "ffn_up": "ffn_up.weight",
+    "ffn_down": "ffn_down.weight",
+    "ffn_gate_inp": "ffn_gate_inp.weight",
+    "ffn_gate_exps": "ffn_gate_exps.weight",
+    "ffn_up_exps": "ffn_up_exps.weight",
+    "ffn_down_exps": "ffn_down_exps.weight",
+    "ffn_gate_shexp": "ffn_gate_shexp.weight",
+    "ffn_up_shexp": "ffn_up_shexp.weight",
+    "ffn_down_shexp": "ffn_down_shexp.weight",
+    "exp_probs_b": "exp_probs_b.bias",
+}
+
+
+class Model:
+    def __init__(self, config: ModelConfig, params: dict, vocab: Vocab | None, tokenizer):
+        self.config = config
+        self.params = params
+        self.vocab = vocab
+        self.tokenizer = tokenizer
+
+
+def _load_tensor(reader, name, mode, dtype):
+    r, ti = reader.tensors[name]
+    data = r.tensor_bytes(name)
+    dense = mode == "dequant" or any(name.endswith(s) for s in _ALWAYS_DENSE_SUFFIXES)
+    if ti.ggml_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16) or dense:
+        w = dequantize_tensor(data, ti.ggml_type, ti.shape)
+        if name.endswith(_ALWAYS_DENSE_SUFFIXES[0]) or name.endswith(".bias"):
+            return jnp.asarray(w, dtype=jnp.float32)
+        return jnp.asarray(w, dtype=dtype)
+    qt = from_gguf(data, ti.ggml_type, ti.shape)
+    qt.planes = {k: jnp.asarray(v) for k, v in qt.planes.items()}
+    return qt
+
+
+def load_model(
+    path: str,
+    mode: str = "quantized",  # "quantized" | "dequant"
+    dtype=jnp.bfloat16,
+    with_tokenizer: bool = True,
+) -> Model:
+    reader = GGUFModelReader(path)
+    cfg = ModelConfig.from_metadata(reader.metadata)
+    params: dict = {"layers": []}
+    params["tok_embd"] = _load_tensor(reader, "token_embd.weight", mode, dtype)
+    if "output_norm.weight" in reader.tensors:
+        params["output_norm"] = _load_tensor(reader, "output_norm.weight", mode, dtype)
+    if "output.weight" in reader.tensors:
+        params["output"] = _load_tensor(reader, "output.weight", mode, dtype)
+    for il in range(cfg.n_layer):
+        layer = {}
+        for key, suffix in _LAYER_TENSORS.items():
+            name = f"blk.{il}.{suffix}"
+            if name in reader.tensors:
+                layer[key] = _load_tensor(reader, name, mode, dtype)
+        params["layers"].append(layer)
+    vocab = tokenizer = None
+    if with_tokenizer and "tokenizer.ggml.tokens" in reader.metadata:
+        vocab = Vocab.from_metadata(reader.metadata)
+        try:
+            tokenizer = build_tokenizer(vocab)
+        except NotImplementedError:
+            tokenizer = None
+    reader.close()
+    return Model(cfg, params, vocab, tokenizer)

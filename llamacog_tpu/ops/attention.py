@@ -1,0 +1,36 @@
+"""Attention over a static KV cache with an additive mask.
+
+The additive mask is *the* mechanism (causality + per-sequence membership +
+SWA are all encoded in it), mirroring the reference design where
+set_input_kq_mask builds the mask host-side
+(src/llama-kv-cache-unified.cpp). Softmax runs in f32
+(ggml_flash_attn_ext_set_prec F32, src/llama-graph.cpp:1052).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_attention(
+    q: jnp.ndarray,  # [B, T, H, Dk]
+    k: jnp.ndarray,  # [B, S, Hkv, Dk]
+    v: jnp.ndarray,  # [B, S, Hkv, Dv]
+    mask: jnp.ndarray,  # [B, T, S] additive (0 or -inf), f32
+    scale: float,
+    logit_softcap: float = 0.0,
+) -> jnp.ndarray:  # [B, T, H, Dv]
+    B, T, H, Dk = q.shape
+    Hkv = k.shape[2]
+    rep = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, rep, Dk)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("bthrd,bshd->bhrts", qf, kf) * scale  # [B,Hkv,rep,T,S]
+    if logit_softcap > 0.0:
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
+    scores = scores + mask[:, None, None, :, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    vf = v.astype(jnp.float32)
+    out = jnp.einsum("bhrts,bshd->bthrd", probs, vf)
+    return out.reshape(B, T, H, -1).astype(q.dtype)

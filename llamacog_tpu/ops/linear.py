@@ -1,0 +1,52 @@
+"""Quantized linear layers.
+
+`qmatmul(x, w)` computes x @ W^T for W either a dense array [N, K] or a
+QuantTensor. Backend selection:
+
+  * "xla": dequantize with the jnp decoder and let XLA fuse (baseline path;
+    correct everywhere, good for prefill where dequant amortizes).
+  * "pallas": fused dequant-matmul TPU kernels (ops/pallas/).
+
+This mirrors the reference's mmq/mmvq split (ggml-cuda/mmq.cu, mmvq.cu):
+kernels choose a matvec-shaped or tile-GEMM-shaped strategy by batch size.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..quant.planar import QuantTensor, decode
+
+_BACKEND = os.environ.get("LLAMACOG_MATMUL_BACKEND", "auto")
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    assert name in ("auto", "xla", "pallas")
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def qmatmul(x: jnp.ndarray, w: Any, compute_dtype=None) -> jnp.ndarray:
+    """x: [..., K] @ W[N, K]^T -> [..., N]. Compute dtype follows x."""
+    if compute_dtype is None:
+        compute_dtype = x.dtype
+    if isinstance(w, QuantTensor):
+        backend = _BACKEND
+        if backend == "pallas":
+            from .pallas.dispatch import pallas_qmatmul, supports
+
+            if supports(w.kind):
+                return pallas_qmatmul(x, w)
+        wd = decode(w, dtype=compute_dtype)
+    else:
+        wd = w.astype(compute_dtype) if w.dtype != compute_dtype else w
+    return jnp.matmul(
+        x.astype(compute_dtype), wd.T, preferred_element_type=jnp.float32
+    ).astype(x.dtype)

@@ -1,0 +1,84 @@
+"""Rotary position embeddings (NeoX-style interleaving as used by llama),
+with linear and YaRN scaling.
+
+Semantics follow ggml_rope_ext (reference ggml/src/ggml.c; YaRN ramp per
+ggml-cpu/ops.cpp rope). Positions are an explicit input — cache shifts are
+"free" (we re-rope nothing; we just feed different positions).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import RopeConfig
+
+
+def _yarn_corr_dim(n_dims: int, n_ctx_orig: int, n_rot: float, base: float) -> float:
+    # inverse of 2pi * d / L  (ggml-cpu ops rope_yarn_corr_dim)
+    return n_dims * math.log(n_ctx_orig / (n_rot * 2 * math.pi)) / (2 * math.log(base))
+
+
+def rope_frequencies(cfg: RopeConfig, head_dim: int) -> tuple[np.ndarray, np.ndarray, float]:
+    """Per-dim inverse frequencies and YaRN interpolation mix.
+
+    Returns (inv_freq [D/2], ramp_mix [D/2], mscale).
+    """
+    dim = cfg.dim or head_dim
+    exponents = np.arange(0, dim, 2, dtype=np.float64) / dim
+    inv_freq = cfg.freq_base ** -exponents
+    mscale = 1.0
+    ramp = np.zeros_like(inv_freq)
+    if cfg.scaling_type == "linear" and cfg.scaling_factor not in (0.0, 1.0):
+        inv_freq = inv_freq / cfg.scaling_factor
+    elif cfg.scaling_type == "yarn" and cfg.scaling_factor not in (0.0,):
+        n_ctx_orig = cfg.orig_ctx_len or 2048
+        lo = _yarn_corr_dim(dim, n_ctx_orig, cfg.beta_fast, cfg.freq_base)
+        hi = _yarn_corr_dim(dim, n_ctx_orig, cfg.beta_slow, cfg.freq_base)
+        lo, hi = max(0.0, math.floor(lo)), min(dim - 1.0, math.ceil(hi))
+        dims = np.arange(0, dim, 2, dtype=np.float64)
+        ramp = np.clip((dims / 2 - lo / 2) / max((hi - lo) / 2, 0.001), 0, 1)
+        ramp = 1.0 - ramp  # 1 = interpolate (low freq), 0 = extrapolate
+        mscale = float(
+            cfg.attn_factor * (1.0 + 0.1 * math.log(cfg.scaling_factor))
+            if cfg.scaling_factor > 1.0
+            else cfg.attn_factor
+        )
+    return (
+        inv_freq.astype(np.float32),
+        ramp.astype(np.float32),
+        mscale,
+    )
+
+
+def apply_rope(
+    x: jnp.ndarray,  # [..., T, H, D]
+    positions: jnp.ndarray,  # [..., T]
+    cfg: RopeConfig,
+) -> jnp.ndarray:
+    """NeoX rope: rotate pairs (i, i + D/2)."""
+    D = x.shape[-1]
+    dim = cfg.dim or D
+    inv_freq, ramp, mscale = rope_frequencies(cfg, D)
+    inv_freq = jnp.asarray(inv_freq)
+    if cfg.scaling_type == "yarn" and cfg.scaling_factor not in (0.0, 1.0):
+        inv_extrap = jnp.asarray(rope_frequencies(
+            RopeConfig(dim=cfg.dim, freq_base=cfg.freq_base), D)[0])
+        inv_freq = inv_extrap * (1 - jnp.asarray(ramp)) + (
+            inv_extrap / cfg.scaling_factor
+        ) * jnp.asarray(ramp)
+    theta = positions[..., None].astype(jnp.float32) * inv_freq  # [..., T, dim/2]
+    cos = jnp.cos(theta) * mscale
+    sin = jnp.sin(theta) * mscale
+    cos = cos[..., None, :]  # broadcast over heads
+    sin = sin[..., None, :]
+    half = dim // 2
+    x_rot = x[..., :dim].astype(jnp.float32)
+    x1 = x_rot[..., :half]
+    x2 = x_rot[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    if dim < D:
+        out = jnp.concatenate([out, x[..., dim:].astype(jnp.float32)], axis=-1)
+    return out.astype(x.dtype)

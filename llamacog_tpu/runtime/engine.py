@@ -1,0 +1,127 @@
+"""Single/multi-sequence generation engine.
+
+The decode step is one jitted function with static shapes (prefill runs in
+padded length buckets; decode appends one token per live row). This replaces
+the reference's llama_context::decode ubatch machinery
+(src/llama-context.cpp:880) with an XLA-friendly design: no dynamic shapes,
+positions as inputs, additive masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.llama import forward
+from .kv_cache import KVCache, build_causal_mask
+
+PREFILL_BUCKETS = (32, 128, 512, 2048)
+
+
+def _bucket(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 2048) * 2048
+
+
+@dataclass
+class GenerationResult:
+    tokens: list[int]
+    logits: np.ndarray | None = None
+
+
+class Engine:
+    """Owns the jitted step functions and the KV cache."""
+
+    def __init__(
+        self,
+        params: dict,
+        config: ModelConfig,
+        batch_size: int = 1,
+        max_seq: int = 2048,
+        dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.config = config
+        self.batch_size = batch_size
+        self.max_seq = max_seq
+        self.dtype = dtype
+        self.cache = KVCache.create(
+            config.n_layer,
+            batch_size,
+            max_seq,
+            config.n_head_kv,
+            config.head_dim_k,
+            config.head_dim_v,
+            dtype=dtype,
+        )
+        self.seq_len = np.zeros(batch_size, dtype=np.int32)  # host-side lengths
+
+        @functools.partial(jax.jit, static_argnames=("t",))
+        def step(params, cache, tokens, write_pos, seq_len, t):
+            positions = write_pos[:, None] + jnp.arange(t)[None, :]
+            mask = build_causal_mask(write_pos, t, cache.max_seq, seq_len=seq_len)
+            swa_mask = None
+            if config.sliding_window > 0:
+                swa_mask = build_causal_mask(
+                    write_pos, t, cache.max_seq, seq_len=seq_len,
+                    sliding_window=config.sliding_window,
+                )
+            logits, cache = forward(
+                params, config, tokens, positions, cache, write_pos, mask,
+                swa_mask=swa_mask, dtype=dtype,
+            )
+            return logits, cache
+
+        self._step = step
+
+    def reset(self):
+        self.seq_len[:] = 0
+
+    def prefill(self, token_ids: list[int], row: int = 0) -> np.ndarray:
+        """Feed a prompt into one row; returns logits of the last real token."""
+        n = len(token_ids)
+        t = _bucket(n)
+        toks = np.zeros((self.batch_size, t), dtype=np.int32)
+        toks[row, :n] = token_ids
+        write_pos = jnp.asarray(self.seq_len)
+        new_len = self.seq_len.copy()
+        new_len[row] += n
+        logits, self.cache = self._step(
+            self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t
+        )
+        self.seq_len = new_len
+        return np.asarray(logits[row, n - 1])
+
+    def decode_one(self, token_ids: np.ndarray) -> np.ndarray:
+        """One decode step for all rows. token_ids: [B] -> logits [B, V]."""
+        toks = jnp.asarray(token_ids, dtype=jnp.int32)[:, None]
+        write_pos = jnp.asarray(self.seq_len)
+        new_len = self.seq_len + 1
+        logits, self.cache = self._step(
+            self.params, self.cache, toks, write_pos, jnp.asarray(new_len), 1
+        )
+        self.seq_len = new_len
+        return np.asarray(logits[:, 0])
+
+    def generate_greedy(
+        self, prompt_tokens: list[int], max_new_tokens: int, eog_ids=(),
+    ) -> GenerationResult:
+        logits = self.prefill(prompt_tokens)
+        out = []
+        tok = int(np.argmax(logits))
+        for _ in range(max_new_tokens):
+            out.append(tok)
+            if tok in eog_ids:
+                break
+            if int(self.seq_len[0]) >= self.max_seq:
+                break
+            logits = self.decode_one(np.array([tok] * self.batch_size))
+            tok = int(np.argmax(logits[0]))
+        return GenerationResult(tokens=out)

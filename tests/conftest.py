@@ -5,10 +5,16 @@ Must run before any jax import (pytest imports conftest first).
 
 import os
 
+# NB: in this environment the axon TPU plugin ignores JAX_PLATFORMS; the
+# config.update below is what actually forces CPU.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,95 @@
+"""End-to-end model tests on tiny random GGUFs (reference role: tiny stories
+model E2E, tools/server/tests).
+
+Checks: (a) quantized-mode logits match dequant-mode within quant error,
+(b) incremental decode with KV cache is consistent with one-shot prefill,
+(c) greedy generation is deterministic.
+"""
+
+import numpy as np
+import pytest
+
+from llamacog_tpu.gguf import GGMLType
+from llamacog_tpu.models.loader import load_model
+from llamacog_tpu.runtime.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def tiny_gguf(tmp_path_factory):
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = tmp_path_factory.mktemp("models") / "tiny_f32.gguf"
+    return make_tiny_llama_gguf(path, quant_type=GGMLType.F32)
+
+
+@pytest.fixture(scope="module")
+def tiny_q4_gguf(tmp_path_factory):
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = tmp_path_factory.mktemp("models") / "tiny_q4.gguf"
+    return make_tiny_llama_gguf(path, n_embd=64, n_ff=128, quant_type=GGMLType.Q4_0)
+
+
+def test_load_model(tiny_gguf):
+    m = load_model(tiny_gguf, mode="dequant", dtype=np.float32)
+    assert m.config.n_layer == 2
+    assert m.config.n_head == 4
+    assert len(m.params["layers"]) == 2
+    assert m.vocab is not None
+
+
+def test_prefill_decode_consistency(tiny_gguf):
+    import jax.numpy as jnp
+
+    m = load_model(tiny_gguf, mode="dequant", dtype=jnp.float32)
+    prompt = [1, 5, 9, 13, 42]
+    # one-shot: prefill full prompt
+    e1 = Engine(m.params, m.config, max_seq=64, dtype=jnp.float32)
+    logits_full = e1.prefill(prompt)
+    # incremental: prefill all but last, then decode last token
+    e2 = Engine(m.params, m.config, max_seq=64, dtype=jnp.float32)
+    e2.prefill(prompt[:-1])
+    logits_inc = e2.decode_one(np.array([prompt[-1]]))[0]
+    np.testing.assert_allclose(logits_full, logits_inc, rtol=2e-4, atol=2e-4)
+
+
+def test_greedy_determinism(tiny_gguf):
+    import jax.numpy as jnp
+
+    m = load_model(tiny_gguf, mode="dequant", dtype=jnp.float32)
+    e = Engine(m.params, m.config, max_seq=64, dtype=jnp.float32)
+    r1 = e.generate_greedy([1, 5, 9], 8)
+    e.reset()
+    r2 = e.generate_greedy([1, 5, 9], 8)
+    assert r1.tokens == r2.tokens
+    assert len(r1.tokens) == 8
+
+
+def test_quantized_mode_close_to_dequant(tiny_q4_gguf):
+    import jax.numpy as jnp
+
+    mq = load_model(tiny_q4_gguf, mode="quantized", dtype=jnp.float32)
+    md = load_model(tiny_q4_gguf, mode="dequant", dtype=jnp.float32)
+    eq = Engine(mq.params, mq.config, max_seq=32, dtype=jnp.float32)
+    ed = Engine(md.params, md.config, max_seq=32, dtype=jnp.float32)
+    lq = eq.prefill([1, 2, 3, 4])
+    ld = ed.prefill([1, 2, 3, 4])
+    # same values: quantized mode decodes the same blocks, just on device
+    np.testing.assert_allclose(lq, ld, rtol=1e-4, atol=1e-4)
+
+
+def test_moe_forward(tmp_path):
+    import jax.numpy as jnp
+
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "tiny_moe.gguf", n_expert=4, n_expert_used=2, n_layer=2
+    )
+    m = load_model(path, mode="dequant", dtype=jnp.float32)
+    assert m.config.n_expert == 4
+    e = Engine(m.params, m.config, max_seq=32, dtype=jnp.float32)
+    logits = e.prefill([1, 2, 3])
+    assert np.isfinite(logits).all()
+    r = e.generate_greedy([1, 2, 3], 4)
+    assert len(r.tokens) == 4

@@ -1,0 +1,49 @@
+"""Planar relayout + jnp decode must match the numpy reference decoder exactly."""
+
+import numpy as np
+import pytest
+
+from llamacog_tpu.gguf import GGMLType, row_nbytes
+from llamacog_tpu.quant import dequantize, quantize
+from llamacog_tpu.quant.planar import decode, from_gguf
+
+TYPES = [
+    GGMLType.F32,
+    GGMLType.F16,
+    GGMLType.BF16,
+    GGMLType.Q4_0,
+    GGMLType.Q4_1,
+    GGMLType.Q5_0,
+    GGMLType.Q5_1,
+    GGMLType.Q8_0,
+    GGMLType.Q2_K,
+    GGMLType.Q3_K,
+    GGMLType.Q4_K,
+    GGMLType.Q5_K,
+    GGMLType.Q6_K,
+    GGMLType.IQ4_NL,
+    GGMLType.IQ4_XS,
+]
+
+
+@pytest.mark.parametrize("ttype", TYPES, ids=lambda t: t.name)
+def test_planar_decode_matches_numpy(ttype):
+    N, K = 4, 512
+    rng = np.random.default_rng(int(ttype))
+    x = rng.standard_normal(N * K).astype(np.float32)
+    try:
+        q = quantize(x, ttype)
+    except NotImplementedError:
+        pytest.skip("no encoder")
+    ref = dequantize(q, ttype, N * K).reshape(N, K)
+    qt = from_gguf(q, ttype, (N, K))
+    got = np.asarray(decode(qt, dtype=np.float32))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+def test_planar_bytes_smaller_than_dense():
+    N, K = 8, 1024
+    x = np.random.default_rng(0).standard_normal(N * K).astype(np.float32)
+    qt = from_gguf(quantize(x, GGMLType.Q4_K), GGMLType.Q4_K, (N, K))
+    # Q4_K planar = 4 bits payload + 2x f32 per 32 group = 6 bpw < bf16
+    assert qt.nbytes < N * K * 2
