@@ -1,0 +1,104 @@
+"""Benchmark: single-stream decode tokens/s on a llama-shaped quantized model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is the fraction of the HBM-bandwidth roofline achieved
+(decode is weight-bandwidth-bound: roofline t/s = HBM_BW / weight_bytes),
+which is also the driver's north-star framing ("≥80% of roofline decode
+t/s/chip"). Model: synthetic random-weight llama (cached in /tmp) — sizable
+enough that weight streaming dominates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_DIR = os.environ.get("LLAMACOG_BENCH_DIR", "/tmp/llamacog_bench")
+
+# "llama-1B"-shaped config (scaled for quick generation on 1 CPU core)
+SHAPE = dict(
+    n_vocab=32000,
+    n_embd=2048,
+    n_layer=16,
+    n_head=32,
+    n_head_kv=8,
+    n_ff=5632,
+    n_ctx=2048,
+)
+QUANT = os.environ.get("LLAMACOG_BENCH_QUANT", "Q4_0")
+N_DECODE = int(os.environ.get("LLAMACOG_BENCH_TOKENS", "64"))
+
+# HBM bandwidth per chip (v5e ≈ 819 GB/s); override for other hw
+HBM_BW = float(os.environ.get("LLAMACOG_HBM_BW", 819e9))
+
+
+def get_model_path() -> str:
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    path = os.path.join(BENCH_DIR, f"bench_{QUANT}.gguf")
+    if not os.path.exists(path):
+        from llamacog_tpu.gguf import GGMLType
+        from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+        t0 = time.time()
+        make_tiny_llama_gguf(path, quant_type=getattr(GGMLType, QUANT), **SHAPE)
+        print(f"[bench] generated {path} in {time.time()-t0:.1f}s", file=sys.stderr)
+    return path
+
+
+def main() -> None:
+    import jax
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.quant.planar import QuantTensor
+    from llamacog_tpu.runtime.engine import Engine
+
+    path = get_model_path()
+    t0 = time.time()
+    model = load_model(path, mode="quantized", dtype=jnp.bfloat16)
+    print(f"[bench] load {time.time()-t0:.1f}s on {jax.default_backend()}", file=sys.stderr)
+
+    # weight bytes actually streamed per token (all layer weights + lm head)
+    def tensor_bytes(t):
+        if isinstance(t, QuantTensor):
+            return t.nbytes
+        return t.size * t.dtype.itemsize
+
+    wbytes = tensor_bytes(model.params["tok_embd"]) * 0  # gather, not streamed
+    if "output" in model.params:
+        wbytes += tensor_bytes(model.params["output"])
+    for layer in model.params["layers"]:
+        wbytes += sum(tensor_bytes(w) for w in layer.values())
+
+    engine = Engine(model.params, model.config, batch_size=1, max_seq=1024)
+    prompt = list(range(2, 130))
+    engine.prefill(prompt)
+
+    # warmup decode (compile)
+    tok = np.array([5])
+    engine.decode_one(tok)
+
+    t1 = time.time()
+    for _ in range(N_DECODE):
+        logits = engine.decode_one(tok)
+        tok = np.array([int(np.argmax(logits[0]))])
+    dt = time.time() - t1
+    tps = N_DECODE / dt
+
+    roofline = HBM_BW / wbytes
+    result = {
+        "metric": f"decode_tokens_per_s_{QUANT.lower()}_1b_single_stream",
+        "value": round(tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / roofline, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
