@@ -32,8 +32,12 @@ def embed_tokens(params: dict, tokens: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.n
 
 
 def _ffn_swiglu(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
-    gate = qmatmul(x, layer["ffn_gate"])
-    up = qmatmul(x, layer["ffn_up"])
+    if "ffn_gate_up" in layer:
+        gu = qmatmul(x, layer["ffn_gate_up"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate = qmatmul(x, layer["ffn_gate"])
+        up = qmatmul(x, layer["ffn_up"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     return qmatmul(act, layer["ffn_down"])
 
@@ -112,9 +116,16 @@ def forward(
     x = embed_tokens(params, tokens, dtype=dtype)
     for il, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        q = qmatmul(h, layer["attn_q"]).reshape(B, T, H, Dk)
-        k = qmatmul(h, layer["attn_k"]).reshape(B, T, Hkv, Dk)
-        v = qmatmul(h, layer["attn_v"]).reshape(B, T, Hkv, Dv)
+        if "attn_qkv" in layer:
+            qkv = qmatmul(h, layer["attn_qkv"])
+            q, k, v = jnp.split(qkv, [H * Dk, H * Dk + Hkv * Dk], axis=-1)
+            q = q.reshape(B, T, H, Dk)
+            k = k.reshape(B, T, Hkv, Dk)
+            v = v.reshape(B, T, Hkv, Dv)
+        else:
+            q = qmatmul(h, layer["attn_q"]).reshape(B, T, H, Dk)
+            k = qmatmul(h, layer["attn_k"]).reshape(B, T, Hkv, Dk)
+            v = qmatmul(h, layer["attn_v"]).reshape(B, T, Hkv, Dv)
         if "attn_q_norm" in layer:
             q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)

@@ -52,6 +52,32 @@ class Model:
         self.tokenizer = tokenizer
 
 
+def _fuse_rows(tensors: list) -> "QuantTensor | jnp.ndarray | None":
+    """Concat weights along N (output rows) so one matmul serves several.
+
+    Cuts per-step op count (QKV -> 1 matmul, gate+up -> 1), which matters on
+    TPU where each kernel launch has fixed cost. Only fuses same-kind
+    QuantTensors or same-dtype dense arrays with matching K.
+    """
+    from ..quant.planar import QuantTensor
+
+    if all(isinstance(t, QuantTensor) for t in tensors):
+        kinds = {t.kind for t in tensors}
+        ks = {t.shape[-1] for t in tensors}
+        if len(kinds) != 1 or len(ks) != 1:
+            return None
+        n_total = sum(int(np.prod(t.shape[:-1])) for t in tensors)
+        planes = {}
+        for name in tensors[0].planes:
+            planes[name] = jnp.concatenate([t.planes[name] for t in tensors], axis=0)
+        return QuantTensor(tensors[0].kind, (n_total, tensors[0].shape[-1]), planes)
+    if all(not isinstance(t, QuantTensor) for t in tensors):
+        if len({t.shape[-1] for t in tensors}) != 1:
+            return None
+        return jnp.concatenate([t for t in tensors], axis=0)
+    return None
+
+
 def _load_tensor(reader, name, mode, dtype):
     r, ti = reader.tensors[name]
     data = r.tensor_bytes(name)
@@ -71,6 +97,7 @@ def load_model(
     mode: str = "quantized",  # "quantized" | "dequant"
     dtype=jnp.bfloat16,
     with_tokenizer: bool = True,
+    fuse: bool = True,
 ) -> Model:
     reader = GGUFModelReader(path)
     cfg = ModelConfig.from_metadata(reader.metadata)
@@ -86,6 +113,16 @@ def load_model(
             name = f"blk.{il}.{suffix}"
             if name in reader.tensors:
                 layer[key] = _load_tensor(reader, name, mode, dtype)
+        if fuse and all(k in layer for k in ("attn_q", "attn_k", "attn_v")):
+            fused = _fuse_rows([layer["attn_q"], layer["attn_k"], layer["attn_v"]])
+            if fused is not None:
+                layer["attn_qkv"] = fused
+                del layer["attn_q"], layer["attn_k"], layer["attn_v"]
+        if fuse and "ffn_gate" in layer and "ffn_up" in layer:
+            fused = _fuse_rows([layer["ffn_gate"], layer["ffn_up"]])
+            if fused is not None:
+                layer["ffn_gate_up"] = fused
+                del layer["ffn_gate"], layer["ffn_up"]
         params["layers"].append(layer)
     vocab = tokenizer = None
     if with_tokenizer and "tokenizer.ggml.tokens" in reader.metadata:

@@ -39,6 +39,10 @@ def qmatmul(x: jnp.ndarray, w: Any, compute_dtype=None) -> jnp.ndarray:
         compute_dtype = x.dtype
     if isinstance(w, QuantTensor):
         backend = _BACKEND
+        if backend == "auto":
+            import jax
+
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         if backend == "pallas":
             from .pallas.dispatch import pallas_qmatmul, supports
 

@@ -1,27 +1,31 @@
-"""Planar (structure-of-arrays) quantized tensors for TPU.
+"""Planar (structure-of-arrays) quantized tensors, laid out for TPU kernels.
 
-GGUF stores weights as packed per-block structs (AoS). At load we split each
-tensor into a few flat planes (quant payload, scales, mins, high bits) with
-NO value-changing transforms — just byte shuffling — so that:
+GGUF stores weights as packed per-block structs (AoS). At load we repack each
+tensor into flat planes shaped for the Pallas fused dequant-matmul kernels
+(ops/pallas/qmm.py) — the TPU analog of the reference's load-time repack
+(ggml/src/ggml-cpu/repack.cpp). Values are unchanged; only the bit layout
+moves:
 
-  * the payload stays sub-byte-packed in HBM (the whole point of quantized
-    inference: HBM bandwidth),
-  * every plane is a dense array whose last axis is contiguous along K and
-    whose decode is *block-local concatenation* (the ggml bit layouts place
-    nibble/2-bit groups as contiguous sub-runs inside each block — no
-    element interleave is needed, which is exactly what the TPU wants),
-  * f16 superblock scales are pre-multiplied with the 6-bit/4-bit group
-    scales into f32 planes (the reference computes d*sc in f32 too:
-    ggml-quants.c dequantize_row_q4_K), so kernels do a single multiply.
+* payload planes are sub-byte packed 2-D arrays [N, K/pack] whose in-kernel
+  unpack is a plain lane-aligned `concat` of shift/mask slices — Mosaic
+  compiles this without any cross-lane shuffle;
+* element order within each row is *group-strided*: decoded column c = r*G+g
+  holds original element g*R+r, where R is the scale-group size (32 or 16)
+  and G = K/R the group count. A scale plane [N, G] then broadcasts to all K
+  columns with a single `pltpu.repeat` tile (column c gets scale c mod G);
+* the matching activation permutation is a [B, K] reshape-transpose done
+  once per matmul outside the kernel (negligible next to weight streaming);
+* f16 superblock scales are pre-multiplied with the 6-bit/4-bit sub-scales
+  into f32 planes exactly as the reference computes them
+  (dequantize_row_q4_K: d*sc in f32).
 
-`decode()` gives the pure-jnp dequantization used as the XLA fallback path
-and as the reference for the Pallas kernels.
+`decode()` is the pure-jnp dequantizer (XLA fallback path and the reference
+the Pallas kernels are tested against).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Any
 
 import jax
@@ -31,11 +35,18 @@ import numpy as np
 from ..gguf.constants import GGML_TYPE_TRAITS, QK_K, GGMLType
 from .decode_np import KVALUES_IQ4NL
 
+# scale-group size per type (elements per scale)
+GROUP_SIZE = {
+    "Q4_0": 32, "Q4_1": 32, "Q5_0": 32, "Q5_1": 32, "Q8_0": 32,
+    "IQ4_NL": 32, "IQ4_XS": 32, "Q4_K": 32, "Q5_K": 32,
+    "Q2_K": 16, "Q3_K": 16, "Q6_K": 16,
+}
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class QuantTensor:
-    """A quantized [N, K] tensor as a set of planes. N = output rows."""
+    """A quantized [..., K] tensor as planes. Leading dims flatten to N."""
 
     kind: str  # ggml type name, static
     shape: tuple[int, ...]  # logical shape, static
@@ -54,73 +65,169 @@ class QuantTensor:
     def nbytes(self) -> int:
         return sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in self.planes.values())
 
+    @property
+    def group_size(self) -> int:
+        return GROUP_SIZE.get(self.kind, 32)
+
+
+# ---------------------------------------------------------------------------
+# load-time repack (numpy)
+# ---------------------------------------------------------------------------
 
 def _f16(a: np.ndarray) -> np.ndarray:
-    return a.copy().view("<f2")
+    # scale planes are stored f32: Mosaic has no f16->f32 vector casts, and
+    # f16 -> f32 conversion is exact
+    return a.copy().view("<f2").astype(np.float32)
 
 
 def _view(b: np.ndarray, dt) -> np.ndarray:
     return b.copy().view(dt)
 
 
+def _strided(vals: np.ndarray, R: int) -> np.ndarray:
+    """[N, K] element order -> group-strided decode order (see module doc)."""
+    N, K = vals.shape
+    G = K // R
+    return np.ascontiguousarray(vals.reshape(N, G, R).swapaxes(1, 2).reshape(N, K))
+
+
+def _pack4(sv: np.ndarray) -> np.ndarray:
+    N, K = sv.shape
+    return (sv[:, : K // 2] | (sv[:, K // 2:] << 4)).astype(np.uint8)
+
+
+def _pack2(sv: np.ndarray) -> np.ndarray:
+    N, K = sv.shape
+    q = K // 4
+    return (
+        sv[:, :q] | (sv[:, q : 2 * q] << 2) | (sv[:, 2 * q : 3 * q] << 4) | (sv[:, 3 * q :] << 6)
+    ).astype(np.uint8)
+
+
+def _pack1(sv: np.ndarray) -> np.ndarray:
+    N, K = sv.shape
+    e = K // 8
+    out = np.zeros((N, e), dtype=np.uint8)
+    for b in range(8):
+        out |= (sv[:, b * e : (b + 1) * e] & 1).astype(np.uint8) << b
+    return out
+
+
+def _k4_scale_min(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    sc = np.empty((scales.shape[0], 8), dtype=np.uint8)
+    mn = np.empty_like(sc)
+    sc[:, :4] = scales[:, :4] & 63
+    mn[:, :4] = scales[:, 4:8] & 63
+    sc[:, 4:] = (scales[:, 8:12] & 0xF) | ((scales[:, :4] >> 6) << 4)
+    mn[:, 4:] = (scales[:, 8:12] >> 4) | ((scales[:, 4:8] >> 6) << 4)
+    return sc, mn
+
+
+def _q3_scales(raw: np.ndarray) -> np.ndarray:
+    a = raw.copy().view("<u4")
+    a0, a1, tmp = a[:, 0], a[:, 1], a[:, 2]
+    kmask1 = np.uint32(0x03030303)
+    kmask2 = np.uint32(0x0F0F0F0F)
+    out = np.empty((raw.shape[0], 4), dtype=np.uint32)
+    out[:, 0] = (a0 & kmask2) | (((tmp >> np.uint32(0)) & kmask1) << np.uint32(4))
+    out[:, 1] = (a1 & kmask2) | (((tmp >> np.uint32(2)) & kmask1) << np.uint32(4))
+    out[:, 2] = ((a0 >> np.uint32(4)) & kmask2) | (((tmp >> np.uint32(4)) & kmask1) << np.uint32(4))
+    out[:, 3] = ((a1 >> np.uint32(4)) & kmask2) | (((tmp >> np.uint32(6)) & kmask1) << np.uint32(4))
+    return out.view(np.int8).reshape(raw.shape[0], 16)
+
+
+def _unpack_2bit_elems(qs: np.ndarray) -> np.ndarray:
+    """wire 2-bit [nb, 64] -> [nb, 256] element order (q2/q3 layout)."""
+    nb = qs.shape[0]
+    out = np.empty((nb, 256), dtype=np.uint8)
+    for chunk in range(2):
+        cb = qs[:, chunk * 32 : chunk * 32 + 32]
+        for shift in range(4):
+            out[:, chunk * 128 + shift * 32 : chunk * 128 + (shift + 1) * 32] = (
+                cb >> (2 * shift)
+            ) & 3
+    return out
+
+
+def _unpack_k4_elems(qs: np.ndarray) -> np.ndarray:
+    """wire nibbles [nb, 128] -> [nb, 256] element order (q4_K/q5_K layout)."""
+    nb = qs.shape[0]
+    g = qs.reshape(nb, 4, 32)
+    out = np.empty((nb, 4, 2, 32), dtype=np.uint8)
+    out[:, :, 0, :] = g & 0xF
+    out[:, :, 1, :] = g >> 4
+    return out.reshape(nb, 256)
+
+
+def _superblock_bits(qb: np.ndarray) -> np.ndarray:
+    """wire bit plane [nb, 32] -> [nb, 256]: element e uses bit e//32 of byte e%32."""
+    e = np.arange(256)
+    return (qb[:, e % 32] >> (e // 32)[None, :]) & 1
+
+
 def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> QuantTensor:
-    """Relayout raw GGUF block bytes into planes (numpy, zero value change)."""
+    """Repack raw GGUF block bytes into TPU-planar form (no value change)."""
     n_el = int(np.prod(shape))
     K = shape[-1]
     N = n_el // K
     tt = GGML_TYPE_TRAITS[ggml_type]
-    data = np.asarray(data, np.uint8).reshape(N, K // tt.block_size, tt.type_size)
     t = ggml_type
     p: dict[str, np.ndarray] = {}
 
     if t == GGMLType.F32:
-        p["w"] = data.reshape(N, -1).copy().view("<f4").reshape(N, K)
-    elif t == GGMLType.F16:
-        p["w"] = data.reshape(N, -1).copy().view("<f2").reshape(N, K)
-    elif t == GGMLType.BF16:
-        u = data.reshape(N, -1).copy().view("<u2").reshape(N, K)
-        p["w"] = u.view(jnp.bfloat16.dtype) if hasattr(jnp.bfloat16, "dtype") else u
-        p["w"] = u.view("<u2")  # carried as u16; decode() bit-casts
-    elif t == GGMLType.Q4_0:
-        p["d"] = _f16(data[:, :, 0:2]).reshape(N, -1)
-        p["qs"] = data[:, :, 2:18].reshape(N, K // 2)
-    elif t == GGMLType.Q4_1:
-        p["d"] = _f16(data[:, :, 0:2]).reshape(N, -1)
-        p["m"] = _f16(data[:, :, 2:4]).reshape(N, -1)
-        p["qs"] = data[:, :, 4:20].reshape(N, K // 2)
-    elif t == GGMLType.Q5_0:
-        p["d"] = _f16(data[:, :, 0:2]).reshape(N, -1)
-        p["qh"] = _view(data[:, :, 2:6], "<u4").reshape(N, -1)
-        p["qs"] = data[:, :, 6:22].reshape(N, K // 2)
-    elif t == GGMLType.Q5_1:
-        p["d"] = _f16(data[:, :, 0:2]).reshape(N, -1)
-        p["m"] = _f16(data[:, :, 2:4]).reshape(N, -1)
-        p["qh"] = _view(data[:, :, 4:8], "<u4").reshape(N, -1)
-        p["qs"] = data[:, :, 8:24].reshape(N, K // 2)
+        p["w"] = np.asarray(data, np.uint8)[: 4 * n_el].copy().view("<f4").reshape(N, K)
+        return QuantTensor(t.name, tuple(shape), p)
+    if t == GGMLType.F16:
+        p["w"] = np.asarray(data, np.uint8)[: 2 * n_el].copy().view("<f2").reshape(N, K)
+        return QuantTensor(t.name, tuple(shape), p)
+    if t == GGMLType.BF16:
+        p["w"] = np.asarray(data, np.uint8)[: 2 * n_el].copy().view("<u2").reshape(N, K)
+        return QuantTensor(t.name, tuple(shape), p)
+
+    data = np.asarray(data, np.uint8).reshape(N, K // tt.block_size, tt.type_size)
+    nb = data.shape[1]
+
+    if t in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.IQ4_NL):
+        off = {GGMLType.Q4_0: 2, GGMLType.Q4_1: 4, GGMLType.IQ4_NL: 2}[t]
+        qs = data[:, :, off : off + 16]
+        ints = np.concatenate([qs & 0xF, qs >> 4], axis=2).reshape(N, K)
+        p["qs"] = _pack4(_strided(ints, 32))
+        p["d"] = _f16(data[:, :, 0:2]).reshape(N, nb)
+        if t == GGMLType.Q4_1:
+            p["m"] = _f16(data[:, :, 2:4]).reshape(N, nb)
+    elif t in (GGMLType.Q5_0, GGMLType.Q5_1):
+        off = 6 if t == GGMLType.Q5_0 else 8
+        qs = data[:, :, off : off + 16]
+        lo = np.concatenate([qs & 0xF, qs >> 4], axis=2)  # [N, nb, 32]
+        qh = _view(data[:, :, off - 4 : off], "<u4").reshape(N, nb, 1).astype(np.uint32)
+        hb = ((qh >> np.arange(32, dtype=np.uint32)) & 1).astype(np.uint8)
+        p["qs"] = _pack4(_strided(lo.reshape(N, K), 32))
+        p["qh"] = _pack1(_strided(hb.reshape(N, K), 32))
+        p["d"] = _f16(data[:, :, 0:2]).reshape(N, nb)
+        if t == GGMLType.Q5_1:
+            p["m"] = _f16(data[:, :, 2:4]).reshape(N, nb)
     elif t == GGMLType.Q8_0:
-        p["d"] = _f16(data[:, :, 0:2]).reshape(N, -1)
-        p["qs"] = _view(data[:, :, 2:34], np.int8).reshape(N, K)
+        ints = _view(data[:, :, 2:34], np.int8).reshape(N, K)
+        p["qs"] = _strided(ints.view(np.uint8), 32).view(np.int8)
+        p["d"] = _f16(data[:, :, 0:2]).reshape(N, nb)
     elif t == GGMLType.Q2_K:
         sc = data[:, :, 0:16]
         d = _f16(data[:, :, 80:82]).astype(np.float32)
         dmin = _f16(data[:, :, 82:84]).astype(np.float32)
         p["scales"] = (d * (sc & 0xF)).reshape(N, K // 16).astype(np.float32)
         p["mins"] = (dmin * (sc >> 4)).reshape(N, K // 16).astype(np.float32)
-        p["qs"] = data[:, :, 16:80].reshape(N, K // 4)
+        ints = _unpack_2bit_elems(data[:, :, 16:80].reshape(-1, 64)).reshape(N, K)
+        p["qs"] = _pack2(_strided(ints, 16))
     elif t == GGMLType.Q3_K:
-        from .decode_np import _q3_scales
-
-        nb = data.shape[1]
         sc6 = _q3_scales(data[:, :, 96:108].reshape(-1, 12)).reshape(N, nb, 16)
         d = _f16(data[:, :, 108:110]).astype(np.float32)
         p["scales"] = (d * (sc6.astype(np.float32) - 32.0)).reshape(N, K // 16)
-        p["hmask"] = data[:, :, 0:32].reshape(N, K // 8)
-        p["qs"] = data[:, :, 32:96].reshape(N, K // 4)
+        q2 = _unpack_2bit_elems(data[:, :, 32:96].reshape(-1, 64)).reshape(N, K)
+        hb = _superblock_bits(data[:, :, 0:32].reshape(-1, 32)).reshape(N, K).astype(np.uint8)
+        p["qs"] = _pack2(_strided(q2, 16))
+        p["hb"] = _pack1(_strided(hb, 16))
     elif t in (GGMLType.Q4_K, GGMLType.Q5_K):
-        from .encode_np import _unpack_k4_scales
-
-        nb = data.shape[1]
-        sc, mn = _unpack_k4_scales(data[:, :, 4:16].reshape(-1, 12))
+        sc, mn = _k4_scale_min(data[:, :, 4:16].reshape(-1, 12))
         sc = sc.reshape(N, nb, 8).astype(np.float32)
         mn = mn.reshape(N, nb, 8).astype(np.float32)
         d = _f16(data[:, :, 0:2]).astype(np.float32)
@@ -128,141 +235,131 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         p["scales"] = (d * sc).reshape(N, K // 32)
         p["mins"] = (dmin * mn).reshape(N, K // 32)
         if t == GGMLType.Q4_K:
-            p["qs"] = data[:, :, 16:144].reshape(N, K // 2)
+            ints = _unpack_k4_elems(data[:, :, 16:144].reshape(-1, 128)).reshape(N, K)
+            p["qs"] = _pack4(_strided(ints, 32))
         else:
-            p["qh"] = data[:, :, 16:48].reshape(N, K // 8)
-            p["qs"] = data[:, :, 48:176].reshape(N, K // 2)
+            lo = _unpack_k4_elems(data[:, :, 48:176].reshape(-1, 128)).reshape(N, K)
+            hb = _superblock_bits(data[:, :, 16:48].reshape(-1, 32)).reshape(N, K).astype(np.uint8)
+            p["qs"] = _pack4(_strided(lo, 32))
+            p["qh"] = _pack1(_strided(hb, 32))
     elif t == GGMLType.Q6_K:
-        d = _f16(data[:, :, 208:210]).astype(np.float32)  # [N, nb, 1]
-        sc8 = _view(data[:, :, 192:208], np.int8).astype(np.float32).reshape(N, -1, 16)
+        d = _f16(data[:, :, 208:210]).astype(np.float32)
+        sc8 = _view(data[:, :, 192:208], np.int8).astype(np.float32).reshape(N, nb, 16)
         p["scales"] = (d * sc8).reshape(N, K // 16).astype(np.float32)
-        p["ql"] = data[:, :, 0:128].reshape(N, K // 2)
-        p["qh"] = data[:, :, 128:192].reshape(N, K // 4)
-    elif t == GGMLType.Q8_K:
-        p["d"] = _view(data[:, :, 0:4], "<f4").reshape(N, -1)
-        p["qs"] = _view(data[:, :, 4 : 4 + QK_K], np.int8).reshape(N, K)
-    elif t == GGMLType.IQ4_NL:
-        p["d"] = _f16(data[:, :, 0:2]).reshape(N, -1)
-        p["qs"] = data[:, :, 2:18].reshape(N, K // 2)
+        ql = data[:, :, 0:128].reshape(-1, 2, 64)
+        qh = data[:, :, 128:192].reshape(-1, 2, 32)
+        lo = np.concatenate(
+            [ql[..., 0:32] & 0xF, ql[..., 32:64] & 0xF, ql[..., 0:32] >> 4, ql[..., 32:64] >> 4],
+            axis=2,
+        )  # [-1, 2, 128]
+        hi = np.concatenate([(qh >> (2 * s)) & 3 for s in range(4)], axis=2)
+        p["qs"] = _pack4(_strided(lo.reshape(N, K), 16))
+        p["qh"] = _pack2(_strided(hi.reshape(N, K), 16))
     elif t == GGMLType.IQ4_XS:
-        nb = data.shape[1]
-        d = _f16(data[:, :, 0:2]).astype(np.float32)  # [N, nb, 1]
-        sh = _view(data[:, :, 2:4], "<u2").astype(np.uint16)  # [N, nb, 1]
-        sl = data[:, :, 4:8]  # [N, nb, 4]
+        d = _f16(data[:, :, 0:2]).astype(np.float32)
+        sh = _view(data[:, :, 2:4], "<u2").astype(np.uint16)
+        sl = data[:, :, 4:8]
         ib = np.arange(8)
         ls_l = (sl[:, :, ib // 2] >> (4 * (ib % 2))[None, None, :]) & 0xF
         ls_h = (sh >> (2 * ib)[None, None, :]) & 3
-        ls = (ls_l | (ls_h << 4)).astype(np.float32) - 32.0  # [N, nb, 8]
+        ls = (ls_l | (ls_h << 4)).astype(np.float32) - 32.0
         p["scales"] = (d * ls).reshape(N, K // 32).astype(np.float32)
-        p["qs"] = data[:, :, 8:136].reshape(N, K // 2)
+        qs = data[:, :, 8:136].reshape(N, nb, 8, 16)
+        ints = np.concatenate([qs & 0xF, qs >> 4], axis=3).reshape(N, K)
+        p["qs"] = _pack4(_strided(ints, 32))
     else:
         raise NotImplementedError(f"planar relayout for {t.name}")
     return QuantTensor(t.name, tuple(shape), {k: np.ascontiguousarray(v) for k, v in p.items()})
 
 
 # ---------------------------------------------------------------------------
-# jnp decode (XLA path; also the reference for Pallas kernels)
+# jnp decode (XLA path; reference for the Pallas kernels)
 # ---------------------------------------------------------------------------
 
-def _nib(qs, lo_first_cols: int):
-    """Block-local nibble concat: [N, nb, B/2] bytes -> [N, nb, B] values."""
-    return jnp.concatenate([qs & 0xF, qs >> 4], axis=-1)
+def _unpack4_j(qs):  # [N, K/2] -> [N, K] strided order
+    q = qs.astype(jnp.int32)
+    return jnp.concatenate([q & 0xF, q >> 4], axis=-1)
+
+
+def _unpack2_j(qs):
+    q = qs.astype(jnp.int32)
+    return jnp.concatenate([(q >> (2 * s)) & 3 for s in range(4)], axis=-1)
+
+
+def _unpack1_j(qb):
+    q = qb.astype(jnp.int32)
+    return jnp.concatenate([(q >> b) & 1 for b in range(8)], axis=-1)
+
+
+def _tile_scale_j(s, R):  # [N, G] -> [N, K]: column c gets s[c mod G]
+    return jnp.tile(s.astype(jnp.float32), (1, R))
+
+
+def _unstride_j(vals, R):  # strided decode order -> element order
+    N, K = vals.shape
+    G = K // R
+    return vals.reshape(N, R, G).swapaxes(1, 2).reshape(N, K)
+
+
+def decode_strided(qt: QuantTensor) -> jnp.ndarray:
+    """Dequantize to f32 [N, K] in the *strided* column order (kernel order)."""
+    p = {k: jnp.asarray(v) for k, v in qt.planes.items()}
+    kind = qt.kind
+    if kind == "Q4_0":
+        v = _unpack4_j(p["qs"]).astype(jnp.float32) - 8.0
+        return v * _tile_scale_j(p["d"], 32)
+    if kind == "Q4_1":
+        v = _unpack4_j(p["qs"]).astype(jnp.float32)
+        return v * _tile_scale_j(p["d"], 32) + _tile_scale_j(p["m"], 32)
+    if kind == "Q5_0":
+        v = (_unpack4_j(p["qs"]) | (_unpack1_j(p["qh"]) << 4)).astype(jnp.float32) - 16.0
+        return v * _tile_scale_j(p["d"], 32)
+    if kind == "Q5_1":
+        v = (_unpack4_j(p["qs"]) | (_unpack1_j(p["qh"]) << 4)).astype(jnp.float32)
+        return v * _tile_scale_j(p["d"], 32) + _tile_scale_j(p["m"], 32)
+    if kind == "Q8_0":
+        return p["qs"].astype(jnp.float32) * _tile_scale_j(p["d"], 32)
+    if kind == "Q2_K":
+        v = _unpack2_j(p["qs"]).astype(jnp.float32)
+        return v * _tile_scale_j(p["scales"], 16) - _tile_scale_j(p["mins"], 16)
+    if kind == "Q3_K":
+        v = (_unpack2_j(p["qs"]) + (_unpack1_j(p["hb"]) << 2)).astype(jnp.float32) - 4.0
+        return v * _tile_scale_j(p["scales"], 16)
+    if kind == "Q4_K":
+        v = _unpack4_j(p["qs"]).astype(jnp.float32)
+        return v * _tile_scale_j(p["scales"], 32) - _tile_scale_j(p["mins"], 32)
+    if kind == "Q5_K":
+        v = (_unpack4_j(p["qs"]) | (_unpack1_j(p["qh"]) << 4)).astype(jnp.float32)
+        return v * _tile_scale_j(p["scales"], 32) - _tile_scale_j(p["mins"], 32)
+    if kind == "Q6_K":
+        v = (_unpack4_j(p["qs"]) | (_unpack2_j(p["qh"]) << 4)).astype(jnp.float32) - 32.0
+        return v * _tile_scale_j(p["scales"], 16)
+    if kind in ("IQ4_NL", "IQ4_XS"):
+        idx = _unpack4_j(p["qs"])
+        v = jnp.zeros(idx.shape, jnp.float32)
+        for i in range(16):
+            v = v + jnp.where(idx == i, np.float32(KVALUES_IQ4NL[i]), 0.0)
+        s = p["d"] if kind == "IQ4_NL" else p["scales"]
+        return v * _tile_scale_j(s, 32)
+    raise NotImplementedError(f"decode for {kind}")
 
 
 def decode(qt: QuantTensor, dtype=jnp.float32) -> jnp.ndarray:
-    """Dequantize a QuantTensor to a dense [..., K] array."""
-    p = {k: jnp.asarray(v) for k, v in qt.planes.items()}
-    N, K = int(np.prod(qt.shape[:-1])), qt.shape[-1]
-    kind = qt.kind
-
-    if kind in ("F32", "F16"):
-        return p["w"].astype(dtype).reshape(qt.shape)
-    if kind == "BF16":
-        return jax.lax.bitcast_convert_type(p["w"], jnp.bfloat16).astype(dtype).reshape(qt.shape)
-
-    if kind == "Q4_0":
-        qs = p["qs"].reshape(N, -1, 16)
-        v = _nib(qs, 16).astype(jnp.int8) - 8
-        w = v.astype(dtype) * p["d"].astype(dtype)[..., None]
-    elif kind == "Q4_1":
-        qs = p["qs"].reshape(N, -1, 16)
-        v = _nib(qs, 16).astype(dtype)
-        w = v * p["d"].astype(dtype)[..., None] + p["m"].astype(dtype)[..., None]
-    elif kind in ("Q5_0", "Q5_1"):
-        qs = p["qs"].reshape(N, -1, 16)
-        lo = _nib(qs, 16).astype(jnp.int32)
-        sh = jnp.arange(32, dtype=jnp.uint32)
-        hb = ((p["qh"][..., None] >> sh) & 1).astype(jnp.int32)  # [N, nb, 32]
-        v = lo | (hb << 4)
-        if kind == "Q5_0":
-            w = (v - 16).astype(dtype) * p["d"].astype(dtype)[..., None]
-        else:
-            w = v.astype(dtype) * p["d"].astype(dtype)[..., None] + p["m"].astype(dtype)[..., None]
-    elif kind == "Q8_0":
-        qs = p["qs"].reshape(N, -1, 32)
-        w = qs.astype(dtype) * p["d"].astype(dtype)[..., None]
-    elif kind == "Q8_K":
-        qs = p["qs"].reshape(N, -1, QK_K)
-        w = qs.astype(dtype) * p["d"].astype(dtype)[..., None]
-    elif kind == "Q2_K":
-        qs = p["qs"].reshape(N, -1, 32)  # per 128-elem chunk
-        v = jnp.concatenate([(qs >> (2 * s)) & 3 for s in range(4)], axis=-1)  # [N, K/128, 128]
-        v = v.reshape(N, -1, 16)  # per 16-elem scale group
-        w = v.astype(dtype) * p["scales"].astype(dtype)[..., None] - p["mins"].astype(dtype)[
-            ..., None
-        ]
-    elif kind == "Q3_K":
-        qs = p["qs"].reshape(N, -1, 32)
-        v = jnp.concatenate([(qs >> (2 * s)) & 3 for s in range(4)], axis=-1).astype(jnp.int32)
-        hm = p["hmask"].reshape(N, -1, 32)  # [N, K/256*?, 32] bits 0..7 per chunk pair
-        # hmask bytes cover a whole 256 superblock: bit (e//32) of byte (e%32)
-        hm = p["hmask"].reshape(N, -1, 32)
-        bits = jnp.concatenate(
-            [(hm >> b) & 1 for b in range(8)], axis=-1
-        )  # [N, K/256, 256] in element order
-        v = v.reshape(N, -1, 256) - jnp.where(bits > 0, 0, 4)
-        v = v.reshape(N, -1, 16)
-        w = v.astype(dtype) * p["scales"].astype(dtype)[..., None]
-    elif kind == "Q4_K":
-        qs = p["qs"].reshape(N, -1, 32)  # per 64-elem group
-        v = _nib(qs, 32)
-        v = v.reshape(N, -1, 32)  # per 32-elem scale group
-        w = v.astype(dtype) * p["scales"].astype(dtype)[..., None] - p["mins"].astype(dtype)[
-            ..., None
-        ]
-    elif kind == "Q5_K":
-        qs = p["qs"].reshape(N, -1, 32)
-        lo = _nib(qs, 32).reshape(N, -1, 256).astype(jnp.int32)  # superblock order
-        qh = p["qh"].reshape(N, -1, 32)
-        bits = jnp.concatenate([(qh >> b) & 1 for b in range(8)], axis=-1).astype(jnp.int32)
-        v = (lo | (bits << 4)).reshape(N, -1, 32)
-        w = v.astype(dtype) * p["scales"].astype(dtype)[..., None] - p["mins"].astype(dtype)[
-            ..., None
-        ]
-    elif kind == "Q6_K":
-        ql = p["ql"].reshape(N, -1, 64)  # per 128-elem chunk
-        qh = p["qh"].reshape(N, -1, 32)
-        l1 = ql[..., 0:32] & 0xF
-        l2 = ql[..., 32:64] & 0xF
-        l3 = ql[..., 0:32] >> 4
-        l4 = ql[..., 32:64] >> 4
-        lo = jnp.concatenate([l1, l2, l3, l4], axis=-1).astype(jnp.int32)
-        hb = jnp.concatenate(
-            [(qh >> (2 * s)) & 3 for s in range(4)], axis=-1
-        ).astype(jnp.int32)
-        v = (lo | (hb << 4)) - 32
-        v = v.reshape(N, -1, 16)
-        w = v.astype(dtype) * p["scales"].astype(dtype)[..., None]
-    elif kind == "IQ4_NL":
-        qs = p["qs"].reshape(N, -1, 16)
-        lut = jnp.asarray(KVALUES_IQ4NL, dtype=dtype)
-        v = lut[_nib(qs, 16)]
-        w = v * p["d"].astype(dtype)[..., None]
-    elif kind == "IQ4_XS":
-        qs = p["qs"].reshape(N, -1, 16)  # per 32-elem group
-        lut = jnp.asarray(KVALUES_IQ4NL, dtype=dtype)
-        v = lut[_nib(qs, 16)]
-        w = v * p["scales"].astype(dtype)[..., None]
-    else:
-        raise NotImplementedError(f"jnp decode for {kind}")
+    """Dequantize to a dense array in the original element order."""
+    if qt.kind in ("F32", "F16"):
+        return jnp.asarray(qt.planes["w"]).astype(dtype).reshape(qt.shape)
+    if qt.kind == "BF16":
+        w = jax.lax.bitcast_convert_type(jnp.asarray(qt.planes["w"]), jnp.bfloat16)
+        return w.astype(dtype).reshape(qt.shape)
+    w = decode_strided(qt)
+    w = _unstride_j(w, qt.group_size)
     return w.reshape(qt.shape).astype(dtype)
+
+
+def permute_activation(x: jnp.ndarray, qt: QuantTensor) -> jnp.ndarray:
+    """Reorder x's K axis into the QuantTensor's strided column order."""
+    R = qt.group_size
+    K = x.shape[-1]
+    G = K // R
+    lead = x.shape[:-1]
+    return x.reshape(*lead, G, R).swapaxes(-1, -2).reshape(*lead, K)

@@ -1,0 +1,42 @@
+"""Pallas fused dequant-matmul kernels vs the jnp reference decode
+(role of reference tests/test-backend-ops.cpp: per-op NMSE gates
+cross-checked against the reference backend)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from llamacog_tpu.gguf import GGMLType
+from llamacog_tpu.ops.pallas.qmm import TILE_DECODERS, qmm
+from llamacog_tpu.quant import quantize
+from llamacog_tpu.quant.planar import decode, from_gguf
+
+KINDS = sorted(TILE_DECODERS)
+
+
+def nmse(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return ((a - b) ** 2).sum() / max((b**2).sum(), 1e-20)
+
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("batch", [1, 8])
+def test_qmm_matches_reference(kind, batch):
+    ttype = getattr(GGMLType, kind)
+    N, K = 256, 512
+    rng = np.random.default_rng(hash(kind) % 2**31)
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    x = rng.standard_normal((batch, K)).astype(np.float32)
+    qt = from_gguf(quantize(w.reshape(-1), ttype), ttype, (N, K))
+    qt.planes = {k: jnp.asarray(v) for k, v in qt.planes.items()}
+
+    # kernel contract: decode in f32, feed the MXU in bf16, accumulate f32
+    w_bf16 = np.asarray(decode(qt, jnp.float32)).astype(jnp.bfloat16).astype(np.float32)
+    x_bf16 = np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
+    ref = x_bf16 @ w_bf16.T
+    got = np.asarray(qmm(jnp.asarray(x), qt, interpret=True))
+    assert got.shape == (batch, N)
+    err = nmse(got, ref)
+    assert err < 1e-8, f"{kind}: nmse {err}"
