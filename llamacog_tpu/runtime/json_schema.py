@@ -177,14 +177,10 @@ class SchemaConverter:
         return self._need_primitive("value")
 
     def grammar(self, root_rule: str) -> str:
-        lines = [f"root ::= {root_rule}" if root_rule != "root" else None]
         out = []
         if root_rule != "root":
-            out.append(f"root ::= {self.rules[root_rule]}" if root_rule in self.rules
-                       else f"root ::= {root_rule}")
+            out.append(f"root ::= {root_rule}")
         for k, v in self.rules.items():
-            if root_rule != "root" and k == root_rule:
-                continue
             out.append(f"{k} ::= {v}")
         return "\n".join(out) + "\n"
 
