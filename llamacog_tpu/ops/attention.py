@@ -29,7 +29,12 @@ def masked_attention(
     scores = jnp.einsum("bthrd,bshd->bhrts", qf, kf) * scale  # [B,Hkv,rep,T,S]
     if logit_softcap > 0.0:
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
-    scores = scores + mask[:, None, None, :, :]
+    # select (not add) the mask: masked cache slots may hold garbage —
+    # including NaN from fully-masked pad rows — which must not reach the
+    # softmax. The finite floor keeps fully-masked rows NaN-free (uniform
+    # garbage that downstream masking discards).
+    allowed = mask[:, None, None, :, :] >= 0
+    scores = jnp.where(allowed, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     vf = v.astype(jnp.float32)
     out = jnp.einsum("bhrts,bshd->bthrd", probs, vf)

@@ -99,16 +99,69 @@ class Engine:
         self.seq_len = new_len
         return np.asarray(logits[row, n - 1])
 
-    def decode_one(self, token_ids: np.ndarray) -> np.ndarray:
-        """One decode step for all rows. token_ids: [B] -> logits [B, V]."""
+    def prefill_logits(self, token_ids: list[int], row: int = 0) -> np.ndarray:
+        """Prefill a row and return logits for EVERY prompt position [n, V]
+        (the perplexity path; reference asks for all-token logits via
+        batch.logits)."""
+        n = len(token_ids)
+        t = _bucket(n)
+        toks = np.zeros((self.batch_size, t), dtype=np.int32)
+        toks[row, :n] = token_ids
+        write_pos = jnp.asarray(self.seq_len)
+        new_len = self.seq_len.copy()
+        new_len[row] += n
+        logits, self.cache = self._step(
+            self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t
+        )
+        self.seq_len = new_len
+        return np.asarray(logits[row, :n])
+
+    def decode_one(self, token_ids: np.ndarray, active=None) -> np.ndarray:
+        """One decode step for all rows. token_ids: [B] -> logits [B, V].
+
+        `active` (bool [B]) limits which rows advance: inactive rows write
+        their junk K/V one slot past their valid length (masked out) and do
+        not advance, so idle server slots cost nothing semantically.
+        """
         toks = jnp.asarray(token_ids, dtype=jnp.int32)[:, None]
         write_pos = jnp.asarray(self.seq_len)
-        new_len = self.seq_len + 1
+        if active is None:
+            new_len = self.seq_len + 1
+        else:
+            new_len = self.seq_len + np.asarray(active, dtype=np.int32)
         logits, self.cache = self._step(
             self.params, self.cache, toks, write_pos, jnp.asarray(new_len), 1
         )
         self.seq_len = new_len
         return np.asarray(logits[:, 0])
+
+    def clear_row(self, row: int) -> None:
+        self.seq_len[row] = 0
+
+    def shift_row(self, row: int, n_keep: int, n_discard: int) -> None:
+        """Context shift: drop tokens [n_keep, n_keep+n_discard) of a row and
+        slide the rest down, re-rotating the moved K by -n_discard (the
+        reference's lazy K-shift graph, llama-kv-cache-unified.h:193)."""
+        from ..ops.rope import apply_rope
+
+        s = int(self.seq_len[row])
+        src0, src1 = n_keep + n_discard, s
+        length = src1 - src0
+        if length < 0 or n_discard <= 0:
+            return
+        k = np.asarray(self.cache.k[:, row])  # [L, S, Hkv, Dk]
+        v = np.asarray(self.cache.v[:, row])
+        moved_k = jnp.asarray(k[:, src0:src1])  # [L, length, Hkv, Dk]
+        if length > 0:
+            delta = jnp.full((moved_k.shape[0], length), -n_discard, dtype=jnp.int32)
+            moved_k = np.asarray(apply_rope(moved_k, delta, self.config.rope))
+        k[:, n_keep : n_keep + length] = moved_k
+        v[:, n_keep : n_keep + length] = v[:, src0:src1]
+        self.cache = type(self.cache)(
+            self.cache.k.at[:, row].set(jnp.asarray(k)),
+            self.cache.v.at[:, row].set(jnp.asarray(v)),
+        )
+        self.seq_len[row] = n_keep + length
 
     def generate_greedy(
         self, prompt_tokens: list[int], max_new_tokens: int, eog_ids=(),

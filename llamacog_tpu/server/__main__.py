@@ -1,0 +1,46 @@
+"""python -m llamacog_tpu.server --model m.gguf [--port 8080]"""
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="llamacog-server")
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("-c", "--ctx-size", type=int, default=2048)
+    p.add_argument("-np", "--n-slots", type=int, default=4)
+    p.add_argument("--mode", choices=("quantized", "dequant"), default="quantized")
+    p.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
+    p.add_argument("--device", choices=("auto", "cpu", "tpu"), default="auto")
+    args = p.parse_args(argv)
+
+    if args.device != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    import jax.numpy as jnp
+
+    from ..models.loader import load_model
+    from .server import serve
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = load_model(args.model, mode=args.mode, dtype=dtype)
+    ctx, httpd = serve(
+        model, host=args.host, port=args.port, n_slots=args.n_slots,
+        ctx_size=args.ctx_size, dtype=dtype,
+    )
+    print(f"llamacog-server listening on http://{args.host}:{args.port} "
+          f"({args.n_slots} slots, ctx {args.ctx_size})", file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        ctx.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

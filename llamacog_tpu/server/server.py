@@ -1,0 +1,554 @@
+"""llamacog-server — OpenAI-compatible HTTP server with slot-based
+continuous batching.
+
+Architecture mirrors the reference (tools/server/server.cpp): HTTP threads
+enqueue tasks; ONE inference thread owns the engine and runs `update_slots`
+(server.cpp:2960) — admitting queued prompts into idle slots, prefilling,
+then batch-decoding one token per generating slot per iteration; results
+stream back through per-task queues (SSE).
+
+Endpoints: /health, /props, /metrics, /slots, /v1/models, /completion(s),
+/v1/completions, /chat/completions, /v1/chat/completions, /tokenize,
+/detokenize, /apply-template, /embeddings (server.cpp:4815-4861 surface).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..models.loader import Model
+from ..runtime.engine import Engine
+from ..runtime.grammar import grammar_from_gbnf
+from ..runtime.json_schema import json_schema_to_gbnf
+from ..runtime.sampler import SamplerChain, SamplerParams
+
+IDLE, PROMPT, GENERATING = 0, 1, 2
+
+DEFAULT_CHAT_TEMPLATE = (
+    "{% for message in messages %}"
+    "{{'<|im_start|>' + message['role'] + '\n' + message['content'] + '<|im_end|>\n'}}"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}{{'<|im_start|>assistant\n'}}{% endif %}"
+)
+
+
+@dataclass
+class Task:
+    id: str
+    prompt_ids: list
+    params: SamplerParams
+    n_predict: int
+    stream: bool
+    stop_strings: list
+    grammar_text: str | None
+    out: "queue.Queue" = field(default_factory=queue.Queue)
+    kind: str = "completion"  # completion | chat
+    cancelled: bool = False
+
+
+class Slot:
+    def __init__(self, sid: int):
+        self.id = sid
+        self.state = IDLE
+        self.task: Task | None = None
+        self.sampler: SamplerChain | None = None
+        self.n_gen = 0
+        self.text = ""
+        self.t_start = 0.0
+        self.t_first_token = 0.0
+        self.next_token: int | None = None
+
+
+class ServerContext:
+    def __init__(self, model: Model, n_slots: int = 4, ctx_size: int = 2048, dtype=None):
+        import jax.numpy as jnp
+
+        self.model = model
+        self.engine = Engine(
+            model.params, model.config, batch_size=n_slots,
+            max_seq=ctx_size, dtype=dtype or jnp.bfloat16,
+        )
+        self.slots = [Slot(i) for i in range(n_slots)]
+        self.pending: "queue.Queue[Task]" = queue.Queue()
+        self.ctx_size = ctx_size
+        self.metrics = {
+            "prompt_tokens_total": 0,
+            "tokens_predicted_total": 0,
+            "requests_total": 0,
+            "t_start": time.time(),
+        }
+        self._stop = False
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self):
+        self.thread.start()
+
+    def stop(self):
+        self._stop = True
+
+    # -- inference loop ------------------------------------------------------
+    def _admit(self) -> None:
+        for slot in self.slots:
+            if slot.state != IDLE:
+                continue
+            try:
+                task = self.pending.get_nowait()
+            except queue.Empty:
+                return
+            if task.cancelled:
+                continue
+            slot.task = task
+            slot.state = PROMPT
+            slot.n_gen = 0
+            slot.text = ""
+            slot.t_start = time.time()
+            grammar = None
+            if task.grammar_text:
+                try:
+                    grammar = grammar_from_gbnf(task.grammar_text, self.model.vocab)
+                except Exception as e:
+                    task.out.put({"error": f"grammar parse error: {e}"})
+                    slot.state = IDLE
+                    slot.task = None
+                    continue
+            slot.sampler = SamplerChain(
+                task.params, n_vocab=self.model.config.n_vocab, grammar=grammar
+            )
+
+    def _prefill_one(self) -> None:
+        for slot in self.slots:
+            if slot.state != PROMPT:
+                continue
+            task = slot.task
+            ids = task.prompt_ids
+            if len(ids) >= self.ctx_size:
+                ids = ids[-(self.ctx_size - max(task.n_predict, 16)) :]
+            self.engine.clear_row(slot.id)
+            logits = self.engine.prefill(ids, row=slot.id)
+            self.metrics["prompt_tokens_total"] += len(ids)
+            slot.next_token = slot.sampler.sample(logits)
+            slot.t_first_token = time.time()
+            slot.state = GENERATING
+            return  # one prompt per loop iteration (chunked prefill interleave)
+
+    def _decode_step(self) -> None:
+        gen = [s for s in self.slots if s.state == GENERATING]
+        if not gen:
+            return
+        vocab = self.model.vocab
+        # emit the token each slot currently holds
+        for slot in gen:
+            tok = slot.next_token
+            slot.sampler.accept(tok)
+            piece = vocab.token_to_piece(tok).decode("utf-8", errors="replace")
+            slot.text += piece
+            slot.n_gen += 1
+            self.metrics["tokens_predicted_total"] += 1
+            task = slot.task
+            finished = (
+                vocab.is_eog(tok)
+                or slot.n_gen >= task.n_predict
+                or int(self.engine.seq_len[slot.id]) + 1 >= self.ctx_size
+                or task.cancelled
+                or any(stop in slot.text for stop in task.stop_strings)
+            )
+            if task.stream and not vocab.is_eog(tok):
+                task.out.put({"content": piece, "stop": False})
+            if finished:
+                t_now = time.time()
+                task.out.put({
+                    "content": "" if task.stream else slot.text,
+                    "stop": True,
+                    "stop_reason": "eos" if vocab.is_eog(tok) else "limit",
+                    "tokens_predicted": slot.n_gen,
+                    "timings": {
+                        "prompt_n": len(task.prompt_ids),
+                        "predicted_n": slot.n_gen,
+                        "predicted_ms": (t_now - slot.t_first_token) * 1000.0,
+                    },
+                })
+                slot.state = IDLE
+                slot.task = None
+                slot.sampler = None
+        gen = [s for s in self.slots if s.state == GENERATING]
+        if not gen:
+            return
+        # batch decode one token for every generating slot
+        toks = np.zeros(len(self.slots), dtype=np.int32)
+        active = np.zeros(len(self.slots), dtype=bool)
+        for slot in gen:
+            toks[slot.id] = slot.next_token
+            active[slot.id] = True
+        logits = self.engine.decode_one(toks, active=active)
+        for slot in gen:
+            slot.next_token = slot.sampler.sample(logits[slot.id])
+
+    def _loop(self) -> None:
+        import traceback
+
+        while not self._stop:
+            try:
+                self._admit()
+                busy = any(s.state != IDLE for s in self.slots)
+                if not busy:
+                    try:
+                        task = self.pending.get(timeout=0.05)
+                        self.pending.put(task)
+                    except queue.Empty:
+                        continue
+                    continue
+                self._prefill_one()
+                self._decode_step()
+            except Exception as e:  # keep serving; fail the affected slots
+                traceback.print_exc()
+                for slot in self.slots:
+                    if slot.state != IDLE and slot.task is not None:
+                        slot.task.out.put({"error": f"internal error: {e}"})
+                        slot.state = IDLE
+                        slot.task = None
+                        slot.sampler = None
+
+    # -- request handling ----------------------------------------------------
+    def apply_chat_template(self, messages, add_generation_prompt=True, tools=None) -> str:
+        import jinja2
+
+        template = (self.model.vocab.chat_template if self.model.vocab else None) or (
+            DEFAULT_CHAT_TEMPLATE
+        )
+        env = jinja2.Environment(loader=jinja2.BaseLoader(), keep_trailing_newline=True)
+        env.globals["raise_exception"] = lambda msg: (_ for _ in ()).throw(ValueError(msg))
+        try:
+            tmpl = env.from_string(template)
+            v = self.model.vocab
+            return tmpl.render(
+                messages=messages,
+                add_generation_prompt=add_generation_prompt,
+                tools=tools,
+                bos_token=v.tokens[v.bos_id] if v and v.bos_id >= 0 else "",
+                eos_token=v.tokens[v.eos_id] if v and v.eos_id >= 0 else "",
+            )
+        except Exception:
+            tmpl = env.from_string(DEFAULT_CHAT_TEMPLATE)
+            return tmpl.render(messages=messages, add_generation_prompt=add_generation_prompt)
+
+    def make_task(self, body: dict, kind: str) -> Task:
+        v = self.model.vocab
+        tok = self.model.tokenizer
+        if kind == "chat":
+            prompt = self.apply_chat_template(
+                body.get("messages", []), tools=body.get("tools")
+            )
+        else:
+            prompt = body.get("prompt", "")
+        if isinstance(prompt, list):  # pre-tokenized
+            ids = [int(t) for t in prompt]
+        else:
+            ids = tok.tokenize(prompt, add_special=True, parse_special=True)
+        grammar_text = body.get("grammar")
+        schema = body.get("json_schema") or (
+            body.get("response_format", {}).get("json_schema", {}).get("schema")
+            if isinstance(body.get("response_format"), dict)
+            and body["response_format"].get("type") == "json_schema"
+            else None
+        )
+        if isinstance(body.get("response_format"), dict) and body["response_format"].get(
+            "type"
+        ) == "json_object" and not schema:
+            schema = {}
+        if schema is not None and not grammar_text:
+            grammar_text = json_schema_to_gbnf(schema)
+        params = SamplerParams(
+            temp=float(body.get("temperature", 0.8)),
+            top_k=int(body.get("top_k", 40)),
+            top_p=float(body.get("top_p", 0.95)),
+            min_p=float(body.get("min_p", 0.05)),
+            typ_p=float(body.get("typical_p", 1.0)),
+            penalty_last_n=int(body.get("repeat_last_n", 64)),
+            penalty_repeat=float(body.get("repeat_penalty", 1.0)),
+            penalty_freq=float(body.get("frequency_penalty", 0.0)),
+            penalty_present=float(body.get("presence_penalty", 0.0)),
+            seed=int(body.get("seed", -1)),
+        )
+        stops = body.get("stop", []) or []
+        if isinstance(stops, str):
+            stops = [stops]
+        n_predict = int(
+            body.get("n_predict", body.get("max_tokens", body.get("max_completion_tokens", 128)))
+            or 128
+        )
+        task = Task(
+            id=f"task-{uuid.uuid4().hex[:12]}",
+            prompt_ids=ids,
+            params=params,
+            n_predict=n_predict,
+            stream=bool(body.get("stream", False)),
+            stop_strings=stops,
+            grammar_text=grammar_text,
+            kind=kind,
+        )
+        self.metrics["requests_total"] += 1
+        return task
+
+
+def make_handler(ctx: ServerContext):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            pass
+
+        # -- helpers ------------------------------------------------------
+        def _json(self, obj, code=200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _read_body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            if not n:
+                return {}
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def _sse_start(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+
+        def _sse(self, obj):
+            self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+            self.wfile.flush()
+
+        # -- routes ---------------------------------------------------------
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/health":
+                self._json({"status": "ok"})
+            elif path == "/props":
+                cfg = ctx.model.config
+                self._json({
+                    "model": cfg.metadata.get("general.name", "unknown"),
+                    "n_ctx": ctx.ctx_size,
+                    "total_slots": len(ctx.slots),
+                    "chat_template": (ctx.model.vocab.chat_template or "")[:2000]
+                    if ctx.model.vocab
+                    else "",
+                })
+            elif path in ("/v1/models", "/models"):
+                self._json({
+                    "object": "list",
+                    "data": [{
+                        "id": ctx.model.config.metadata.get("general.name", "model"),
+                        "object": "model",
+                        "created": int(ctx.metrics["t_start"]),
+                        "owned_by": "llamacog_tpu",
+                    }],
+                })
+            elif path == "/metrics":
+                m = ctx.metrics
+                lines = [
+                    "# TYPE llamacog:prompt_tokens_total counter",
+                    f"llamacog:prompt_tokens_total {m['prompt_tokens_total']}",
+                    "# TYPE llamacog:tokens_predicted_total counter",
+                    f"llamacog:tokens_predicted_total {m['tokens_predicted_total']}",
+                    "# TYPE llamacog:requests_total counter",
+                    f"llamacog:requests_total {m['requests_total']}",
+                ]
+                data = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif path == "/slots":
+                self._json([
+                    {
+                        "id": s.id,
+                        "state": s.state,
+                        "n_past": int(ctx.engine.seq_len[s.id]),
+                        "task": s.task.id if s.task else None,
+                    }
+                    for s in ctx.slots
+                ])
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            path = self.path.split("?")[0]
+            try:
+                body = self._read_body()
+            except json.JSONDecodeError:
+                self._json({"error": {"message": "invalid json"}}, 400)
+                return
+            if path in ("/completion", "/completions", "/v1/completions"):
+                self._completion(body, openai=path.startswith("/v1"))
+            elif path in ("/chat/completions", "/v1/chat/completions", "/api/chat"):
+                self._chat(body)
+            elif path == "/tokenize":
+                ids = ctx.model.tokenizer.tokenize(
+                    body.get("content", ""),
+                    add_special=bool(body.get("add_special", False)),
+                    parse_special=bool(body.get("parse_special", True)),
+                )
+                self._json({"tokens": ids})
+            elif path == "/detokenize":
+                text = ctx.model.vocab.detokenize(body.get("tokens", []))
+                self._json({"content": text})
+            elif path == "/apply-template":
+                self._json({"prompt": ctx.apply_chat_template(body.get("messages", []))})
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def _run_task(self, task: Task, on_chunk, on_final):
+            ctx.pending.put(task)
+            while True:
+                try:
+                    msg = task.out.get(timeout=600)
+                except queue.Empty:
+                    task.cancelled = True
+                    raise
+                if "error" in msg:
+                    self._json({"error": {"message": msg["error"]}}, 400)
+                    return
+                if msg.get("stop"):
+                    on_final(msg)
+                    return
+                on_chunk(msg)
+
+        def _completion(self, body: dict, openai: bool):
+            try:
+                task = ctx.make_task(body, "completion")
+            except Exception as e:
+                self._json({"error": {"message": str(e)}}, 400)
+                return
+            if task.stream:
+                self._sse_start()
+
+                def chunk(m):
+                    self._sse({"content": m["content"], "stop": False})
+
+                def final(m):
+                    self._sse({**m})
+                    self.wfile.write(b"data: [DONE]\n\n")
+
+                try:
+                    self._run_task(task, chunk, final)
+                except (BrokenPipeError, ConnectionResetError):
+                    task.cancelled = True
+                return
+            parts: list[str] = []
+            result = {}
+
+            def chunk(m):
+                parts.append(m["content"])
+
+            def final(m):
+                result.update(m)
+
+            self._run_task(task, chunk, final)
+            text = "".join(parts) + result.get("content", "")
+            if openai:
+                self._json({
+                    "id": task.id,
+                    "object": "text_completion",
+                    "choices": [{
+                        "text": text,
+                        "index": 0,
+                        "finish_reason": "stop"
+                        if result.get("stop_reason") == "eos"
+                        else "length",
+                    }],
+                    "usage": {
+                        "prompt_tokens": len(task.prompt_ids),
+                        "completion_tokens": result.get("tokens_predicted", 0),
+                    },
+                })
+            else:
+                self._json({**result, "content": text})
+
+        def _chat(self, body: dict):
+            try:
+                task = ctx.make_task(body, "chat")
+            except Exception as e:
+                self._json({"error": {"message": str(e)}}, 400)
+                return
+            created = int(time.time())
+            model_name = ctx.model.config.metadata.get("general.name", "model")
+            if task.stream:
+                self._sse_start()
+
+                def chunk(m):
+                    self._sse({
+                        "id": task.id,
+                        "object": "chat.completion.chunk",
+                        "created": created,
+                        "model": model_name,
+                        "choices": [{
+                            "index": 0,
+                            "delta": {"content": m["content"]},
+                            "finish_reason": None,
+                        }],
+                    })
+
+                def final(m):
+                    self._sse({
+                        "id": task.id,
+                        "object": "chat.completion.chunk",
+                        "created": created,
+                        "model": model_name,
+                        "choices": [{
+                            "index": 0,
+                            "delta": {},
+                            "finish_reason": "stop"
+                            if m.get("stop_reason") == "eos"
+                            else "length",
+                        }],
+                    })
+                    self.wfile.write(b"data: [DONE]\n\n")
+
+                try:
+                    self._run_task(task, chunk, final)
+                except (BrokenPipeError, ConnectionResetError):
+                    task.cancelled = True
+                return
+            parts: list[str] = []
+            result = {}
+            self._run_task(task, lambda m: parts.append(m["content"]), result.update)
+            text = "".join(parts) + result.get("content", "")
+            self._json({
+                "id": task.id,
+                "object": "chat.completion",
+                "created": created,
+                "model": model_name,
+                "choices": [{
+                    "index": 0,
+                    "message": {"role": "assistant", "content": text},
+                    "finish_reason": "stop" if result.get("stop_reason") == "eos" else "length",
+                }],
+                "usage": {
+                    "prompt_tokens": len(task.prompt_ids),
+                    "completion_tokens": result.get("tokens_predicted", 0),
+                    "total_tokens": len(task.prompt_ids) + result.get("tokens_predicted", 0),
+                },
+            })
+
+    return Handler
+
+
+def serve(model: Model, host="127.0.0.1", port=8080, n_slots=4, ctx_size=2048, dtype=None):
+    ctx = ServerContext(model, n_slots=n_slots, ctx_size=ctx_size, dtype=dtype)
+    ctx.start()
+    httpd = ThreadingHTTPServer((host, port), make_handler(ctx))
+    return ctx, httpd

@@ -1,0 +1,159 @@
+"""Server E2E tests (role of reference tools/server/tests pytest suite):
+in-process server on a tiny random model, real HTTP requests."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import jax.numpy as jnp
+
+    from llamacog_tpu.gguf import GGMLType
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.server.server import serve
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = tmp_path_factory.mktemp("srv") / "tiny.gguf"
+    make_tiny_llama_gguf(path, quant_type=GGMLType.Q4_0)
+    model = load_model(str(path), mode="quantized", dtype=jnp.float32)
+    ctx, httpd = serve(model, host="127.0.0.1", port=0, n_slots=2, ctx_size=128,
+                       dtype=jnp.float32)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    ctx.stop()
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return json.loads(r.read()), r.status
+
+
+def _post(url, body, timeout=300):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(), headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read()), r.status
+
+
+def test_health(server):
+    body, status = _get(server + "/health")
+    assert status == 200 and body["status"] == "ok"
+
+
+def test_models(server):
+    body, _ = _get(server + "/v1/models")
+    assert body["object"] == "list" and body["data"]
+
+
+def test_tokenize_detokenize(server):
+    body, _ = _post(server + "/tokenize", {"content": "hello"})
+    assert isinstance(body["tokens"], list) and body["tokens"]
+    body2, _ = _post(server + "/detokenize", {"tokens": body["tokens"]})
+    assert isinstance(body2["content"], str)
+
+
+def test_completion(server):
+    body, status = _post(
+        server + "/completion",
+        {"prompt": "ab", "n_predict": 4, "temperature": 0.0},
+    )
+    assert status == 200
+    assert body["tokens_predicted"] >= 1
+    assert "timings" in body
+
+
+def test_openai_completion(server):
+    body, _ = _post(
+        server + "/v1/completions",
+        {"prompt": "ab", "max_tokens": 4, "temperature": 0.0},
+    )
+    assert body["object"] == "text_completion"
+    assert body["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_chat_completion(server):
+    body, _ = _post(
+        server + "/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4,
+            "temperature": 0.0,
+        },
+    )
+    assert body["object"] == "chat.completion"
+    assert body["choices"][0]["message"]["role"] == "assistant"
+    assert body["usage"]["completion_tokens"] >= 1
+
+
+def test_parallel_requests(server):
+    # two concurrent requests exercise continuous batching across slots
+    results = []
+
+    def go():
+        b, _ = _post(server + "/completion", {"prompt": "xy", "n_predict": 6, "seed": 1})
+        results.append(b)
+
+    threads = [threading.Thread(target=go) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == 2
+    assert all(r["tokens_predicted"] >= 1 for r in results)
+
+
+def test_streaming(server):
+    req = urllib.request.Request(
+        server + "/completion",
+        data=json.dumps({"prompt": "ab", "n_predict": 3, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                chunks.append(json.loads(line[6:]))
+            if line == "data: [DONE]":
+                break
+    assert any(c.get("stop") for c in chunks)
+
+
+def test_json_grammar_constrained(server):
+    body, _ = _post(
+        server + "/completion",
+        {
+            "prompt": "ab",
+            "n_predict": 8,
+            "grammar": 'root ::= [a-z]+',
+            "temperature": 1.0,
+            "seed": 3,
+        },
+    )
+    assert body["tokens_predicted"] >= 1
+
+
+def test_metrics(server):
+    with urllib.request.urlopen(server + "/metrics", timeout=60) as r:
+        text = r.read().decode()
+    assert "llamacog:requests_total" in text
+
+
+def test_bad_json(server):
+    req = urllib.request.Request(
+        server + "/completion", data=b"{not json", headers={"Content-Type": "application/json"}
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
