@@ -46,13 +46,18 @@ class Engine:
         batch_size: int = 1,
         max_seq: int = 2048,
         dtype=jnp.bfloat16,
+        kv_type: str = "dense",
     ):
+        from .kv_cache import make_cache
+
         self.params = params
         self.config = config
         self.batch_size = batch_size
         self.max_seq = max_seq
         self.dtype = dtype
-        self.cache = KVCache.create(
+        self.kv_type = kv_type
+        self.cache = make_cache(
+            kv_type,
             config.n_layer,
             batch_size,
             max_seq,
@@ -84,10 +89,15 @@ class Engine:
     def reset(self):
         self.seq_len[:] = 0
 
+    def _prefill_t(self, n: int) -> int:
+        if n > self.max_seq:
+            raise ValueError(f"prompt of {n} tokens exceeds max_seq {self.max_seq}")
+        return min(_bucket(n), self.max_seq)
+
     def prefill(self, token_ids: list[int], row: int = 0) -> np.ndarray:
         """Feed a prompt into one row; returns logits of the last real token."""
         n = len(token_ids)
-        t = _bucket(n)
+        t = self._prefill_t(n)
         toks = np.zeros((self.batch_size, t), dtype=np.int32)
         toks[row, :n] = token_ids
         write_pos = jnp.asarray(self.seq_len)
@@ -104,7 +114,7 @@ class Engine:
         (the perplexity path; reference asks for all-token logits via
         batch.logits)."""
         n = len(token_ids)
-        t = _bucket(n)
+        t = self._prefill_t(n)
         toks = np.zeros((self.batch_size, t), dtype=np.int32)
         toks[row, :n] = token_ids
         write_pos = jnp.asarray(self.seq_len)
@@ -143,14 +153,33 @@ class Engine:
         slide the rest down, re-rotating the moved K by -n_discard (the
         reference's lazy K-shift graph, llama-kv-cache-unified.h:193)."""
         from ..ops.rope import apply_rope
+        from .kv_cache import QuantKVCache
 
         s = int(self.seq_len[row])
         src0, src1 = n_keep + n_discard, s
         length = src1 - src0
         if length < 0 or n_discard <= 0:
             return
-        k = np.asarray(self.cache.k[:, row])  # [L, S, Hkv, Dk]
-        v = np.asarray(self.cache.v[:, row])
+        if isinstance(self.cache, QuantKVCache):
+            c = self.cache
+            k = np.asarray(c._dequant(c.k_q[:, row], c.k_s[:, row], jnp.float32)).copy()
+            v = np.asarray(c._dequant(c.v_q[:, row], c.v_s[:, row], jnp.float32)).copy()
+            moved_k = jnp.asarray(k[:, src0:src1])
+            if length > 0:
+                delta = jnp.full((moved_k.shape[0], length), -n_discard, dtype=jnp.int32)
+                moved_k = np.asarray(apply_rope(moved_k, delta, self.config.rope))
+            k[:, n_keep : n_keep + length] = moved_k
+            v[:, n_keep : n_keep + length] = v[:, src0:src1]
+            kq, ks = c._quant(jnp.asarray(k))
+            vq, vs = c._quant(jnp.asarray(v))
+            self.cache = QuantKVCache(
+                c.k_q.at[:, row].set(kq), c.k_s.at[:, row].set(ks),
+                c.v_q.at[:, row].set(vq), c.v_s.at[:, row].set(vs),
+            )
+            self.seq_len[row] = n_keep + length
+            return
+        k = np.asarray(self.cache.k[:, row]).copy()  # [L, S, Hkv, Dk]
+        v = np.asarray(self.cache.v[:, row]).copy()
         moved_k = jnp.asarray(k[:, src0:src1])  # [L, length, Hkv, Dk]
         if length > 0:
             delta = jnp.full((moved_k.shape[0], length), -n_discard, dtype=jnp.int32)

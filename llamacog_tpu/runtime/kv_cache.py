@@ -52,6 +52,99 @@ class KVCache:
         return KVCache(self.k.at[layer].set(k_l), self.v.at[layer].set(v_l)), k_l, v_l
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantKVCache:
+    """Q8_0-style quantized KV cache: int8 values + f32 scale per 32-group
+    along the head dim (reference: quantized KV via cache type flags,
+    llama-kv-cache-unified.cpp:952; CUDA fattn vec kernels read q8 KV).
+    Halves KV HBM (9 bits/elem vs 16), doubling usable context."""
+
+    k_q: jnp.ndarray  # [L, B, S, Hkv, Dk] int8
+    k_s: jnp.ndarray  # [L, B, S, Hkv, Dk/32] f32
+    v_q: jnp.ndarray
+    v_s: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.k_q, self.k_s, self.v_q, self.v_s), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def max_seq(self) -> int:
+        return self.k_q.shape[2]
+
+    @staticmethod
+    def group_size(d: int) -> int:
+        return 32 if d % 32 == 0 else d
+
+    @classmethod
+    def create(cls, n_layers, batch, max_seq, n_head_kv, head_dim_k, head_dim_v, dtype=None):
+        def z(d):
+            g = cls.group_size(d)
+            return (
+                jnp.zeros((n_layers, batch, max_seq, n_head_kv, d), dtype=jnp.int8),
+                jnp.zeros((n_layers, batch, max_seq, n_head_kv, d // g), dtype=jnp.float32),
+            )
+
+        kq, ks = z(head_dim_k)
+        vq, vs = z(head_dim_v)
+        return cls(kq, ks, vq, vs)
+
+    @staticmethod
+    def _quant(x: jnp.ndarray):
+        """[..., D] -> int8 [..., D], scales [..., D/g] (Q8_0 semantics)."""
+        gs = QuantKVCache.group_size(x.shape[-1])
+        g = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, gs)
+        amax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
+        d = amax / 127.0
+        q = jnp.where(d > 0, jnp.round(g / jnp.where(d > 0, d, 1.0)), 0.0)
+        return (
+            q.astype(jnp.int8).reshape(*x.shape[:-1], -1),
+            d.squeeze(-1),
+        )
+
+    @staticmethod
+    def _dequant(q: jnp.ndarray, s: jnp.ndarray, dtype):
+        gs = q.shape[-1] // s.shape[-1]
+        g = q.reshape(*q.shape[:-1], -1, gs).astype(jnp.float32)
+        out = g * s[..., None]
+        return out.reshape(*q.shape[:-1], -1).astype(dtype)
+
+    def update(self, layer: int, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray):
+        kq_new, ks_new = self._quant(k_new)
+        vq_new, vs_new = self._quant(v_new)
+
+        def write_row(cache_row, new_row, pos):
+            return jax.lax.dynamic_update_slice(
+                cache_row, new_row.astype(cache_row.dtype), (pos,) + (0,) * (cache_row.ndim - 1)
+            )
+
+        kq = jax.vmap(write_row)(self.k_q[layer], kq_new, write_pos)
+        ks = jax.vmap(write_row)(self.k_s[layer], ks_new, write_pos)
+        vq = jax.vmap(write_row)(self.v_q[layer], vq_new, write_pos)
+        vs = jax.vmap(write_row)(self.v_s[layer], vs_new, write_pos)
+        new_cache = QuantKVCache(
+            self.k_q.at[layer].set(kq),
+            self.k_s.at[layer].set(ks),
+            self.v_q.at[layer].set(vq),
+            self.v_s.at[layer].set(vs),
+        )
+        k_all = self._dequant(kq, ks, k_new.dtype)
+        v_all = self._dequant(vq, vs, v_new.dtype)
+        return new_cache, k_all, v_all
+
+
+def make_cache(kind: str, n_layers, batch, max_seq, n_head_kv, dk, dv, dtype=jnp.bfloat16):
+    if kind in ("bf16", "f16", "f32", "dense"):
+        return KVCache.create(n_layers, batch, max_seq, n_head_kv, dk, dv, dtype=dtype)
+    if kind in ("q8_0", "q8"):
+        return QuantKVCache.create(n_layers, batch, max_seq, n_head_kv, dk, dv)
+    raise ValueError(f"unknown kv cache type {kind!r}")
+
+
 def build_causal_mask(
     write_pos: jnp.ndarray,  # [B] first position of the new tokens
     t: int,  # new tokens per row

@@ -1,0 +1,73 @@
+"""Sequence state snapshot/restore (reference: llama_state_seq_save_file /
+llama_state_save_file, include/llama.h:806-902; powers server slot
+save/restore and prompt caching).
+
+Format: npz with a versioned magic, the row's KV slice (dense or quantized
+planes), the valid length, and the token history if provided.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .engine import Engine
+from .kv_cache import KVCache, QuantKVCache
+
+STATE_MAGIC = "LCGS"
+STATE_VERSION = 1
+
+
+def save_row_state(engine: Engine, path: str, row: int = 0, tokens: list[int] | None = None):
+    n = int(engine.seq_len[row])
+    arrays: dict[str, np.ndarray] = {
+        "magic": np.frombuffer(STATE_MAGIC.encode(), dtype=np.uint8),
+        "version": np.array([STATE_VERSION], dtype=np.int32),
+        "seq_len": np.array([n], dtype=np.int32),
+        "tokens": np.asarray(tokens if tokens is not None else [], dtype=np.int32),
+    }
+    c = engine.cache
+    if isinstance(c, QuantKVCache):
+        arrays["kind"] = np.frombuffer(b"q8_0", dtype=np.uint8)
+        arrays["k_q"] = np.asarray(c.k_q[:, row, :n])
+        arrays["k_s"] = np.asarray(c.k_s[:, row, :n])
+        arrays["v_q"] = np.asarray(c.v_q[:, row, :n])
+        arrays["v_s"] = np.asarray(c.v_s[:, row, :n])
+    else:
+        arrays["kind"] = np.frombuffer(b"dense", dtype=np.uint8)
+        arrays["k"] = np.asarray(c.k[:, row, :n])
+        arrays["v"] = np.asarray(c.v[:, row, :n])
+    np.savez_compressed(path, **arrays)
+
+
+def load_row_state(engine: Engine, path: str, row: int = 0) -> list[int]:
+    """Restores a row; returns the saved token history (may be empty)."""
+    import jax.numpy as jnp
+
+    z = np.load(path)
+    if bytes(z["magic"]).decode() != STATE_MAGIC:
+        raise ValueError("bad state file magic")
+    if int(z["version"][0]) != STATE_VERSION:
+        raise ValueError(f"unsupported state version {z['version'][0]}")
+    n = int(z["seq_len"][0])
+    if n > engine.max_seq:
+        raise ValueError(f"state length {n} exceeds engine max_seq {engine.max_seq}")
+    kind = bytes(z["kind"]).decode()
+    c = engine.cache
+    if kind == "q8_0":
+        if not isinstance(c, QuantKVCache):
+            raise ValueError("state is q8_0 but engine cache is dense")
+        engine.cache = QuantKVCache(
+            c.k_q.at[:, row, :n].set(jnp.asarray(z["k_q"])),
+            c.k_s.at[:, row, :n].set(jnp.asarray(z["k_s"])),
+            c.v_q.at[:, row, :n].set(jnp.asarray(z["v_q"])),
+            c.v_s.at[:, row, :n].set(jnp.asarray(z["v_s"])),
+        )
+    else:
+        if not isinstance(c, KVCache):
+            raise ValueError("state is dense but engine cache is quantized")
+        engine.cache = KVCache(
+            c.k.at[:, row, :n].set(jnp.asarray(z["k"]).astype(c.k.dtype)),
+            c.v.at[:, row, :n].set(jnp.asarray(z["v"]).astype(c.v.dtype)),
+        )
+    engine.seq_len[row] = n
+    return [int(t) for t in z["tokens"]]
