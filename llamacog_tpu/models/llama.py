@@ -106,8 +106,11 @@ def forward(
     mask: jnp.ndarray,  # [B, T, S] additive
     swa_mask: jnp.ndarray | None = None,  # [B, T, S] for SWA layers
     dtype=jnp.bfloat16,
+    return_hidden: bool = False,
 ) -> tuple[jnp.ndarray, KVCache]:
-    """Returns (logits [B, T, V] f32, updated cache)."""
+    """Returns (logits [B, T, V] f32, updated cache); with return_hidden,
+    the first element is the final-norm hidden state [B, T, E] instead
+    (embeddings path, reference llama_context::encode pooling)."""
     B, T = tokens.shape
     H, Hkv = cfg.n_head, cfg.n_head_kv
     Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
@@ -146,6 +149,8 @@ def forward(
         x = x + ffn
 
     x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        return x.astype(jnp.float32), cache
     out_w = params.get("output", params["tok_embd"])
     logits = qmatmul(x, out_w).astype(jnp.float32)
     if cfg.final_logit_softcap > 0.0:

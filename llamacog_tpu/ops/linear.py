@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..quant.planar import QuantTensor, decode
 
 _BACKEND = os.environ.get("LLAMACOG_MATMUL_BACKEND", "auto")
+_HOOK = None  # activation observer (imatrix collector); unjitted paths only
 
 
 def set_backend(name: str) -> None:
@@ -33,10 +34,24 @@ def get_backend() -> str:
     return _BACKEND
 
 
+def set_hook(hook) -> None:
+    """Install an (weight, activations) observer — the analog of the
+    reference's scheduler eval-callback (ggml-backend.h:282, used by
+    tools/imatrix)."""
+    global _HOOK
+    _HOOK = hook
+
+
+def get_hook():
+    return _HOOK
+
+
 def qmatmul(x: jnp.ndarray, w: Any, compute_dtype=None) -> jnp.ndarray:
     """x: [..., K] @ W[N, K]^T -> [..., N]. Compute dtype follows x."""
     if compute_dtype is None:
         compute_dtype = x.dtype
+    if _HOOK is not None:
+        _HOOK(w, x)
     if isinstance(w, QuantTensor):
         backend = _BACKEND
         if backend == "auto":

@@ -86,6 +86,42 @@ class Engine:
 
         self._step = step
 
+        @functools.partial(jax.jit, static_argnames=("t",))
+        def embed_step(params, cache, tokens, write_pos, seq_len, t):
+            positions = write_pos[:, None] + jnp.arange(t)[None, :]
+            mask = build_causal_mask(write_pos, t, cache.max_seq, seq_len=seq_len)
+            hidden, cache = forward(
+                params, config, tokens, positions, cache, write_pos, mask,
+                dtype=dtype, return_hidden=True,
+            )
+            return hidden, cache
+
+        self._embed_step = embed_step
+
+    def embed(self, token_ids: list[int], pooling: str = "mean") -> np.ndarray:
+        """Embed one sequence; pooling in mean|cls|last|none
+        (reference pooling types, llama-context.cpp:1077-1124)."""
+        n = len(token_ids)
+        t = self._prefill_t(n)
+        toks = np.zeros((self.batch_size, t), dtype=np.int32)
+        toks[0, :n] = token_ids
+        self.clear_row(0)
+        write_pos = jnp.asarray(self.seq_len)
+        new_len = self.seq_len.copy()
+        new_len[0] = n
+        hidden, self.cache = self._embed_step(
+            self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t
+        )
+        self.seq_len = new_len
+        h = np.asarray(hidden[0, :n])  # [n, E]
+        if pooling == "mean":
+            return h.mean(axis=0)
+        if pooling == "cls":
+            return h[0]
+        if pooling == "last":
+            return h[-1]
+        return h
+
     def reset(self):
         self.seq_len[:] = 0
 

@@ -216,6 +216,27 @@ class ServerContext:
                         slot.task = None
                         slot.sampler = None
 
+    # -- embeddings -----------------------------------------------------------
+    def embed(self, texts: list[str], pooling: str = "mean") -> list[list[float]]:
+        import threading as _th
+
+        if not hasattr(self, "_embed_engine"):
+            self._embed_lock = _th.Lock()
+            self._embed_engine = Engine(
+                self.model.params, self.model.config, batch_size=1,
+                max_seq=min(self.ctx_size, 512), dtype=self.engine.dtype,
+            )
+        out = []
+        with self._embed_lock:
+            for text in texts:
+                ids = self.model.tokenizer.tokenize(text, add_special=True,
+                                                    parse_special=True)
+                ids = ids[: self._embed_engine.max_seq]
+                vec = self._embed_engine.embed(ids, pooling=pooling)
+                n = float(np.linalg.norm(vec)) or 1.0
+                out.append((vec / n).tolist())
+        return out
+
     # -- request handling ----------------------------------------------------
     def apply_chat_template(self, messages, add_generation_prompt=True, tools=None) -> str:
         import jinja2
@@ -408,6 +429,22 @@ def make_handler(ctx: ServerContext):
                 self._json({"content": text})
             elif path == "/apply-template":
                 self._json({"prompt": ctx.apply_chat_template(body.get("messages", []))})
+            elif path in ("/embedding", "/embeddings", "/v1/embeddings"):
+                inp = body.get("input", body.get("content", ""))
+                texts = inp if isinstance(inp, list) else [inp]
+                vecs = ctx.embed([str(t) for t in texts],
+                                 pooling=body.get("pooling", "mean"))
+                if path.startswith("/v1"):
+                    self._json({
+                        "object": "list",
+                        "data": [
+                            {"object": "embedding", "index": i, "embedding": v}
+                            for i, v in enumerate(vecs)
+                        ],
+                        "model": ctx.model.config.metadata.get("general.name", "model"),
+                    })
+                else:
+                    self._json([{"index": i, "embedding": [v]} for i, v in enumerate(vecs)])
             else:
                 self._json({"error": "not found"}, 404)
 

@@ -1,0 +1,105 @@
+"""llamacog-bench — throughput benchmark matrix (reference: tools/llama-bench).
+
+Sweeps prompt-processing (pp) and token-generation (tg) sizes with warmup
+and repetitions, reporting mean ± stddev tokens/s in markdown/json/csv.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+
+def run_pp(engine, n_tokens: int, reps: int) -> list[float]:
+    res = []
+    toks = list((np.arange(n_tokens) % 100 + 3).astype(int))
+    for _ in range(reps):
+        engine.clear_row(0)
+        t0 = time.time()
+        engine.prefill(toks)
+        res.append(n_tokens / (time.time() - t0))
+    return res
+
+
+def run_tg(engine, n_tokens: int, reps: int) -> list[float]:
+    res = []
+    for _ in range(reps):
+        engine.clear_row(0)
+        engine.prefill([3, 4, 5, 6])
+        tok = np.array([5] * engine.batch_size)
+        t0 = time.time()
+        for _ in range(n_tokens):
+            logits = engine.decode_one(tok)
+            tok = np.array([int(np.argmax(logits[0]))] * engine.batch_size)
+        res.append(n_tokens / (time.time() - t0))
+    return res
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="llamacog-bench")
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("-p", "--pp", type=int, nargs="*", default=[128, 512])
+    p.add_argument("-n", "--tg", type=int, nargs="*", default=[32, 128])
+    p.add_argument("-r", "--reps", type=int, default=3)
+    p.add_argument("-c", "--ctx-size", type=int, default=2048)
+    p.add_argument("--mode", choices=("quantized", "dequant"), default="quantized")
+    p.add_argument("-o", "--output", choices=("md", "json", "csv"), default="md")
+    p.add_argument("--device", choices=("auto", "cpu", "tpu"), default="auto")
+    p.add_argument("--kv-type", default="dense")
+    args = p.parse_args(argv)
+    if args.device != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.loader import load_model
+    from ..runtime.engine import Engine
+
+    t0 = time.time()
+    model = load_model(args.model, mode=args.mode, dtype=jnp.bfloat16)
+    engine = Engine(model.params, model.config, max_seq=args.ctx_size,
+                    kv_type=args.kv_type)
+    load_s = time.time() - t0
+
+    rows = []
+    for n in args.pp:
+        run_pp(engine, n, 1)  # warmup/compile
+        vals = run_pp(engine, n, args.reps)
+        rows.append(("pp" + str(n), statistics.mean(vals),
+                     statistics.stdev(vals) if len(vals) > 1 else 0.0))
+    for n in args.tg:
+        run_tg(engine, min(n, 4), 1)  # warmup/compile
+        vals = run_tg(engine, n, args.reps)
+        rows.append(("tg" + str(n), statistics.mean(vals),
+                     statistics.stdev(vals) if len(vals) > 1 else 0.0))
+
+    meta = {
+        "model": model.config.metadata.get("general.name", args.model),
+        "backend": jax.default_backend(),
+        "load_s": round(load_s, 2),
+    }
+    if args.output == "json":
+        print(json.dumps({"meta": meta,
+                          "results": [{"test": t, "t/s": round(m, 2),
+                                       "stddev": round(s, 2)} for t, m, s in rows]}))
+    elif args.output == "csv":
+        print("test,tps,stddev")
+        for t, m, s in rows:
+            print(f"{t},{m:.2f},{s:.2f}")
+    else:
+        print(f"| model | backend | test | t/s |")
+        print(f"|---|---|---|---|")
+        for t, m, s in rows:
+            print(f"| {meta['model']} | {meta['backend']} | {t} | {m:.2f} ± {s:.2f} |")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

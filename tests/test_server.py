@@ -5,6 +5,8 @@ import json
 import threading
 import urllib.request
 
+import numpy as np
+
 import pytest
 
 
@@ -157,3 +159,11 @@ def test_bad_json(server):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_embeddings(server):
+    body, _ = _post(server + "/v1/embeddings", {"input": ["hello", "world"]})
+    assert body["object"] == "list"
+    assert len(body["data"]) == 2
+    v = np.array(body["data"][0]["embedding"])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
