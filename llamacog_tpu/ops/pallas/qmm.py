@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...quant.decode_np import KVALUES_IQ4NL
-from ...quant.planar import QuantTensor, permute_activation
+from ...quant.planar import IQ3XXS_ALPHABET, QuantTensor, permute_activation
 
 # ---------------------------------------------------------------------------
 # in-kernel unpack helpers (all 2-D, lane-aligned)
@@ -114,6 +114,33 @@ def _dec_iq4_xs(p):
     return _lut16(_unpack4(p["qs"])) * _tile_scale(p["scales"], 32)
 
 
+def _dec_iq2(R, p):
+    c = _unpack2(p["qs"])
+    mag = jnp.where(c == 0, 8.0, jnp.where(c == 1, 25.0, 43.0))
+    sign = 1.0 - 2.0 * _unpack1(p["sg"]).astype(jnp.float32)
+    return mag * sign * _tile_scale(p["scales"], R)
+
+
+def _dec_iq3_xxs(p):
+    c = _unpack2(p["qs"]) | (_unpack1(p["hb"]) << 2)
+    mag = jnp.zeros(c.shape, jnp.float32)
+    for i, val in enumerate(IQ3XXS_ALPHABET):
+        mag = mag + jnp.where(c == i, np.float32(val), 0.0)
+    sign = 1.0 - 2.0 * _unpack1(p["sg"]).astype(jnp.float32)
+    return mag * sign * _tile_scale(p["scales"], 32)
+
+
+def _dec_iq3_s(p):
+    c = _unpack2(p["qs"]) | (_unpack1(p["hb"]) << 2)
+    sign = 1.0 - 2.0 * _unpack1(p["sg"]).astype(jnp.float32)
+    return (2 * c + 1).astype(jnp.float32) * sign * _tile_scale(p["scales"], 32)
+
+
+def _dec_iq1(R, p):
+    v = _unpack2(p["qs"]).astype(jnp.float32) - 1.0
+    return v * _tile_scale(p["scales"], R) - _tile_scale(p["mins"], R)
+
+
 TILE_DECODERS = {
     "Q4_0": (_dec_q4_0, ("qs", "d")),
     "Q4_1": (_dec_q4_1, ("qs", "d", "m")),
@@ -127,6 +154,13 @@ TILE_DECODERS = {
     "Q6_K": (_dec_q6_K, ("qs", "qh", "scales")),
     "IQ4_NL": (_dec_iq4_nl, ("qs", "d")),
     "IQ4_XS": (_dec_iq4_xs, ("qs", "scales")),
+    "IQ2_XXS": (functools.partial(_dec_iq2, 32), ("qs", "sg", "scales")),
+    "IQ2_XS": (functools.partial(_dec_iq2, 16), ("qs", "sg", "scales")),
+    "IQ2_S": (functools.partial(_dec_iq2, 16), ("qs", "sg", "scales")),
+    "IQ3_XXS": (_dec_iq3_xxs, ("qs", "hb", "sg", "scales")),
+    "IQ3_S": (_dec_iq3_s, ("qs", "hb", "sg", "scales")),
+    "IQ1_S": (functools.partial(_dec_iq1, 32), ("qs", "scales", "mins")),
+    "IQ1_M": (functools.partial(_dec_iq1, 8), ("qs", "scales", "mins")),
 }
 
 
@@ -188,7 +222,9 @@ def pick_tile_n(N: int, K: int, kind: str) -> int:
         return _TN_OVERRIDE if N % _TN_OVERRIDE == 0 else 0
     bits = {"Q2_K": 3.0, "Q3_K": 4.0, "Q4_0": 5.0, "Q4_1": 6.0, "IQ4_NL": 5.0,
             "IQ4_XS": 5.0, "Q4_K": 6.0, "Q5_0": 6.0, "Q5_1": 7.0, "Q5_K": 7.0,
-            "Q6_K": 8.5, "Q8_0": 10.0}.get(kind, 8.0)
+            "Q6_K": 8.5, "Q8_0": 10.0,
+            "IQ2_XXS": 4.0, "IQ2_XS": 5.0, "IQ2_S": 5.0, "IQ3_XXS": 5.0,
+            "IQ3_S": 5.0, "IQ1_S": 4.0, "IQ1_M": 10.0}.get(kind, 8.0)
     # bytes per weight row resident: 2x payload + bf16 decoded + f32 scale tile
     row_bytes = K * (2 * bits / 8 + 2.0 + 4.0)
     budget = 8 * 1024 * 1024

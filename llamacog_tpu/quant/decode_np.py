@@ -256,6 +256,175 @@ def dequant_q6_K(data, n):
     return (dl * out).reshape(-1)
 
 
+# ---------------------------------------------------------------------------
+# i-quants (codebook formats). The codebook grids are wire-format data tables
+# extracted from ggml-common.h into iq_grids.npz (see scripts/gen_iq_grids.py).
+# Decode semantics per ggml-quants.c dequantize_row_iq* (:2191-2440).
+# ---------------------------------------------------------------------------
+
+_IQ_GRIDS: dict | None = None
+
+
+def _grids() -> dict:
+    global _IQ_GRIDS
+    if _IQ_GRIDS is None:
+        import pathlib
+
+        z = np.load(pathlib.Path(__file__).parent / "iq_grids.npz")
+        ksigns = z["ksigns"]  # [128] sign bytes
+        # sign factor tables: ±1 per (sign byte, element j) — kmask[j] == 1<<j
+        bits = np.arange(8)
+        sign128 = np.where((ksigns[:, None] >> bits) & 1, -1.0, 1.0).astype(np.float32)
+        sign256 = np.where(
+            (np.arange(256, dtype=np.uint16)[:, None] >> bits) & 1, -1.0, 1.0
+        ).astype(np.float32)
+        _IQ_GRIDS = {
+            "iq2xxs": z["iq2xxs"].copy().view(np.uint8).reshape(256, 8).astype(np.float32),
+            "iq2xs": z["iq2xs"].copy().view(np.uint8).reshape(512, 8).astype(np.float32),
+            "iq2s": z["iq2s"].copy().view(np.uint8).reshape(1024, 8).astype(np.float32),
+            "iq3xxs": z["iq3xxs"].copy().view(np.uint8).reshape(256, 4).astype(np.float32),
+            "iq3s": z["iq3s"].copy().view(np.uint8).reshape(512, 4).astype(np.float32),
+            "iq1s": z["iq1s"].copy().view(np.int8).reshape(2048, 8).astype(np.float32),
+            "sign128": sign128,  # ksigns_iq2xs-indexed ±1 factors
+            "sign256": sign256,  # raw-sign-byte ±1 factors
+        }
+    return _IQ_GRIDS
+
+
+IQ1_DELTA = 0.125  # IQ1S_DELTA / IQ1M_DELTA (ggml-common.h:1082-1083)
+
+
+def dequant_iq2_xxs(data, n):
+    g = _grids()
+    b = _blocks(data, n, GGMLType.IQ2_XXS)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2])  # [nb,1]
+    u32 = b[:, 2:66].copy().view("<u4").reshape(nb, 8, 2).astype(np.uint32)
+    a0, a1 = u32[..., 0], u32[..., 1]  # [nb,8]
+    idx = (a0[..., None] >> (8 * np.arange(4))[None, None, :]) & 0xFF  # [nb,8,4]
+    s7 = (a1[..., None] >> (7 * np.arange(4))[None, None, :]) & 127
+    db = d * (0.5 + (a1 >> 28).astype(np.float32)) * 0.25  # [nb,8]
+    out = db[..., None, None] * g["iq2xxs"][idx] * g["sign128"][s7]
+    return out.reshape(-1).astype(np.float32)
+
+
+def _iq2_scales(d: np.ndarray, sc: np.ndarray) -> np.ndarray:
+    """db per (block, ib32, l): nibble scales, low nibble for l<2."""
+    db = np.stack(
+        [
+            d * (0.5 + (sc & 0xF).astype(np.float32)) * 0.25,
+            d * (0.5 + (sc >> 4).astype(np.float32)) * 0.25,
+        ],
+        axis=-1,
+    )  # [nb,8,2]
+    return db[:, :, [0, 0, 1, 1]]  # [nb,8,4]
+
+
+def dequant_iq2_xs(data, n):
+    g = _grids()
+    b = _blocks(data, n, GGMLType.IQ2_XS)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:66].copy().view("<u2").reshape(nb, 8, 4).astype(np.uint16)
+    dl = _iq2_scales(d, b[:, 66:74])  # [nb,8,4]
+    out = dl[..., None] * g["iq2xs"][qs & 511] * g["sign128"][qs >> 9]
+    return out.reshape(-1).astype(np.float32)
+
+
+def dequant_iq2_s(data, n):
+    g = _grids()
+    b = _blocks(data, n, GGMLType.IQ2_S)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:34].reshape(nb, 8, 4).astype(np.uint16)
+    signs = b[:, 34:66].reshape(nb, 8, 4)
+    qh = b[:, 66:74].astype(np.uint16)  # [nb,8]
+    dl = _iq2_scales(d, b[:, 74:82])
+    shifts = (8 - 2 * np.arange(4))[None, None, :]
+    idx = qs | ((qh[..., None] << shifts) & 0x300)
+    out = dl[..., None] * g["iq2s"][idx] * g["sign256"][signs]
+    return out.reshape(-1).astype(np.float32)
+
+
+def dequant_iq3_xxs(data, n):
+    g = _grids()
+    b = _blocks(data, n, GGMLType.IQ3_XXS)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:66].reshape(nb, 8, 4, 2)  # two 4-value grid entries per l
+    sas = b[:, 66:98].copy().view("<u4").astype(np.uint32)  # [nb,8]
+    db = d * (0.5 + (sas >> 28).astype(np.float32)) * 0.5  # [nb,8]
+    s7 = (sas[..., None] >> (7 * np.arange(4))[None, None, :]) & 127
+    vals = g["iq3xxs"][qs].reshape(nb, 8, 4, 8)
+    out = db[..., None, None] * vals * g["sign128"][s7]
+    return out.reshape(-1).astype(np.float32)
+
+
+def dequant_iq3_s(data, n):
+    g = _grids()
+    b = _blocks(data, n, GGMLType.IQ3_S)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:66].reshape(nb, 8, 8).astype(np.uint16)  # 8 grid bytes per ib32
+    qh = b[:, 66:74].astype(np.uint16)  # [nb,8]
+    signs = b[:, 74:106].reshape(nb, 8, 4)
+    sc = b[:, 106:110]  # [nb,4] one nibble pair per 2 ib32
+    ib = np.arange(8)
+    nib = (sc[:, ib // 2] >> (4 * (ib % 2))[None, :]) & 0xF
+    dl = d * (1 + 2 * nib.astype(np.float32))  # [nb,8]
+    # grid index bit 8 for byte m is bit m of qh (dequantize_row_iq3_s:2335-2345)
+    hi = (qh[..., None] >> ib[None, None, :]) & 1
+    idx = qs | (hi << 8)
+    vals = g["iq3s"][idx]  # [nb,8,8,4]
+    # sign byte for element (m, j) is signs[m//2] with mask bit 4*(m%2)+j
+    sgn = g["sign256"][signs].reshape(nb, 8, 4, 2, 4).reshape(nb, 8, 8, 4)
+    out = dl[..., None, None] * vals * sgn
+    return out.reshape(-1).astype(np.float32)
+
+
+def dequant_iq1_s(data, n):
+    g = _grids()
+    b = _blocks(data, n, GGMLType.IQ1_S)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:34].reshape(nb, 8, 4).astype(np.uint16)
+    qh = b[:, 34:50].copy().view("<u2").astype(np.uint16)  # [nb,8]
+    dl = d * (2 * ((qh >> 12) & 7).astype(np.float32) + 1)  # [nb,8]
+    delta = np.where(qh & 0x8000, -IQ1_DELTA, IQ1_DELTA).astype(np.float32)
+    idx = qs | (((qh[..., None] >> (3 * np.arange(4))[None, None, :]) & 7) << 8)
+    vals = g["iq1s"][idx]  # [nb,8,4,8]
+    out = dl[..., None, None] * (vals + delta[..., None, None])
+    return out.reshape(-1).astype(np.float32)
+
+
+def dequant_iq1_m(data, n):
+    g = _grids()
+    b = _blocks(data, n, GGMLType.IQ1_M)
+    nb = b.shape[0]
+    qs = b[:, 0:32].reshape(nb, 8, 4).astype(np.uint16)
+    qh = b[:, 32:48].reshape(nb, 8, 2).astype(np.uint16)
+    scb = b[:, 48:56].copy().view("<u2").astype(np.uint16)  # [nb,4]
+    # the f16 super-scale hides in the top nibbles (dequantize_row_iq1_m:2397)
+    d16 = (
+        (scb[:, 0] >> 12)
+        | ((scb[:, 1] >> 8) & 0x00F0)
+        | ((scb[:, 2] >> 4) & 0x0F00)
+        | (scb[:, 3] & 0xF000)
+    ).astype(np.uint16)
+    d = d16.view(np.float16).astype(np.float32)  # [nb]
+    ib = np.arange(8)
+    dl1 = 2 * ((scb[:, ib // 2] >> (6 * (ib % 2))[None, :]) & 7).astype(np.float32) + 1
+    dl2 = 2 * ((scb[:, ib // 2] >> (6 * (ib % 2) + 3)[None, :]) & 7).astype(np.float32) + 1
+    dl = np.stack([dl1, dl1, dl2, dl2], axis=-1)  # [nb,8,4]
+    qhl = qh[:, :, [0, 0, 1, 1]]
+    idx = qs | ((qhl << np.array([8, 4, 8, 4])[None, None, :]) & 0x700)
+    dbit = np.array([0x08, 0x80, 0x08, 0x80])[None, None, :]
+    delta = np.where(qhl & dbit, -IQ1_DELTA, IQ1_DELTA).astype(np.float32)
+    vals = g["iq1s"][idx]  # [nb,8,4,8]
+    out = d[:, None, None, None] * dl[..., None] * (vals + delta[..., None])
+    return out.reshape(-1).astype(np.float32)
+
+
 def dequant_iq4_nl(data, n):
     b = _blocks(data, n, GGMLType.IQ4_NL)
     d = _f16(b[:, 0:2])
@@ -343,6 +512,13 @@ DEQUANT_FNS = {
     GGMLType.Q4_K: dequant_q4_K,
     GGMLType.Q5_K: dequant_q5_K,
     GGMLType.Q6_K: dequant_q6_K,
+    GGMLType.IQ2_XXS: dequant_iq2_xxs,
+    GGMLType.IQ2_XS: dequant_iq2_xs,
+    GGMLType.IQ2_S: dequant_iq2_s,
+    GGMLType.IQ3_XXS: dequant_iq3_xxs,
+    GGMLType.IQ3_S: dequant_iq3_s,
+    GGMLType.IQ1_S: dequant_iq1_s,
+    GGMLType.IQ1_M: dequant_iq1_m,
     GGMLType.IQ4_NL: dequant_iq4_nl,
     GGMLType.IQ4_XS: dequant_iq4_xs,
     GGMLType.TQ1_0: dequant_tq1_0,

@@ -40,7 +40,15 @@ GROUP_SIZE = {
     "Q4_0": 32, "Q4_1": 32, "Q5_0": 32, "Q5_1": 32, "Q8_0": 32,
     "IQ4_NL": 32, "IQ4_XS": 32, "Q4_K": 32, "Q5_K": 32,
     "Q2_K": 16, "Q3_K": 16, "Q6_K": 16,
+    "IQ2_XXS": 32, "IQ2_XS": 16, "IQ2_S": 16,
+    "IQ3_XXS": 32, "IQ3_S": 32, "IQ1_S": 32, "IQ1_M": 8,
 }
+
+# i-quant codebook byte alphabets (positions in the iq_grids.npz tables):
+# every grid byte is one of these values, so the planar form stores a 2/3-bit
+# alphabet index + a sign bit instead of the full grid entry.
+IQ2_ALPHABET = np.array([8.0, 25.0, 43.0], dtype=np.float32)
+IQ3XXS_ALPHABET = np.array([4, 12, 20, 28, 36, 44, 52, 62], dtype=np.float32)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -165,6 +173,117 @@ def _superblock_bits(qb: np.ndarray) -> np.ndarray:
     return (qb[:, e % 32] >> (e // 32)[None, :]) & 1
 
 
+def _iq_elements(t: GGMLType, blk: np.ndarray) -> dict[str, np.ndarray]:
+    """Expand i-quant blocks [nb, type_size] to element-order planes:
+    codes (alphabet indices), sign bits, f32 group scales (and mins for iq1).
+
+    Bit extraction mirrors decode_np.dequant_iq* (validated bit-exact against
+    the reference); here the codebook values stay as 2/3-bit indices so the
+    payload remains sub-byte packed in HBM.
+    """
+    from .decode_np import _grids
+
+    g = _grids()
+    sbit128 = (g["sign128"] < 0)  # [128,8] bool
+    sbit256 = (g["sign256"] < 0)
+    nb = blk.shape[0]
+    out: dict[str, np.ndarray] = {}
+    if t == GGMLType.IQ2_XXS:
+        d = blk[:, 0:2].copy().view("<f2").astype(np.float32)
+        u32 = blk[:, 2:66].copy().view("<u4").reshape(nb, 8, 2).astype(np.uint32)
+        a0, a1 = u32[..., 0], u32[..., 1]
+        idx = (a0[..., None] >> (8 * np.arange(4))[None, None, :]) & 0xFF
+        s7 = (a1[..., None] >> (7 * np.arange(4))[None, None, :]) & 127
+        mag = g["iq2xxs"][idx]  # [nb,8,4,8]
+        out["codes"] = np.searchsorted(IQ2_ALPHABET, mag.reshape(nb, 256) - 0.5)
+        out["signs"] = sbit128[s7].reshape(nb, 256)
+        out["scales"] = d * (0.5 + (a1 >> 28).astype(np.float32)) * 0.25  # [nb,8]
+    elif t in (GGMLType.IQ2_XS, GGMLType.IQ2_S):
+        d = blk[:, 0:2].copy().view("<f2").astype(np.float32)
+        if t == GGMLType.IQ2_XS:
+            qs = blk[:, 2:66].copy().view("<u2").reshape(nb, 8, 4).astype(np.uint16)
+            idx = qs & 511
+            sb = sbit128[qs >> 9]  # [nb,8,4,8]
+            mag = g["iq2xs"][idx]
+            sc = blk[:, 66:74]
+        else:
+            q8 = blk[:, 2:34].reshape(nb, 8, 4).astype(np.uint16)
+            sgn = blk[:, 34:66].reshape(nb, 8, 4)
+            qh = blk[:, 66:74].astype(np.uint16)
+            shifts = (8 - 2 * np.arange(4))[None, None, :]
+            idx = q8 | ((qh[..., None] << shifts) & 0x300)
+            sb = sbit256[sgn]
+            mag = g["iq2s"][idx]
+            sc = blk[:, 74:82]
+        out["codes"] = np.searchsorted(IQ2_ALPHABET, mag.reshape(nb, 256) - 0.5)
+        out["signs"] = sb.reshape(nb, 256)
+        db = np.stack(
+            [d * (0.5 + (sc & 0xF)) * 0.25, d * (0.5 + (sc >> 4)) * 0.25], axis=-1
+        )  # [nb,8,2] — one scale per 16 elements
+        out["scales"] = db.reshape(nb, 16).astype(np.float32)
+    elif t == GGMLType.IQ3_XXS:
+        d = blk[:, 0:2].copy().view("<f2").astype(np.float32)
+        qs = blk[:, 2:66].reshape(nb, 8, 4, 2)
+        sas = blk[:, 66:98].copy().view("<u4").astype(np.uint32)
+        s7 = (sas[..., None] >> (7 * np.arange(4))[None, None, :]) & 127
+        mag = g["iq3xxs"][qs].reshape(nb, 256)
+        out["codes"] = np.searchsorted(IQ3XXS_ALPHABET, mag - 0.5)
+        out["signs"] = sbit128[s7].reshape(nb, 256)
+        out["scales"] = d * (0.5 + (sas >> 28).astype(np.float32)) * 0.5  # [nb,8]
+    elif t == GGMLType.IQ3_S:
+        d = blk[:, 0:2].copy().view("<f2").astype(np.float32)
+        qs = blk[:, 2:66].reshape(nb, 8, 8).astype(np.uint16)
+        qh = blk[:, 66:74].astype(np.uint16)
+        sgn = blk[:, 74:106].reshape(nb, 8, 4)
+        sc = blk[:, 106:110]
+        ib = np.arange(8)
+        nib = (sc[:, ib // 2] >> (4 * (ib % 2))[None, :]) & 0xF
+        out["scales"] = (d * (1 + 2 * nib.astype(np.float32))).astype(np.float32)  # [nb,8]
+        hi = (qh[..., None] >> ib[None, None, :]) & 1
+        mag = g["iq3s"][qs | (hi << 8)]  # [nb,8,8,4] values 2c+1
+        out["codes"] = ((mag - 1) / 2).astype(np.uint8).reshape(nb, 256)
+        out["signs"] = sbit256[sgn].reshape(nb, 8, 4, 2, 4).reshape(nb, 256)
+    elif t == GGMLType.IQ1_S:
+        from .decode_np import IQ1_DELTA
+
+        d = blk[:, 0:2].copy().view("<f2").astype(np.float32)
+        qs = blk[:, 2:34].reshape(nb, 8, 4).astype(np.uint16)
+        qh = blk[:, 34:50].copy().view("<u2").astype(np.uint16)
+        dl = d * (2 * ((qh >> 12) & 7).astype(np.float32) + 1)  # [nb,8]
+        delta = np.where(qh & 0x8000, -IQ1_DELTA, IQ1_DELTA).astype(np.float32)
+        idx = qs | (((qh[..., None] >> (3 * np.arange(4))[None, None, :]) & 7) << 8)
+        out["codes"] = (g["iq1s"][idx] + 1).astype(np.uint8).reshape(nb, 256)
+        out["scales"] = dl
+        out["mins"] = -dl * delta  # decode: v = (c-1)*scale - min
+    elif t == GGMLType.IQ1_M:
+        from .decode_np import IQ1_DELTA
+
+        qs = blk[:, 0:32].reshape(nb, 8, 4).astype(np.uint16)
+        qh = blk[:, 32:48].reshape(nb, 8, 2).astype(np.uint16)
+        scb = blk[:, 48:56].copy().view("<u2").astype(np.uint16)
+        d16 = (
+            (scb[:, 0] >> 12)
+            | ((scb[:, 1] >> 8) & 0x00F0)
+            | ((scb[:, 2] >> 4) & 0x0F00)
+            | (scb[:, 3] & 0xF000)
+        ).astype(np.uint16)
+        d = d16.view(np.float16).astype(np.float32)[:, None, None]  # [nb,1,1]
+        ib = np.arange(8)
+        dl1 = 2 * ((scb[:, ib // 2] >> (6 * (ib % 2))[None, :]) & 7).astype(np.float32) + 1
+        dl2 = 2 * ((scb[:, ib // 2] >> (6 * (ib % 2) + 3)[None, :]) & 7).astype(np.float32) + 1
+        dl = d * np.stack([dl1, dl1, dl2, dl2], axis=-1)  # [nb,8,4] per 8 elements
+        qhl = qh[:, :, [0, 0, 1, 1]]
+        idx = qs | ((qhl << np.array([8, 4, 8, 4])[None, None, :]) & 0x700)
+        dbit = np.array([0x08, 0x80, 0x08, 0x80])[None, None, :]
+        delta = np.where(qhl & dbit, -IQ1_DELTA, IQ1_DELTA).astype(np.float32)
+        out["codes"] = (g["iq1s"][idx] + 1).astype(np.uint8).reshape(nb, 256)
+        out["scales"] = dl.reshape(nb, 32)  # per-8-element groups
+        out["mins"] = (-dl * delta).reshape(nb, 32)
+    else:
+        raise NotImplementedError(t.name)
+    return out
+
+
 def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> QuantTensor:
     """Repack raw GGUF block bytes into TPU-planar form (no value change)."""
     n_el = int(np.prod(shape))
@@ -267,6 +386,21 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         qs = data[:, :, 8:136].reshape(N, nb, 8, 16)
         ints = np.concatenate([qs & 0xF, qs >> 4], axis=3).reshape(N, K)
         p["qs"] = _pack4(_strided(ints, 32))
+    elif t in (
+        GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+        GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
+    ):
+        el = _iq_elements(t, data.reshape(-1, tt.type_size))
+        R = GROUP_SIZE[t.name]
+        codes = el["codes"].reshape(N, K).astype(np.uint8)
+        p["qs"] = _pack2(_strided(codes & 3, R))
+        if t in (GGMLType.IQ3_XXS, GGMLType.IQ3_S):
+            p["hb"] = _pack1(_strided(codes >> 2, R))
+        if "signs" in el:
+            p["sg"] = _pack1(_strided(el["signs"].reshape(N, K).astype(np.uint8), R))
+        p["scales"] = el["scales"].reshape(N, K // R).astype(np.float32)
+        if "mins" in el:
+            p["mins"] = el["mins"].reshape(N, K // R).astype(np.float32)
     else:
         raise NotImplementedError(f"planar relayout for {t.name}")
     return QuantTensor(t.name, tuple(shape), {k: np.ascontiguousarray(v) for k, v in p.items()})
@@ -341,6 +475,27 @@ def decode_strided(qt: QuantTensor) -> jnp.ndarray:
             v = v + jnp.where(idx == i, np.float32(KVALUES_IQ4NL[i]), 0.0)
         s = p["d"] if kind == "IQ4_NL" else p["scales"]
         return v * _tile_scale_j(s, 32)
+    R = GROUP_SIZE.get(kind, 32)
+    if kind in ("IQ2_XXS", "IQ2_XS", "IQ2_S"):
+        c = _unpack2_j(p["qs"])
+        mag = jnp.where(c == 0, 8.0, jnp.where(c == 1, 25.0, 43.0))
+        sign = 1.0 - 2.0 * _unpack1_j(p["sg"]).astype(jnp.float32)
+        return mag * sign * _tile_scale_j(p["scales"], R)
+    if kind == "IQ3_XXS":
+        c = _unpack2_j(p["qs"]) | (_unpack1_j(p["hb"]) << 2)
+        mag = jnp.zeros(c.shape, jnp.float32)
+        for i, val in enumerate(IQ3XXS_ALPHABET):
+            mag = mag + jnp.where(c == i, np.float32(val), 0.0)
+        sign = 1.0 - 2.0 * _unpack1_j(p["sg"]).astype(jnp.float32)
+        return mag * sign * _tile_scale_j(p["scales"], R)
+    if kind == "IQ3_S":
+        c = _unpack2_j(p["qs"]) | (_unpack1_j(p["hb"]) << 2)
+        mag = (2 * c + 1).astype(jnp.float32)
+        sign = 1.0 - 2.0 * _unpack1_j(p["sg"]).astype(jnp.float32)
+        return mag * sign * _tile_scale_j(p["scales"], R)
+    if kind in ("IQ1_S", "IQ1_M"):
+        v = _unpack2_j(p["qs"]).astype(jnp.float32) - 1.0
+        return v * _tile_scale_j(p["scales"], R) - _tile_scale_j(p["mins"], R)
     raise NotImplementedError(f"decode for {kind}")
 
 

@@ -66,6 +66,41 @@ class QuantOracle:
         fn(x.ctypes.data, buf.ctypes.data, 1, x.size, None)
         return buf
 
+    _IQ_ENUMS = {  # ggml_type enum values (ggml.h:352-391)
+        "iq2_xxs": 16, "iq2_xs": 17, "iq1_s": 19, "iq2_s": 22, "iq1_m": 29,
+    }
+
+    def _init_iq_grids(self, type_name: str) -> None:
+        """ggml_quantize_init equivalent: build encode-side neighbor tables."""
+        if type_name in self._IQ_ENUMS:
+            fn = self.lib.iq2xs_init_impl
+            fn.argtypes = [ctypes.c_int]
+            fn(self._IQ_ENUMS[type_name])
+        elif type_name == "iq3_xxs":
+            fn = self.lib.iq3xs_init_impl
+            fn.argtypes = [ctypes.c_int]
+            fn(256)
+        elif type_name == "iq3_s":
+            fn = self.lib.iq3xs_init_impl
+            fn.argtypes = [ctypes.c_int]
+            fn(512)
+
+    def quantize_imatrix(
+        self, type_name: str, x: np.ndarray, out_bytes: int, imatrix: np.ndarray
+    ) -> np.ndarray:
+        """quantize_<type>() with an importance matrix (one row)."""
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        im = np.ascontiguousarray(imatrix, dtype=np.float32)
+        assert im.size == x.size
+        self._init_iq_grids(type_name)
+        buf = np.zeros(out_bytes, dtype=np.uint8)
+        fn = getattr(self.lib, f"quantize_{type_name}")
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                       ctypes.c_void_p]
+        fn.restype = ctypes.c_size_t
+        fn(x.ctypes.data, buf.ctypes.data, 1, x.size, im.ctypes.data)
+        return buf
+
     def dequantize_row(self, type_name: str, data: np.ndarray, n: int) -> np.ndarray:
         data = np.ascontiguousarray(data, dtype=np.uint8)
         out = np.zeros(n, dtype=np.float32)

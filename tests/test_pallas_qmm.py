@@ -12,7 +12,8 @@ from llamacog_tpu.ops.pallas.qmm import TILE_DECODERS, qmm
 from llamacog_tpu.quant import quantize
 from llamacog_tpu.quant.planar import decode, from_gguf
 
-KINDS = sorted(TILE_DECODERS)
+# encoder-backed kinds; i-quants (decode-only) are tested from random blocks below
+KINDS = sorted(k for k in TILE_DECODERS if not k.startswith(("IQ1", "IQ2", "IQ3")))
 
 
 def nmse(a, b):
@@ -38,5 +39,27 @@ def test_qmm_matches_reference(kind, batch):
     ref = x_bf16 @ w_bf16.T
     got = np.asarray(qmm(jnp.asarray(x), qt, interpret=True))
     assert got.shape == (batch, N)
+    err = nmse(got, ref)
+    assert err < 1e-8, f"{kind}: nmse {err}"
+
+
+IQUANT_KINDS = ["IQ2_XXS", "IQ2_XS", "IQ2_S", "IQ3_XXS", "IQ3_S", "IQ1_S", "IQ1_M"]
+
+
+@pytest.mark.parametrize("kind", IQUANT_KINDS)
+def test_qmm_iquant_matches_reference(kind):
+    from .test_planar import random_iq_blocks
+
+    ttype = getattr(GGMLType, kind)
+    N, K = 256, 512
+    rng = np.random.default_rng(hash(kind) % 2**31)
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    q = random_iq_blocks(ttype, N * K, seed=int(ttype))
+    qt = from_gguf(q, ttype, (N, K))
+    qt.planes = {k: jnp.asarray(v) for k, v in qt.planes.items()}
+    w_bf16 = np.asarray(decode(qt, jnp.float32)).astype(jnp.bfloat16).astype(np.float32)
+    x_bf16 = np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
+    ref = x_bf16 @ w_bf16.T
+    got = np.asarray(qmm(jnp.asarray(x), qt, interpret=True))
     err = nmse(got, ref)
     assert err < 1e-8, f"{kind}: nmse {err}"

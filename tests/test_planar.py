@@ -47,3 +47,34 @@ def test_planar_bytes_smaller_than_dense():
     qt = from_gguf(quantize(x, GGMLType.Q4_K), GGMLType.Q4_K, (N, K))
     # Q4_K planar = 4 bits payload + 2x f32 per 32 group = 6 bpw < bf16
     assert qt.nbytes < N * K * 2
+
+
+IQUANT_TYPES = [
+    GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
+]
+
+
+def random_iq_blocks(ttype, n, seed=0):
+    """Random bytes are valid i-quant blocks (grid indices are masked);
+    clamp the f16 super-scale exponent so values stay finite."""
+    from llamacog_tpu.gguf import GGML_TYPE_TRAITS
+
+    rng = np.random.default_rng(seed)
+    raw = rng.integers(0, 256, size=row_nbytes(ttype, n), dtype=np.uint8)
+    if ttype != GGMLType.IQ1_M:
+        raw.reshape(-1, GGML_TYPE_TRAITS[ttype].type_size)[:, 1] &= 0x3B
+    else:
+        # the f16 super-scale's high nibble lives in byte 55 (scales[7] high)
+        raw.reshape(-1, GGML_TYPE_TRAITS[ttype].type_size)[:, 55] &= 0x3B
+    return raw
+
+
+@pytest.mark.parametrize("ttype", IQUANT_TYPES, ids=lambda t: t.name)
+def test_planar_iquant_decode_matches_numpy(ttype):
+    N, K = 4, 512
+    q = random_iq_blocks(ttype, N * K, seed=int(ttype))
+    ref = dequantize(q, ttype, N * K).reshape(N, K)
+    qt = from_gguf(q, ttype, (N, K))
+    got = np.asarray(decode(qt, dtype=np.float32))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)

@@ -185,3 +185,64 @@ def test_all_zero_blocks():
         y = dequantize(q, t, 256)
         assert np.all(np.isfinite(y)), t.name
         np.testing.assert_allclose(y, 0.0, atol=1e-6, err_msg=t.name)
+
+
+# ---------------------------------------------------------------------------
+# i-quant decode parity: any byte pattern is a decodable block (grid indices
+# are masked to table size), so random-byte decode parity is the strongest
+# check — bit-exact against dequantize_row_iq* in the compiled reference.
+# ---------------------------------------------------------------------------
+
+IQUANT_TYPES = {
+    GGMLType.IQ2_XXS: "iq2_xxs",
+    GGMLType.IQ2_XS: "iq2_xs",
+    GGMLType.IQ2_S: "iq2_s",
+    GGMLType.IQ3_XXS: "iq3_xxs",
+    GGMLType.IQ3_S: "iq3_s",
+    GGMLType.IQ1_S: "iq1_s",
+    GGMLType.IQ1_M: "iq1_m",
+}
+
+
+@pytest.mark.parametrize("ttype", sorted(IQUANT_TYPES, key=lambda t: t.value), ids=lambda t: t.name)
+def test_iquant_decode_random_bytes_bitexact(ttype):
+    oracle = get_oracle()
+    if oracle is None:
+        pytest.skip("reference oracle unavailable")
+    rng = np.random.default_rng(ttype.value)
+    nbytes = row_nbytes(ttype, TEST_SIZE)
+    raw = rng.integers(0, 256, size=nbytes, dtype=np.uint8)
+    # keep f16 scale fields finite: clear the exponent's top bit of d
+    # (first two bytes for all iq types except IQ1_M whose scale nibbles are
+    # packed in the trailing scale bytes)
+    if ttype != GGMLType.IQ1_M:
+        from llamacog_tpu.gguf import GGML_TYPE_TRAITS
+
+        ts = GGML_TYPE_TRAITS[ttype].type_size
+        raw.reshape(-1, ts)[:, 1] &= 0x7B
+    y_ref = oracle.dequantize_row(IQUANT_TYPES[ttype], raw, TEST_SIZE)
+    y_ours = dequantize(raw, ttype, TEST_SIZE)
+    np.testing.assert_array_equal(y_ours, y_ref, err_msg=f"{ttype.name} decode mismatch")
+
+
+@pytest.mark.parametrize(
+    "ttype",
+    [GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S, GGMLType.IQ3_XXS, GGMLType.IQ3_S],
+    ids=lambda t: t.name,
+)
+def test_iquant_decode_encoded_blocks_bitexact(ttype):
+    """Decode parity on real encoder output (needs imatrix for iq2/iq1)."""
+    oracle = get_oracle()
+    if oracle is None:
+        pytest.skip("reference oracle unavailable")
+    name = IQUANT_TYPES[ttype]
+    x = generate_data(0.5, TEST_SIZE)
+    imatrix = np.abs(generate_data(1.5, TEST_SIZE)) + 0.1
+    nbytes = row_nbytes(ttype, TEST_SIZE)
+    try:
+        q_ref = oracle.quantize_imatrix(name, x, nbytes, imatrix)
+    except Exception:
+        pytest.skip("oracle imatrix quantize unavailable")
+    y_ref = oracle.dequantize_row(name, q_ref, TEST_SIZE)
+    y_ours = dequantize(q_ref, ttype, TEST_SIZE)
+    np.testing.assert_array_equal(y_ours, y_ref, err_msg=f"{ttype.name} decode mismatch")
