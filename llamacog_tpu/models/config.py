@@ -21,6 +21,7 @@ class RopeConfig:
     beta_fast: float = 32.0
     beta_slow: float = 1.0
     yarn_log_mul: float = 0.0
+    enabled: bool = True  # False for learned-position arches (gpt2 family)
 
 
 @dataclass
@@ -51,9 +52,32 @@ class ModelConfig:
     swa_pattern: int = 1  # every Nth layer is non-SWA (1 = no SWA)
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
+    # arch-specific graph features (reference: per-arch llm_build_* structs,
+    # src/llama-model.cpp; defaults applied by _apply_arch_defaults below)
+    embd_scale: float = 1.0  # gemma: sqrt(n_embd) input scaling
+    attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim_k) (f_attention_scale)
+    ffn_act: str = "silu"  # silu | gelu | gelu_quick | relu | relu2
+    norm_type: str = "rms"  # rms | layer
+    norm_eps: float = 1e-5  # layer-norm epsilon (f_norm_eps)
+    parallel_residual: bool = False  # phi2/gptneox: attn+ffn share input
+    post_norms: bool = False  # gemma2/3: attn_post_norm / ffn_post_norm
+    learned_pos_embd: bool = False  # gpt2/bert: position_embd.weight added
+    causal: bool = True  # False for encoder models (bert)
+    rope_freq_base_swa: float = 0.0  # gemma3: different rope base on SWA layers
     # misc
     tie_word_embeddings: bool = False
     metadata: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def kq_scale(self) -> float:
+        return self.attn_scale if self.attn_scale > 0.0 else self.head_dim_k**-0.5
+
+    @property
+    def rope_swa(self) -> "RopeConfig":
+        """Rope config for SWA layers (gemma3: plain 10k base, no scaling)."""
+        if self.rope_freq_base_swa <= 0.0:
+            return self.rope
+        return RopeConfig(dim=self.rope.dim, freq_base=self.rope_freq_base_swa)
 
     @property
     def n_gqa(self) -> int:
@@ -94,7 +118,7 @@ class ModelConfig:
         if n_vocab is None:
             toks = md.get("tokenizer.ggml.tokens")
             n_vocab = len(toks) if toks is not None else 0
-        return cls(
+        cfg = cls(
             arch=arch,
             n_vocab=int(n_vocab),
             n_ctx_train=int(g("context_length", 2048)),
@@ -105,6 +129,7 @@ class ModelConfig:
             n_ff=int(g("feed_forward_length", 4 * n_embd)),
             head_dim_k=head_dim,
             head_dim_v=int(g("attention.value_length", head_dim)),
+            rope=rope,
             rms_norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
             n_expert=int(g("expert_count", 0) or 0),
             n_expert_used=int(g("expert_used_count", 0) or 0),
@@ -119,5 +144,58 @@ class ModelConfig:
             sliding_window=int(g("attention.sliding_window", 0) or 0),
             attn_logit_softcap=float(g("attn_logit_softcapping", 0.0) or 0.0),
             final_logit_softcap=float(g("final_logit_softcapping", 0.0) or 0.0),
+            norm_eps=float(g("attention.layer_norm_epsilon", 1e-5) or 1e-5),
+            attn_scale=float(g("attention.scale", 0.0) or 0.0),
             metadata=md,
         )
+        _apply_arch_defaults(cfg)
+        return cfg
+
+
+def _apply_arch_defaults(cfg: ModelConfig) -> None:
+    """Per-arch hardcoded hyperparameters, mirroring the reference's
+    llama_model::load_hparams switch (src/llama-model.cpp:900-1500) and the
+    per-arch llm_build_* graph shapes. Arch names are GGUF
+    `general.architecture` strings (src/llama-arch.cpp LLM_ARCH_NAMES)."""
+    import math
+
+    a = cfg.arch
+    if a in ("gemma", "gemma2", "gemma3"):
+        cfg.embd_scale = math.sqrt(cfg.n_embd)
+        cfg.ffn_act = "gelu"
+    if a == "gemma2":
+        cfg.post_norms = True
+        cfg.swa_pattern = 2
+        if cfg.sliding_window <= 0:
+            cfg.sliding_window = 4096
+        big = cfg.n_layer == 46  # 27B uses n_embd/n_head (llama-model.cpp:992)
+        cfg.attn_scale = 1.0 / math.sqrt(
+            cfg.n_embd // cfg.n_head if big else cfg.head_dim_k
+        )
+    elif a == "gemma3":
+        cfg.post_norms = True
+        cfg.swa_pattern = 6
+        cfg.rope_freq_base_swa = 10000.0
+        big = cfg.n_layer == 62
+        cfg.attn_scale = 1.0 / math.sqrt(
+            cfg.n_embd // cfg.n_head if big else cfg.head_dim_k
+        )
+    elif a in ("gpt2", "starcoder"):
+        cfg.norm_type = "layer"
+        cfg.learned_pos_embd = True
+        cfg.ffn_act = "gelu"
+        cfg.rope.enabled = False
+    elif a == "starcoder2":
+        cfg.norm_type = "layer"
+        cfg.ffn_act = "gelu"
+    elif a == "phi2":
+        cfg.norm_type = "layer"
+        cfg.ffn_act = "gelu"
+        cfg.parallel_residual = True
+    elif a in ("bert", "nomic-bert"):
+        cfg.norm_type = "layer"
+        cfg.causal = False
+        cfg.learned_pos_embd = a == "bert"
+        cfg.ffn_act = "gelu"
+        if a == "bert":
+            cfg.rope.enabled = False

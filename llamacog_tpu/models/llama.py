@@ -1,23 +1,32 @@
-"""Llama-family forward pass (functional JAX).
+"""Generalized transformer forward pass (functional JAX).
 
-Covers the llm_build_llama graph (reference src/llama-model.cpp:4691):
-per layer RMS-norm → Q/K/V projections → RoPE → attention over the KV cache
-→ output projection → residual → RMS-norm → SwiGLU FFN (or MoE) → residual;
-final RMS-norm → LM head. GQA, optional QK-norm, MoE (build_moe_ffn,
-src/llama-graph.cpp:642) included. Params are a plain pytree of dense arrays
-and/or QuantTensors.
+Covers the llama-family graph builders of the reference (llm_build_llama,
+src/llama-model.cpp:4691) plus the per-arch variants expressed as
+ModelConfig feature flags (_apply_arch_defaults):
+
+* qwen2/qwen2moe (QKV biases, shared-expert sigmoid gate,
+  llm_build_qwen2 :6856, :7095)
+* qwen3/qwen3moe (per-head Q/K RMS norm, :7254)
+* gemma/gemma2/gemma3 (sqrt(n_embd) input scale, gated-GELU FFN,
+  post-attention/post-FFN norms, interleaved SWA, per-layer rope base,
+  attention-scale override, logit softcaps; :8600-8984)
+* phi2 (LayerNorm, parallel residual, :7503), phi3 (fused QKV, fused
+  gate_up SWIGLU, longrope factors, :7634)
+* gpt2/starcoder (LayerNorm + learned positions, no rope, :7907) and
+  starcoder2 (LayerNorm + rope + biases, :8984)
+* mixtral/deepseek MoE (build_moe_ffn, src/llama-graph.cpp:642)
+
+Params are a plain pytree of dense arrays and/or QuantTensors.
 """
 
 from __future__ import annotations
-
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.attention import masked_attention
 from ..ops.linear import qmatmul
-from ..ops.norms import rms_norm
+from ..ops.norms import layer_norm, rms_norm
 from ..ops.rope import apply_rope
 from ..quant.planar import QuantTensor, decode
 from ..runtime.kv_cache import KVCache
@@ -31,15 +40,49 @@ def embed_tokens(params: dict, tokens: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.n
     return jnp.take(emb, tokens, axis=0).astype(dtype)
 
 
-def _ffn_swiglu(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
+def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    if kind == "silu":
+        return jax.nn.silu(xf)
+    if kind == "gelu":
+        return jax.nn.gelu(xf, approximate=True)  # ggml_gelu is the tanh approx
+    if kind == "gelu_quick":
+        return xf * jax.nn.sigmoid(1.702 * xf)
+    if kind == "relu":
+        return jax.nn.relu(xf)
+    if kind == "relu2":
+        return jnp.square(jax.nn.relu(xf))
+    raise ValueError(f"unknown activation {kind}")
+
+
+def _norm(x: jnp.ndarray, layer: dict, key: str, cfg: ModelConfig) -> jnp.ndarray:
+    if cfg.norm_type == "layer":
+        return layer_norm(x, layer[key], layer.get(key + "_b"), cfg.norm_eps)
+    return rms_norm(x, layer[key], cfg.rms_norm_eps)
+
+
+def _linear(x: jnp.ndarray, layer: dict, key: str) -> jnp.ndarray:
+    out = qmatmul(x, layer[key])
+    b = layer.get(key + "_b")
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def _ffn(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Gated (SwiGLU/GeGLU) or plain MLP, per available tensors."""
     if "ffn_gate_up" in layer:
         gu = qmatmul(x, layer["ffn_gate_up"])
         gate, up = jnp.split(gu, 2, axis=-1)
+        h = (_act(gate, cfg.ffn_act) * up.astype(jnp.float32)).astype(x.dtype)
+    elif "ffn_gate" in layer:
+        gate = _linear(x, layer, "ffn_gate")
+        up = _linear(x, layer, "ffn_up")
+        h = (_act(gate, cfg.ffn_act) * up.astype(jnp.float32)).astype(x.dtype)
     else:
-        gate = qmatmul(x, layer["ffn_gate"])
-        up = qmatmul(x, layer["ffn_up"])
-    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return qmatmul(act, layer["ffn_down"])
+        up = _linear(x, layer, "ffn_up")
+        h = _act(up, cfg.ffn_act).astype(x.dtype)
+    return _linear(h, layer, "ffn_down")
 
 
 def _ffn_moe(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
@@ -80,7 +123,7 @@ def _ffn_moe(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     # wg/wu: [n_exp, F, E], wd: [n_exp, E, F]
     gate = jnp.einsum("bte,nfe->btnf", x, wg)
     up = jnp.einsum("bte,nfe->btnf", x, wu)
-    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    act = _act(gate, cfg.ffn_act).astype(x.dtype) * up
     expert_out = jnp.einsum("btnf,nef->btne", act, wd)  # [B,T,n_exp,E]
     # combine selected experts
     onehot = jax.nn.one_hot(top_i, n_exp, dtype=gate_w.dtype) * gate_w[..., None]  # [B,T,k,n]
@@ -92,8 +135,25 @@ def _ffn_moe(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
             "ffn_up": layer["ffn_up_shexp"],
             "ffn_down": layer["ffn_down_shexp"],
         }
-        out = out + _ffn_swiglu(shexp, x).astype(jnp.float32)
+        sh_out = _ffn(shexp, x, cfg).astype(jnp.float32)
+        if "ffn_gate_inp_shexp" in layer:
+            # qwen2moe: sigmoid-gated shared expert (llama-model.cpp:7202-7218)
+            g = qmatmul(x, layer["ffn_gate_inp_shexp"]).astype(jnp.float32)
+            sh_out = sh_out * jax.nn.sigmoid(g)
+        out = out + sh_out
     return out.astype(x.dtype)
+
+
+def _rope_factors(params: dict, cfg: ModelConfig, max_seq: int):
+    """llama_model::get_rope_factors (src/llama-model.cpp:4676): rope_freqs
+    if present, else long/short factors chosen by context length."""
+    if "rope_freqs" in params:
+        return params["rope_freqs"]
+    if "rope_long" in params or "rope_short" in params:
+        if cfg.rope.orig_ctx_len and max_seq > cfg.rope.orig_ctx_len:
+            return params.get("rope_long", params.get("rope_short"))
+        return params.get("rope_short", params.get("rope_long"))
+    return None
 
 
 def forward(
@@ -114,45 +174,74 @@ def forward(
     B, T = tokens.shape
     H, Hkv = cfg.n_head, cfg.n_head_kv
     Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
-    scale = Dk**-0.5
+    scale = cfg.kq_scale
 
     x = embed_tokens(params, tokens, dtype=dtype)
+    if cfg.embd_scale != 1.0:
+        x = x * jnp.asarray(cfg.embd_scale, dtype)
+    if cfg.learned_pos_embd and "pos_embd" in params:
+        pe = params["pos_embd"]
+        if isinstance(pe, QuantTensor):
+            pe = decode(pe, dtype=dtype)
+        x = x + jnp.take(pe, positions, axis=0).astype(dtype)
+    if "tok_norm" in params:
+        x = layer_norm(x, params["tok_norm"], params.get("tok_norm_b"), cfg.norm_eps)
+    freq_factors = _rope_factors(params, cfg, int(cache.max_seq))
     for il, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        h = _norm(x, layer, "attn_norm", cfg)
         if "attn_qkv" in layer:
-            qkv = qmatmul(h, layer["attn_qkv"])
+            qkv = _linear(h, layer, "attn_qkv")
             q, k, v = jnp.split(qkv, [H * Dk, H * Dk + Hkv * Dk], axis=-1)
             q = q.reshape(B, T, H, Dk)
             k = k.reshape(B, T, Hkv, Dk)
             v = v.reshape(B, T, Hkv, Dv)
         else:
-            q = qmatmul(h, layer["attn_q"]).reshape(B, T, H, Dk)
-            k = qmatmul(h, layer["attn_k"]).reshape(B, T, Hkv, Dk)
-            v = qmatmul(h, layer["attn_v"]).reshape(B, T, Hkv, Dv)
+            q = _linear(h, layer, "attn_q").reshape(B, T, H, Dk)
+            k = _linear(h, layer, "attn_k").reshape(B, T, Hkv, Dk)
+            v = _linear(h, layer, "attn_v").reshape(B, T, Hkv, Dv)
         if "attn_q_norm" in layer:
             q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)
-        q = apply_rope(q, positions, cfg.rope)
-        k = apply_rope(k, positions, cfg.rope)
+        is_swa = cfg.is_swa(il)
+        rope_cfg = cfg.rope_swa if is_swa else cfg.rope
+        q = apply_rope(q, positions, rope_cfg, freq_factors)
+        k = apply_rope(k, positions, rope_cfg, freq_factors)
         cache, k_all, v_all = cache.update(il, k, v, write_pos)
-        m = swa_mask if (swa_mask is not None and cfg.is_swa(il)) else mask
+        m = swa_mask if (swa_mask is not None and is_swa) else mask
         attn = masked_attention(
             q, k_all, v_all, m, scale, logit_softcap=cfg.attn_logit_softcap
         )
-        attn = qmatmul(attn.reshape(B, T, H * Dv), layer["attn_output"])
+        attn = _linear(attn.reshape(B, T, H * Dv), layer, "attn_output")
+        if cfg.post_norms and "attn_post_norm" in layer:
+            attn = _norm(attn, layer, "attn_post_norm", cfg)
+        if cfg.parallel_residual:
+            # phi2-style: FFN reads the same attn_norm output, one residual add
+            ffn = _ffn(layer, h, cfg)
+            x = x + attn + ffn
+            continue
         x = x + attn
-        h = rms_norm(x, layer["ffn_norm"], cfg.rms_norm_eps)
+        if "ffn_norm" in layer:
+            h = _norm(x, layer, "ffn_norm", cfg)
+        else:
+            h = x
         if cfg.n_expert > 0 and "ffn_gate_inp" in layer:
             ffn = _ffn_moe(layer, h, cfg)
         else:
-            ffn = _ffn_swiglu(layer, h)
+            ffn = _ffn(layer, h, cfg)
+        if cfg.post_norms and "ffn_post_norm" in layer:
+            ffn = _norm(ffn, layer, "ffn_post_norm", cfg)
         x = x + ffn
 
-    x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps)
+    if cfg.norm_type == "layer":
+        x = layer_norm(x, params["output_norm"], params.get("output_norm_b"), cfg.norm_eps)
+    else:
+        x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps)
     if return_hidden:
         return x.astype(jnp.float32), cache
     out_w = params.get("output", params["tok_embd"])
     logits = qmatmul(x, out_w).astype(jnp.float32)
+    if "output_b" in params:
+        logits = logits + params["output_b"].astype(jnp.float32)
     if cfg.final_logit_softcap > 0.0:
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
     return logits, cache

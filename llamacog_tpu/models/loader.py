@@ -18,29 +18,59 @@ from ..quant.planar import from_gguf
 from ..tokenizer import Vocab, build_tokenizer
 from .config import ModelConfig
 
-# small tensors that are always dense (norms, biases)
-_ALWAYS_DENSE_SUFFIXES = ("_norm.weight", ".bias", "exp_probs_b.bias")
+# small tensors that are always dense (norms, biases, rope factors, positions)
+_ALWAYS_DENSE_SUFFIXES = (
+    "_norm.weight", ".bias", "exp_probs_b.bias",
+    "rope_freqs.weight", "rope_factors_long.weight", "rope_factors_short.weight",
+    "position_embd.weight",
+)
 
 _LAYER_TENSORS = {
     "attn_norm": "attn_norm.weight",
+    "attn_norm_b": "attn_norm.bias",
+    "attn_qkv": "attn_qkv.weight",  # pre-fused QKV (phi3, gpt2, ...)
+    "attn_qkv_b": "attn_qkv.bias",
     "attn_q": "attn_q.weight",
     "attn_k": "attn_k.weight",
     "attn_v": "attn_v.weight",
+    "attn_q_b": "attn_q.bias",
+    "attn_k_b": "attn_k.bias",
+    "attn_v_b": "attn_v.bias",
     "attn_output": "attn_output.weight",
+    "attn_output_b": "attn_output.bias",
     "attn_q_norm": "attn_q_norm.weight",
     "attn_k_norm": "attn_k_norm.weight",
+    "attn_post_norm": "post_attention_norm.weight",
+    "ffn_post_norm": "post_ffw_norm.weight",
     "ffn_norm": "ffn_norm.weight",
+    "ffn_norm_b": "ffn_norm.bias",
     "ffn_gate": "ffn_gate.weight",
     "ffn_up": "ffn_up.weight",
     "ffn_down": "ffn_down.weight",
+    "ffn_gate_b": "ffn_gate.bias",
+    "ffn_up_b": "ffn_up.bias",
+    "ffn_down_b": "ffn_down.bias",
     "ffn_gate_inp": "ffn_gate_inp.weight",
     "ffn_gate_exps": "ffn_gate_exps.weight",
     "ffn_up_exps": "ffn_up_exps.weight",
     "ffn_down_exps": "ffn_down_exps.weight",
+    "ffn_gate_inp_shexp": "ffn_gate_inp_shexp.weight",
     "ffn_gate_shexp": "ffn_gate_shexp.weight",
     "ffn_up_shexp": "ffn_up_shexp.weight",
     "ffn_down_shexp": "ffn_down_shexp.weight",
     "exp_probs_b": "exp_probs_b.bias",
+}
+
+# model-level (non-blk) optional tensors
+_MODEL_TENSORS = {
+    "rope_freqs": "rope_freqs.weight",  # llama3.1-style per-dim factors
+    "rope_long": "rope_factors_long.weight",  # phi3 longrope
+    "rope_short": "rope_factors_short.weight",
+    "pos_embd": "position_embd.weight",  # gpt2/bert learned positions
+    "output_b": "output.bias",
+    "tok_norm": "token_embd_norm.weight",  # bert embedding layernorm
+    "tok_norm_b": "token_embd_norm.bias",
+    "output_norm_b": "output_norm.bias",
 }
 
 
@@ -107,6 +137,9 @@ def load_model(
         params["output_norm"] = _load_tensor(reader, "output_norm.weight", mode, dtype)
     if "output.weight" in reader.tensors:
         params["output"] = _load_tensor(reader, "output.weight", mode, dtype)
+    for key, name in _MODEL_TENSORS.items():
+        if name in reader.tensors:
+            params[key] = _load_tensor(reader, name, mode, dtype)
     for il in range(cfg.n_layer):
         layer = {}
         for key, suffix in _LAYER_TENSORS.items():
@@ -118,11 +151,21 @@ def load_model(
             if fused is not None:
                 layer["attn_qkv"] = fused
                 del layer["attn_q"], layer["attn_k"], layer["attn_v"]
-        if fuse and "ffn_gate" in layer and "ffn_up" in layer:
+                if all(f"attn_{t}_b" in layer for t in "qkv"):
+                    layer["attn_qkv_b"] = jnp.concatenate(
+                        [layer.pop("attn_q_b"), layer.pop("attn_k_b"), layer.pop("attn_v_b")]
+                    )
+        if fuse and "ffn_gate" in layer and "ffn_up" in layer and "ffn_gate_b" not in layer:
             fused = _fuse_rows([layer["ffn_gate"], layer["ffn_up"]])
             if fused is not None:
                 layer["ffn_gate_up"] = fused
                 del layer["ffn_gate"], layer["ffn_up"]
+        if "ffn_gate" not in layer and "ffn_up" in layer:
+            # phi3-style pre-fused [gate; up] (LLM_FFN_SWIGLU split,
+            # llama-graph.cpp:583-595): detect by row count 2*n_ff
+            rows = int(np.prod(layer["ffn_up"].shape[:-1]))
+            if rows == 2 * cfg.n_ff:
+                layer["ffn_gate_up"] = layer.pop("ffn_up")
         params["layers"].append(layer)
     vocab = tokenizer = None
     if with_tokenizer and "tokenizer.ggml.tokens" in reader.metadata:

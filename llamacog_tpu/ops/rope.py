@@ -57,8 +57,12 @@ def apply_rope(
     x: jnp.ndarray,  # [..., T, H, D]
     positions: jnp.ndarray,  # [..., T]
     cfg: RopeConfig,
+    freq_factors: jnp.ndarray | None = None,  # [dim/2] divisors (rope_freqs /
+    # rope_long/rope_short weights; ggml_rope_ext's `c` input)
 ) -> jnp.ndarray:
     """NeoX rope: rotate pairs (i, i + D/2)."""
+    if not cfg.enabled:
+        return x
     D = x.shape[-1]
     dim = cfg.dim or D
     inv_freq, ramp, mscale = rope_frequencies(cfg, D)
@@ -69,6 +73,8 @@ def apply_rope(
         inv_freq = inv_extrap * (1 - jnp.asarray(ramp)) + (
             inv_extrap / cfg.scaling_factor
         ) * jnp.asarray(ramp)
+    if freq_factors is not None:
+        inv_freq = inv_freq / freq_factors.astype(jnp.float32)
     theta = positions[..., None].astype(jnp.float32) * inv_freq  # [..., T, dim/2]
     cos = jnp.cos(theta) * mscale
     sin = jnp.sin(theta) * mscale

@@ -1,0 +1,239 @@
+"""Architecture parity vs HuggingFace transformers (torch CPU).
+
+Plays the role of the reference's model-zoo correctness checks: a tiny
+random-weight HF model is converted to GGUF with the same tensor mapping as
+convert_hf_to_gguf.py, loaded by our loader, and the full-precision logits
+must match the HF forward pass.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from llamacog_tpu.gguf import GGUFWriter
+from llamacog_tpu.models.loader import load_model
+from llamacog_tpu.runtime.engine import Engine
+
+TOKENS = [3, 17, 42, 99, 7, 64, 28, 101]
+
+
+def _base_metadata(w: GGUFWriter, arch: str, cfg, n_ff=None, head_dim=None):
+    w.add("general.architecture", arch)
+    w.add("general.name", f"tiny-{arch}")
+    w.add(f"{arch}.context_length", cfg.max_position_embeddings)
+    w.add(f"{arch}.embedding_length", cfg.hidden_size)
+    w.add(f"{arch}.block_count", cfg.num_hidden_layers)
+    w.add(f"{arch}.feed_forward_length", n_ff or cfg.intermediate_size)
+    w.add(f"{arch}.attention.head_count", cfg.num_attention_heads)
+    w.add(f"{arch}.attention.head_count_kv", cfg.num_key_value_heads)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", getattr(cfg, "rms_norm_eps", 1e-6))
+    w.add(f"{arch}.rope.freq_base", getattr(cfg, "rope_theta", 10000.0))
+    w.add(f"{arch}.vocab_size", cfg.vocab_size)
+    if head_dim:
+        w.add(f"{arch}.attention.key_length", head_dim)
+        w.add(f"{arch}.attention.value_length", head_dim)
+
+
+def _add_layer_weights(w, sd, hf_prefix, gguf_prefix, mapping):
+    for hf_name, gguf_name in mapping.items():
+        key = f"{hf_prefix}.{hf_name}"
+        if key in sd:
+            w.add_tensor(f"{gguf_prefix}.{gguf_name}", sd[key].float().numpy())
+
+
+_ATTN_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "self_attn.qkv_proj.weight": "attn_qkv.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "mlp.gate_up_proj.weight": "ffn_up.weight",  # phi3 fused [gate; up]
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+}
+
+_GEMMA2_NORM_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "post_attention_norm.weight",
+    "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+    "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+}
+
+
+def _convert(model, arch, path, extra_md=None, gemma=False, head_dim=None, n_ff=None):
+    cfg = model.config
+    sd = model.state_dict()
+    w = GGUFWriter(path)
+    _base_metadata(w, arch, cfg, head_dim=head_dim, n_ff=n_ff)
+    for k, v in (extra_md or {}).items():
+        w.add(k, v)
+    w.add_tensor("token_embd.weight", sd["model.embed_tokens.weight"].float().numpy())
+    norm = sd["model.norm.weight"].float()
+    if gemma:
+        norm = norm + 1  # convert_hf_to_gguf.py GemmaModel: norms stored +1
+    w.add_tensor("output_norm.weight", norm.numpy())
+    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
+        w.add_tensor("output.weight", sd["lm_head.weight"].float().numpy())
+    amap = dict(_ATTN_MAP)
+    if gemma:
+        amap.update(_GEMMA2_NORM_MAP)
+    for il in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{il}"
+        for hf_name, gguf_name in amap.items():
+            key = f"{pre}.{hf_name}"
+            if key not in sd:
+                continue
+            t = sd[key].float()
+            if gemma and gguf_name.endswith("norm.weight"):
+                t = t + 1
+            w.add_tensor(f"blk.{il}.{gguf_name}", t.numpy())
+        # mixtral MoE
+        if f"{pre}.block_sparse_moe.gate.weight" in sd:
+            w.add_tensor(
+                f"blk.{il}.ffn_gate_inp.weight",
+                sd[f"{pre}.block_sparse_moe.gate.weight"].float().numpy(),
+            )
+            n_exp = cfg.num_local_experts
+            for gguf_name, hf_w in (("ffn_gate_exps", "w1"), ("ffn_down_exps", "w2"),
+                                    ("ffn_up_exps", "w3")):
+                stacked = torch.stack(
+                    [sd[f"{pre}.block_sparse_moe.experts.{e}.{hf_w}.weight"] for e in
+                     range(n_exp)]
+                )
+                w.add_tensor(f"blk.{il}.{gguf_name}.weight", stacked.float().numpy())
+    w.write()
+    return path
+
+
+def _our_logits(path, n_tokens=len(TOKENS)):
+    m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+    eng = Engine(m.params, m.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    return eng.prefill_logits(TOKENS[:n_tokens])
+
+
+def _hf_logits(model, n_tokens=len(TOKENS)):
+    with torch.no_grad():
+        out = model(torch.tensor([TOKENS[:n_tokens]]))
+    return out.logits[0].float().numpy()
+
+
+def _assert_close(ours, ref, atol=2e-3):
+    np.testing.assert_allclose(ours, ref, atol=atol, rtol=1e-3)
+
+
+def test_qwen2_parity(tmp_path):
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    cfg = Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = Qwen2ForCausalLM(cfg).eval()
+    path = _convert(model, "qwen2", str(tmp_path / "qwen2.gguf"))
+    _assert_close(_our_logits(path), _hf_logits(model))
+
+
+def test_qwen3_parity(tmp_path):
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = Qwen3ForCausalLM(cfg).eval()
+    path = _convert(model, "qwen3", str(tmp_path / "qwen3.gguf"), head_dim=16)
+    _assert_close(_our_logits(path), _hf_logits(model))
+
+
+def test_gemma2_parity(tmp_path):
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    cfg = Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=256, sliding_window=8,
+        query_pre_attn_scalar=16,  # matches the non-27B rule (head_dim)
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+    )
+    torch.manual_seed(2)
+    model = Gemma2ForCausalLM(cfg).eval()
+    model.config._attn_implementation = "eager"
+    path = _convert(
+        model, "gemma2", str(tmp_path / "gemma2.gguf"), gemma=True, head_dim=16,
+        extra_md={
+            "gemma2.attention.sliding_window": 8,
+            "gemma2.attn_logit_softcapping": 50.0,
+            "gemma2.final_logit_softcapping": 30.0,
+        },
+    )
+    _assert_close(_our_logits(path), _hf_logits(model), atol=5e-3)
+
+
+def test_gemma3_parity(tmp_path):
+    from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+
+    cfg = Gemma3TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=7,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=256, sliding_window=8,
+        query_pre_attn_scalar=16, rope_theta=1_000_000.0, rope_local_base_freq=10000.0,
+    )
+    torch.manual_seed(3)
+    model = Gemma3ForCausalLM(cfg).eval()
+    model.config._attn_implementation = "eager"
+    path = _convert(
+        model, "gemma3", str(tmp_path / "gemma3.gguf"), gemma=True, head_dim=16,
+        extra_md={"gemma3.attention.sliding_window": 8},
+    )
+    _assert_close(_our_logits(path), _hf_logits(model), atol=5e-3)
+
+
+def test_phi3_parity(tmp_path):
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    cfg = Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    torch.manual_seed(4)
+    model = Phi3ForCausalLM(cfg).eval()
+    path = _convert(model, "phi3", str(tmp_path / "phi3.gguf"))
+    _assert_close(_our_logits(path), _hf_logits(model))
+
+
+def test_mixtral_parity(tmp_path):
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg = MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        num_local_experts=4, num_experts_per_tok=2, tie_word_embeddings=False,
+    )
+    torch.manual_seed(5)
+    model = MixtralForCausalLM(cfg).eval()
+    path = _convert(
+        model, "llama", str(tmp_path / "mixtral.gguf"),
+        extra_md={
+            "llama.expert_count": 4,
+            "llama.expert_used_count": 2,
+            "llama.expert_weights_norm": True,  # HF Mixtral normalizes top-k
+        },
+    )
+    _assert_close(_our_logits(path), _hf_logits(model))
