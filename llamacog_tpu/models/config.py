@@ -47,6 +47,12 @@ class ModelConfig:
     n_ff_exp: int = 0
     n_ff_shexp: int = 0
     n_expert_shared: int = 0
+    # SSM / recurrent (mamba; reference llama-hparams.h:115-121)
+    ssm_d_conv: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
+    ssm_dt_b_c_rms: bool = False
     # attention extras
     sliding_window: int = 0
     swa_pattern: int = 1  # every Nth layer is non-SWA (1 = no SWA)
@@ -78,6 +84,12 @@ class ModelConfig:
         if self.rope_freq_base_swa <= 0.0:
             return self.rope
         return RopeConfig(dim=self.rope.dim, freq_base=self.rope_freq_base_swa)
+
+    @property
+    def is_recurrent(self) -> bool:
+        """SSM/recurrent-state model (mamba family) — uses the recurrent
+        memory module instead of a KV cache (llama-memory-recurrent.h:16)."""
+        return self.ssm_d_inner > 0
 
     @property
     def n_gqa(self) -> int:
@@ -146,6 +158,11 @@ class ModelConfig:
             final_logit_softcap=float(g("final_logit_softcapping", 0.0) or 0.0),
             norm_eps=float(g("attention.layer_norm_epsilon", 1e-5) or 1e-5),
             attn_scale=float(g("attention.scale", 0.0) or 0.0),
+            ssm_d_conv=int(g("ssm.conv_kernel", 0) or 0),
+            ssm_d_inner=int(g("ssm.inner_size", 0) or 0),
+            ssm_d_state=int(g("ssm.state_size", 0) or 0),
+            ssm_dt_rank=int(g("ssm.time_step_rank", 0) or 0),
+            ssm_dt_b_c_rms=bool(g("ssm.dt_b_c_rms", False)),
             metadata=md,
         )
         _apply_arch_defaults(cfg)

@@ -59,6 +59,16 @@ _LAYER_TENSORS = {
     "ffn_up_shexp": "ffn_up_shexp.weight",
     "ffn_down_shexp": "ffn_down_shexp.weight",
     "exp_probs_b": "exp_probs_b.bias",
+    # SSM (mamba; LLM_TENSOR names src/llama-arch.cpp)
+    "ssm_in": "ssm_in.weight",
+    "ssm_conv1d": "ssm_conv1d.weight",
+    "ssm_conv1d_b": "ssm_conv1d.bias",
+    "ssm_x": "ssm_x.weight",
+    "ssm_dt": "ssm_dt.weight",
+    "ssm_dt_b": "ssm_dt.bias",
+    "ssm_a": "ssm_a",
+    "ssm_d": "ssm_d",
+    "ssm_out": "ssm_out.weight",
 }
 
 # model-level (non-blk) optional tensors

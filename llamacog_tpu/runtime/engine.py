@@ -56,6 +56,10 @@ class Engine:
         self.max_seq = max_seq
         self.dtype = dtype
         self.kv_type = kv_type
+        self.recurrent = config.is_recurrent
+        if self.recurrent:
+            self._init_recurrent()
+            return
         self.cache = make_cache(
             kv_type,
             config.n_layer,
@@ -98,6 +102,49 @@ class Engine:
 
         self._embed_step = embed_step
 
+    def _init_recurrent(self):
+        """Mamba-family state path: the 'cache' is per-layer (conv, ssm)
+        state (reference llama_memory_recurrent, src/llama-memory-recurrent.h).
+        Positions/masks are meaningless; `active` gates state advancement."""
+        from ..models.mamba import forward as mamba_forward
+        from ..models.mamba import make_recurrent_cache
+
+        config, dtype = self.config, self.dtype
+        self.cache = make_recurrent_cache(config, self.batch_size, dtype=jnp.float32)
+        self.seq_len = np.zeros(self.batch_size, dtype=np.int32)
+
+        @functools.partial(jax.jit, static_argnames=("t", "return_hidden"))
+        def step(params, cache, tokens, active, t, return_hidden=False):
+            return mamba_forward(
+                params, config, tokens, cache, active, dtype=dtype,
+                return_hidden=return_hidden,
+            )
+
+        self._recurrent_step = step
+
+    def _recurrent_prefill(self, token_ids, row, all_logits=False):
+        n = len(token_ids)
+        toks = np.zeros((self.batch_size, n), dtype=np.int32)
+        toks[row, :n] = token_ids
+        active = np.zeros(self.batch_size, dtype=bool)
+        active[row] = True
+        # mamba state advances per token: feed only the real tokens, padding
+        # would corrupt the state, so run the exact length in chunks of t
+        logits, self.cache = self._recurrent_step(
+            self.params, self.cache, jnp.asarray(toks[:, :n]), jnp.asarray(active), t=n
+        )
+        self.seq_len[row] += n
+        return np.asarray(logits[row, :n]) if all_logits else np.asarray(logits[row, n - 1])
+
+    def clear_row_state(self, row: int) -> None:
+        if self.recurrent:
+            from ..models.mamba import RecurrentCache
+
+            c = self.cache
+            self.cache = RecurrentCache(
+                c.conv.at[:, row].set(0.0), c.ssm.at[:, row].set(0.0)
+            )
+
     def embed(self, token_ids: list[int], pooling: str = "mean") -> np.ndarray:
         """Embed one sequence; pooling in mean|cls|last|none
         (reference pooling types, llama-context.cpp:1077-1124)."""
@@ -132,6 +179,8 @@ class Engine:
 
     def prefill(self, token_ids: list[int], row: int = 0) -> np.ndarray:
         """Feed a prompt into one row; returns logits of the last real token."""
+        if self.recurrent:
+            return self._recurrent_prefill(token_ids, row)
         n = len(token_ids)
         t = self._prefill_t(n)
         toks = np.zeros((self.batch_size, t), dtype=np.int32)
@@ -149,6 +198,8 @@ class Engine:
         """Prefill a row and return logits for EVERY prompt position [n, V]
         (the perplexity path; reference asks for all-token logits via
         batch.logits)."""
+        if self.recurrent:
+            return self._recurrent_prefill(token_ids, row, all_logits=True)
         n = len(token_ids)
         t = self._prefill_t(n)
         toks = np.zeros((self.batch_size, t), dtype=np.int32)
@@ -170,11 +221,22 @@ class Engine:
         not advance, so idle server slots cost nothing semantically.
         """
         toks = jnp.asarray(token_ids, dtype=jnp.int32)[:, None]
-        write_pos = jnp.asarray(self.seq_len)
         if active is None:
             new_len = self.seq_len + 1
         else:
             new_len = self.seq_len + np.asarray(active, dtype=np.int32)
+        if self.recurrent:
+            act = (
+                np.ones(self.batch_size, dtype=bool)
+                if active is None
+                else np.asarray(active, dtype=bool)
+            )
+            logits, self.cache = self._recurrent_step(
+                self.params, self.cache, toks, jnp.asarray(act), t=1
+            )
+            self.seq_len = new_len
+            return np.asarray(logits[:, 0])
+        write_pos = jnp.asarray(self.seq_len)
         logits, self.cache = self._step(
             self.params, self.cache, toks, write_pos, jnp.asarray(new_len), 1
         )
@@ -183,6 +245,8 @@ class Engine:
 
     def clear_row(self, row: int) -> None:
         self.seq_len[row] = 0
+        if self.recurrent:
+            self.clear_row_state(row)
 
     def shift_row(self, row: int, n_keep: int, n_discard: int) -> None:
         """Context shift: drop tokens [n_keep, n_keep+n_discard) of a row and

@@ -237,3 +237,75 @@ def test_mixtral_parity(tmp_path):
         },
     )
     _assert_close(_our_logits(path), _hf_logits(model))
+
+
+def _convert_mamba(tmp_path):
+    from transformers import MambaConfig, MambaForCausalLM
+
+    cfg = MambaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        state_size=16, conv_kernel=4, time_step_rank=8,
+    )
+    torch.manual_seed(6)
+    model = MambaForCausalLM(cfg).eval()
+    sd = model.state_dict()
+    path = str(tmp_path / "mamba.gguf")
+    w = GGUFWriter(path)
+    arch = "mamba"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 1024)
+    w.add(f"{arch}.embedding_length", cfg.hidden_size)
+    w.add(f"{arch}.block_count", cfg.num_hidden_layers)
+    w.add(f"{arch}.feed_forward_length", 0)
+    w.add(f"{arch}.attention.head_count", 0)
+    w.add(f"{arch}.attention.head_count_kv", 0)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", cfg.layer_norm_epsilon)
+    w.add(f"{arch}.ssm.conv_kernel", cfg.conv_kernel)
+    w.add(f"{arch}.ssm.inner_size", cfg.intermediate_size)
+    w.add(f"{arch}.ssm.state_size", cfg.state_size)
+    w.add(f"{arch}.ssm.time_step_rank", cfg.time_step_rank)
+    w.add(f"{arch}.vocab_size", cfg.vocab_size)
+    w.add_tensor("token_embd.weight", sd["backbone.embeddings.weight"].float().numpy())
+    w.add_tensor("output_norm.weight", sd["backbone.norm_f.weight"].float().numpy())
+    w.add_tensor("output.weight", sd["lm_head.weight"].float().numpy())
+    for il in range(cfg.num_hidden_layers):
+        pre = f"backbone.layers.{il}"
+        bl = f"blk.{il}"
+        w.add_tensor(f"{bl}.attn_norm.weight", sd[f"{pre}.norm.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ssm_in.weight", sd[f"{pre}.mixer.in_proj.weight"].float().numpy())
+        w.add_tensor(
+            f"{bl}.ssm_conv1d.weight",
+            sd[f"{pre}.mixer.conv1d.weight"].squeeze(1).float().numpy(),
+        )
+        w.add_tensor(f"{bl}.ssm_conv1d.bias", sd[f"{pre}.mixer.conv1d.bias"].float().numpy())
+        w.add_tensor(f"{bl}.ssm_x.weight", sd[f"{pre}.mixer.x_proj.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ssm_dt.weight", sd[f"{pre}.mixer.dt_proj.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ssm_dt.bias", sd[f"{pre}.mixer.dt_proj.bias"].float().numpy())
+        # convert_hf_to_gguf MambaModel: A stored as -exp(A_log)
+        w.add_tensor(
+            f"{bl}.ssm_a", (-torch.exp(sd[f"{pre}.mixer.A_log"].float())).numpy()
+        )
+        w.add_tensor(f"{bl}.ssm_d", sd[f"{pre}.mixer.D"].float().numpy())
+        w.add_tensor(f"{bl}.ssm_out.weight", sd[f"{pre}.mixer.out_proj.weight"].float().numpy())
+    w.write()
+    return path, model
+
+
+def test_mamba_parity(tmp_path):
+    path, model = _convert_mamba(tmp_path)
+    _assert_close(_our_logits(path), _hf_logits(model), atol=5e-3)
+
+
+def test_mamba_decode_matches_prefill(tmp_path):
+    """State carried across decode steps must reproduce one-shot prefill
+    (the recurrent-memory analog of KV-cache consistency)."""
+    path, model = _convert_mamba(tmp_path)
+    m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+    eng = Engine(m.params, m.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    full = eng.prefill_logits(TOKENS)
+    eng2 = Engine(m.params, m.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    last = eng2.prefill(TOKENS[:4])
+    np.testing.assert_allclose(last, full[3], atol=1e-4)
+    for i, tok in enumerate(TOKENS[4:]):
+        logits = eng2.decode_one(np.array([tok]))
+        np.testing.assert_allclose(logits[0], full[4 + i], atol=1e-4)
