@@ -32,13 +32,6 @@ from ..runtime.sampler import SamplerChain, SamplerParams
 
 IDLE, PROMPT, GENERATING = 0, 1, 2
 
-DEFAULT_CHAT_TEMPLATE = (
-    "{% for message in messages %}"
-    "{{'<|im_start|>' + message['role'] + '\n' + message['content'] + '<|im_end|>\n'}}"
-    "{% endfor %}"
-    "{% if add_generation_prompt %}{{'<|im_start|>assistant\n'}}{% endif %}"
-)
-
 
 @dataclass
 class Task:
@@ -239,26 +232,18 @@ class ServerContext:
 
     # -- request handling ----------------------------------------------------
     def apply_chat_template(self, messages, add_generation_prompt=True, tools=None) -> str:
-        import jinja2
+        from ..runtime.chat import render_template
 
-        template = (self.model.vocab.chat_template if self.model.vocab else None) or (
-            DEFAULT_CHAT_TEMPLATE
+        template = self.model.vocab.chat_template if self.model.vocab else None
+        v = self.model.vocab
+        return render_template(
+            template,
+            messages,
+            add_generation_prompt=add_generation_prompt,
+            tools=tools,
+            bos_token=v.tokens[v.bos_id] if v and v.bos_id >= 0 else "",
+            eos_token=v.tokens[v.eos_id] if v and v.eos_id >= 0 else "",
         )
-        env = jinja2.Environment(loader=jinja2.BaseLoader(), keep_trailing_newline=True)
-        env.globals["raise_exception"] = lambda msg: (_ for _ in ()).throw(ValueError(msg))
-        try:
-            tmpl = env.from_string(template)
-            v = self.model.vocab
-            return tmpl.render(
-                messages=messages,
-                add_generation_prompt=add_generation_prompt,
-                tools=tools,
-                bos_token=v.tokens[v.bos_id] if v and v.bos_id >= 0 else "",
-                eos_token=v.tokens[v.eos_id] if v and v.eos_id >= 0 else "",
-            )
-        except Exception:
-            tmpl = env.from_string(DEFAULT_CHAT_TEMPLATE)
-            return tmpl.render(messages=messages, add_generation_prompt=add_generation_prompt)
 
     def make_task(self, body: dict, kind: str) -> Task:
         v = self.model.vocab
@@ -564,6 +549,29 @@ def make_handler(ctx: ServerContext):
             result = {}
             self._run_task(task, lambda m: parts.append(m["content"]), result.update)
             text = "".join(parts) + result.get("content", "")
+            # reasoning extraction (<think>/<rr>; common/chat-parser.cpp) and
+            # tool-call parsing when the request declared tools
+            from ..runtime.chat import parse_reasoning, parse_tool_calls
+
+            reasoning_fmt = body.get("reasoning_format", "deepseek")
+            text, reasoning = parse_reasoning(text, reasoning_fmt)
+            message = {"role": "assistant", "content": text}
+            finish = "stop" if result.get("stop_reason") == "eos" else "length"
+            if reasoning:
+                message["reasoning_content"] = reasoning
+            if body.get("tools"):
+                parsed = parse_tool_calls(text)
+                if parsed.tool_calls:
+                    message["content"] = parsed.content or None
+                    message["tool_calls"] = [
+                        {
+                            "id": f"call_{i}",
+                            "type": "function",
+                            "function": tc,
+                        }
+                        for i, tc in enumerate(parsed.tool_calls)
+                    ]
+                    finish = "tool_calls"
             self._json({
                 "id": task.id,
                 "object": "chat.completion",
@@ -571,8 +579,8 @@ def make_handler(ctx: ServerContext):
                 "model": model_name,
                 "choices": [{
                     "index": 0,
-                    "message": {"role": "assistant", "content": text},
-                    "finish_reason": "stop" if result.get("stop_reason") == "eos" else "length",
+                    "message": message,
+                    "finish_reason": finish,
                 }],
                 "usage": {
                     "prompt_tokens": len(task.prompt_ids),
