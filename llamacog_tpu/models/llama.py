@@ -66,13 +66,18 @@ def _linear(x: jnp.ndarray, layer: dict, key: str) -> jnp.ndarray:
     b = layer.get(key + "_b")
     if b is not None:
         out = out + b.astype(out.dtype)
+    lora = layer.get(key + "_lora")
+    if lora is not None:
+        # out += scale * B(A x)  (build_lora_mm, src/llama-graph.cpp:410-431)
+        xa = x.astype(jnp.float32) @ lora["a"].T
+        out = out + (lora["scale"] * (xa @ lora["b"].T)).astype(out.dtype)
     return out
 
 
 def _ffn(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     """Gated (SwiGLU/GeGLU) or plain MLP, per available tensors."""
     if "ffn_gate_up" in layer:
-        gu = qmatmul(x, layer["ffn_gate_up"])
+        gu = _linear(x, layer, "ffn_gate_up")
         gate, up = jnp.split(gu, 2, axis=-1)
         h = (_act(gate, cfg.ffn_act) * up.astype(jnp.float32)).astype(x.dtype)
     elif "ffn_gate" in layer:
@@ -218,6 +223,8 @@ def forward(
             # phi2-style: FFN reads the same attn_norm output, one residual add
             ffn = _ffn(layer, h, cfg)
             x = x + attn + ffn
+            if "cvec" in params:
+                x = x + params["cvec"][il].astype(x.dtype)
             continue
         x = x + attn
         if "ffn_norm" in layer:
@@ -231,6 +238,8 @@ def forward(
         if cfg.post_norms and "ffn_post_norm" in layer:
             ffn = _norm(ffn, layer, "ffn_post_norm", cfg)
         x = x + ffn
+        if "cvec" in params:  # control vector (build_cvec, llama-adapter.cpp:21)
+            x = x + params["cvec"][il].astype(x.dtype)
 
     if cfg.norm_type == "layer":
         x = layer_norm(x, params["output_norm"], params.get("output_norm_b"), cfg.norm_eps)
@@ -242,6 +251,9 @@ def forward(
     logits = qmatmul(x, out_w).astype(jnp.float32)
     if "output_b" in params:
         logits = logits + params["output_b"].astype(jnp.float32)
+    if "output_lora" in params and "output" in params:
+        lo = params["output_lora"]
+        logits = logits + lo["scale"] * ((x.astype(jnp.float32) @ lo["a"].T) @ lo["b"].T)
     if cfg.final_logit_softcap > 0.0:
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
     return logits, cache

@@ -14,6 +14,9 @@ def main(argv=None) -> int:
     p.add_argument("--mode", choices=("quantized", "dequant"), default="quantized")
     p.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
     p.add_argument("--device", choices=("auto", "cpu", "tpu"), default="auto")
+    p.add_argument("--lora", action="append", default=[], help="LoRA adapter GGUF")
+    p.add_argument("--control-vector", default=None, help="control vector GGUF")
+    p.add_argument("--control-vector-scale", type=float, default=1.0)
     args = p.parse_args(argv)
 
     if args.device != "auto":
@@ -27,9 +30,22 @@ def main(argv=None) -> int:
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = load_model(args.model, mode=args.mode, dtype=dtype)
+    loras = []
+    if args.lora:
+        from ..runtime.lora import load_lora
+
+        loras = [load_lora(p) for p in args.lora]
+    if args.control_vector:
+        from ..runtime.lora import attach_control_vector, load_control_vector
+
+        attach_control_vector(
+            model.params, load_control_vector(args.control_vector),
+            model.config.n_layer, model.config.n_embd,
+            strength=args.control_vector_scale,
+        )
     ctx, httpd = serve(
         model, host=args.host, port=args.port, n_slots=args.n_slots,
-        ctx_size=args.ctx_size, dtype=dtype,
+        ctx_size=args.ctx_size, dtype=dtype, loras=loras,
     )
     print(f"llamacog-server listening on http://{args.host}:{args.port} "
           f"({args.n_slots} slots, ctx {args.ctx_size})", file=sys.stderr)

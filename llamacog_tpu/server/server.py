@@ -61,10 +61,18 @@ class Slot:
 
 
 class ServerContext:
-    def __init__(self, model: Model, n_slots: int = 4, ctx_size: int = 2048, dtype=None):
+    def __init__(
+        self, model: Model, n_slots: int = 4, ctx_size: int = 2048, dtype=None,
+        loras=None,
+    ):
         import jax.numpy as jnp
 
         self.model = model
+        self.loras = list(loras or [])  # LoraAdapter list (llama_set_adapter_lora)
+        for ad in self.loras:
+            from ..runtime.lora import attach_lora
+
+            attach_lora(model.params, ad)
         self.engine = Engine(
             model.params, model.config, batch_size=n_slots,
             max_seq=ctx_size, dtype=dtype or jnp.bfloat16,
@@ -378,6 +386,11 @@ def make_handler(ctx: ServerContext):
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
+            elif path == "/lora-adapters":
+                self._json([
+                    {"id": i, "path": ad.path, "scale": ad.scale}
+                    for i, ad in enumerate(ctx.loras)
+                ])
             elif path == "/slots":
                 self._json([
                     {
@@ -414,6 +427,19 @@ def make_handler(ctx: ServerContext):
                 self._json({"content": text})
             elif path == "/apply-template":
                 self._json({"prompt": ctx.apply_chat_template(body.get("messages", []))})
+            elif path == "/lora-adapters":
+                from ..runtime.lora import set_lora_scale
+
+                for entry in body if isinstance(body, list) else []:
+                    i = int(entry.get("id", -1))
+                    if 0 <= i < len(ctx.loras):
+                        set_lora_scale(
+                            ctx.model.params, ctx.loras[i], float(entry.get("scale", 1.0))
+                        )
+                self._json([
+                    {"id": i, "path": ad.path, "scale": ad.scale}
+                    for i, ad in enumerate(ctx.loras)
+                ])
             elif path in ("/embedding", "/embeddings", "/v1/embeddings"):
                 inp = body.get("input", body.get("content", ""))
                 texts = inp if isinstance(inp, list) else [inp]
@@ -592,8 +618,11 @@ def make_handler(ctx: ServerContext):
     return Handler
 
 
-def serve(model: Model, host="127.0.0.1", port=8080, n_slots=4, ctx_size=2048, dtype=None):
-    ctx = ServerContext(model, n_slots=n_slots, ctx_size=ctx_size, dtype=dtype)
+def serve(
+    model: Model, host="127.0.0.1", port=8080, n_slots=4, ctx_size=2048, dtype=None,
+    loras=None,
+):
+    ctx = ServerContext(model, n_slots=n_slots, ctx_size=ctx_size, dtype=dtype, loras=loras)
     ctx.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(ctx))
     return ctx, httpd
