@@ -36,7 +36,9 @@ def save_row_state(engine: Engine, path: str, row: int = 0, tokens: list[int] | 
         arrays["kind"] = np.frombuffer(b"dense", dtype=np.uint8)
         arrays["k"] = np.asarray(c.k[:, row, :n])
         arrays["v"] = np.asarray(c.v[:, row, :n])
-    np.savez_compressed(path, **arrays)
+    # write through a handle: np.savez would append ".npz" to bare paths
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
 
 
 def load_row_state(engine: Engine, path: str, row: int = 0) -> list[int]:

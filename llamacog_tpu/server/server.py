@@ -15,7 +15,9 @@ Endpoints: /health, /props, /metrics, /slots, /v1/models, /completion(s),
 from __future__ import annotations
 
 import json
+import os
 import queue
+import tempfile
 import threading
 import time
 import uuid
@@ -80,6 +82,7 @@ class ServerContext:
         self.slots = [Slot(i) for i in range(n_slots)]
         self.pending: "queue.Queue[Task]" = queue.Queue()
         self.ctx_size = ctx_size
+        self.slot_save_path = tempfile.mkdtemp(prefix="llamacog_slots_")
         self.metrics = {
             "prompt_tokens_total": 0,
             "tokens_predicted_total": 0,
@@ -237,6 +240,95 @@ class ServerContext:
                 n = float(np.linalg.norm(vec)) or 1.0
                 out.append((vec / n).tolist())
         return out
+
+    # -- infill / rerank / slot persistence -----------------------------------
+    def format_infill(self, body: dict) -> list[int]:
+        """FIM prompt assembly (reference tools/server/utils.hpp:360-392):
+        [BOS] extra [FIM_PRE] prefix prompt [FIM_SUF] suffix [FIM_MID]
+        (suffix-first when the model wants SPM order)."""
+        v = self.model.vocab
+        tok = self.model.tokenizer
+        if v is None or v.fim_pre_id < 0 or v.fim_suf_id < 0 or v.fim_mid_id < 0:
+            raise ValueError("model does not support infill (no FIM tokens)")
+        prefix = tok.tokenize(str(body.get("input_prefix", "")), add_special=False)
+        suffix = tok.tokenize(str(body.get("input_suffix", "")), add_special=False)
+        prompt = body.get("prompt", "")
+        prompt_ids = (
+            [int(t) for t in prompt]
+            if isinstance(prompt, list)
+            else tok.tokenize(str(prompt), add_special=False)
+        )
+        extra: list[int] = []
+        for chunk in body.get("input_extra", []) or []:
+            text = str(chunk.get("text", ""))
+            fname = str(chunk.get("filename", ""))
+            if v.fim_rep_id >= 0 and fname:
+                extra.append(v.fim_rep_id)
+                extra += tok.tokenize(fname + "\n", add_special=False)
+            if v.fim_sep_id >= 0:
+                extra.append(v.fim_sep_id)
+            extra += tok.tokenize(text, add_special=False)
+        # budget: prefix:suffix = 3:1 of half the context
+        n_batch = max(self.ctx_size // 2, 8)
+        prefix = prefix[-(3 * n_batch // 4):]
+        suffix = suffix[: max(0, n_batch // 4 - 2 - len(prompt_ids))]
+        pre = [v.fim_pre_id] + prefix + prompt_ids
+        suf = [v.fim_suf_id] + suffix
+        spm = False  # PSM default; SPM models swap (tools/server/utils.hpp:376)
+        ids = (suf + pre) if spm else (pre + suf)
+        if v.add_bos and v.bos_id >= 0:
+            ids = [v.bos_id] + ids
+        return extra + ids + [v.fim_mid_id]
+
+    def rerank(self, query: str, documents: list[str]) -> list[float]:
+        """Query-document relevance via embedding cosine similarity.
+
+        (The reference's /rerank uses rank-pooled classifier models,
+        server.cpp /rerank; for decoder models without a rank head the
+        cosine score over pooled embeddings is the standard fallback.)"""
+        vecs = self.embed([query] + documents, pooling="mean")
+        q = np.asarray(vecs[0])
+        out = []
+        for d in vecs[1:]:
+            d = np.asarray(d)
+            out.append(float(q @ d))  # embed() already L2-normalizes
+        return out
+
+    def slot_action(self, slot_id: int, action: str, body: dict) -> dict:
+        """POST /slots/:id?action=save|restore|erase
+        (reference tools/server/server.cpp:4861, llama_state_seq_* backing)."""
+        from ..runtime.state import load_row_state, save_row_state
+
+        if not (0 <= slot_id < len(self.slots)):
+            raise ValueError(f"invalid slot id {slot_id}")
+        if action == "erase":
+            self.engine.clear_row(slot_id)
+            self.slots[slot_id].state = IDLE
+            self.slots[slot_id].task = None
+            return {"id_slot": slot_id, "n_erased": 1}
+        filename = str(body.get("filename", f"slot_{slot_id}.bin"))
+        if "/" in filename or filename.startswith("."):
+            raise ValueError("invalid filename")
+        path = os.path.join(self.slot_save_path, filename)
+        if action == "save":
+            t0 = time.time()
+            save_row_state(self.engine, path, row=slot_id)
+            n = int(self.engine.seq_len[slot_id])
+            return {
+                "id_slot": slot_id, "filename": filename, "n_saved": n,
+                "n_written": os.path.getsize(path),
+                "timings": {"save_ms": (time.time() - t0) * 1e3},
+            }
+        if action == "restore":
+            t0 = time.time()
+            load_row_state(self.engine, path, row=slot_id)
+            n = int(self.engine.seq_len[slot_id])
+            return {
+                "id_slot": slot_id, "filename": filename, "n_restored": n,
+                "n_read": os.path.getsize(path),
+                "timings": {"restore_ms": (time.time() - t0) * 1e3},
+            }
+        raise ValueError(f"unknown action {action!r}")
 
     # -- request handling ----------------------------------------------------
     def apply_chat_template(self, messages, add_generation_prompt=True, tools=None) -> str:
@@ -440,6 +532,49 @@ def make_handler(ctx: ServerContext):
                     {"id": i, "path": ad.path, "scale": ad.scale}
                     for i, ad in enumerate(ctx.loras)
                 ])
+            elif path == "/infill":
+                try:
+                    body["prompt"] = ctx.format_infill(body)
+                except ValueError as e:
+                    self._json({"error": {"message": str(e)}}, 400)
+                    return
+                self._completion(body, openai=False)
+            elif path in ("/rerank", "/reranking", "/v1/rerank", "/v1/reranking"):
+                query = str(body.get("query", ""))
+                docs = [str(d) for d in body.get("documents", [])]
+                if not query or not docs:
+                    self._json({"error": {"message": "query and documents required"}}, 400)
+                    return
+                scores = ctx.rerank(query, docs)
+                results = [
+                    {"index": i, "relevance_score": float(s)} for i, s in enumerate(scores)
+                ]
+                if bool(body.get("top_n")):
+                    results = sorted(
+                        results, key=lambda r: -r["relevance_score"]
+                    )[: int(body["top_n"])]
+                self._json({
+                    "model": ctx.model.config.metadata.get("general.name", "model"),
+                    "object": "list",
+                    "results": results,
+                })
+            elif path.startswith("/slots/"):
+                try:
+                    slot_id = int(path.split("/")[2])
+                except (IndexError, ValueError):
+                    self._json({"error": {"message": "bad slot id"}}, 400)
+                    return
+                action = ""
+                if "?" in self.path:
+                    from urllib.parse import parse_qs
+
+                    action = parse_qs(self.path.split("?", 1)[1]).get("action", [""])[0]
+                try:
+                    out = ctx.slot_action(slot_id, action, body)
+                except Exception as e:
+                    self._json({"error": {"message": str(e)}}, 400)
+                    return
+                self._json(out)
             elif path in ("/embedding", "/embeddings", "/v1/embeddings"):
                 inp = body.get("input", body.get("content", ""))
                 texts = inp if isinstance(inp, list) else [inp]

@@ -25,6 +25,7 @@ def make_tiny_llama_gguf(
     n_expert: int = 0,
     n_expert_used: int = 0,
     seed: int = 0,
+    extra_metadata: dict | None = None,
 ) -> str:
     rng = np.random.default_rng(seed)
     head_dim = n_embd // n_head
@@ -53,6 +54,8 @@ def make_tiny_llama_gguf(
     w.add("tokenizer.ggml.bos_token_id", 1)
     w.add("tokenizer.ggml.eos_token_id", 2)
     w.add("tokenizer.ggml.unknown_token_id", 0)
+    for k, v in (extra_metadata or {}).items():
+        w.add(k, v)
 
     def rand(*shape):
         return (rng.standard_normal(shape) * 0.05).astype(np.float32)

@@ -167,3 +167,64 @@ def test_embeddings(server):
     assert len(body["data"]) == 2
     v = np.array(body["data"][0]["embedding"])
     assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+
+def test_rerank(server):
+    body, _ = _post(server + "/rerank", {
+        "query": "hello world",
+        "documents": ["hello world", "completely different", "hello"],
+    })
+    assert "results" in body and len(body["results"]) == 3
+    scores = [r["relevance_score"] for r in body["results"]]
+    assert all(isinstance(s, float) for s in scores)
+    # identical document should score highest
+    assert scores[0] == max(scores)
+
+
+def test_slot_save_restore_erase(server):
+    # prime slot 0 with a completion
+    _post(server + "/completion", {"prompt": "hello", "n_predict": 2})
+    body, _ = _post(server + "/slots/0?action=save", {"filename": "t.bin"})
+    assert body["id_slot"] == 0 and body["n_saved"] >= 0
+    body, _ = _post(server + "/slots/0?action=restore", {"filename": "t.bin"})
+    assert body["n_restored"] == body.get("n_restored")
+    body, _ = _post(server + "/slots/0?action=erase", {})
+    assert body["n_erased"] == 1
+
+
+def test_lora_adapters_endpoint(server):
+    body, _ = _get(server + "/lora-adapters")
+    assert body == []
+
+
+def test_infill_no_fim_tokens(server):
+    # tiny model has no FIM tokens -> clean 400
+    import urllib.error
+
+    try:
+        _post(server + "/infill", {"input_prefix": "a", "input_suffix": "b"})
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
+
+
+def test_infill_with_fim_tokens(tmp_path):
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.server.server import ServerContext
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / "fim.gguf")
+    make_tiny_llama_gguf(path, extra_metadata={
+        "tokenizer.ggml.fim_pre_token_id": 3,
+        "tokenizer.ggml.fim_suf_token_id": 4,
+        "tokenizer.ggml.fim_mid_token_id": 5,
+    })
+    model = load_model(path, dtype=jnp.float32)
+    ctx = ServerContext(model, n_slots=1, ctx_size=64, dtype=jnp.float32)
+    ids = ctx.format_infill({"input_prefix": "ab", "input_suffix": "cd"})
+    assert ids[-1] == 5  # FIM_MID last
+    assert 3 in ids and 4 in ids
+    assert ids.index(3) < ids.index(4)  # PSM order
