@@ -526,8 +526,22 @@ DEQUANT_FNS = {
 }
 
 
+# tensors at least this large go through the threaded C++ decoder when built
+_NATIVE_MIN_ELEMS = 1 << 16
+
+
 def dequantize(data: np.ndarray, ggml_type: GGMLType, n_elements: int) -> np.ndarray:
-    """Dequantize a flat buffer of `n_elements` to float32."""
+    """Dequantize a flat buffer of `n_elements` to float32.
+
+    Large tensors route through the native threaded decoder
+    (csrc/lcg_codecs.cpp, bit-exact per tests/test_native.py); everything
+    else uses the vectorized numpy reference path."""
+    if n_elements >= _NATIVE_MIN_ELEMS:
+        from .. import native
+
+        out = native.dequantize(data, ggml_type, n_elements)
+        if out is not None:
+            return out
     fn = DEQUANT_FNS.get(ggml_type)
     if fn is None:
         raise NotImplementedError(f"dequantize not implemented for {ggml_type.name}")
