@@ -36,7 +36,11 @@ from .config import ModelConfig
 def embed_tokens(params: dict, tokens: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     emb = params["tok_embd"]
     if isinstance(emb, QuantTensor):
-        emb = decode(emb, dtype=dtype)  # [V, E]
+        # gather plane rows first, decode only the looked-up tokens —
+        # never dequantize the whole [V, E] table inside the step
+        from ..quant.planar import decode_rows
+
+        return decode_rows(emb, tokens, dtype=dtype)
     return jnp.take(emb, tokens, axis=0).astype(dtype)
 
 

@@ -511,6 +511,26 @@ def decode(qt: QuantTensor, dtype=jnp.float32) -> jnp.ndarray:
     return w.reshape(qt.shape).astype(dtype)
 
 
+def gather_rows(qt: QuantTensor, idx: jnp.ndarray) -> QuantTensor:
+    """Row-gather a planar tensor: planes are all [N, ...], so taking rows
+    first and decoding after costs O(len(idx)·K) instead of O(N·K) — the
+    token-embedding lookup path (decode must never dequantize the whole
+    vocab table)."""
+    if len(qt.shape) != 2:
+        raise ValueError("gather_rows expects a 2-D QuantTensor")
+    flat_idx = idx.reshape(-1)
+    planes = {k: jnp.take(v, flat_idx, axis=0) for k, v in qt.planes.items()}
+    return QuantTensor(qt.kind, (int(flat_idx.shape[0]), qt.shape[-1]), planes)
+
+
+def decode_rows(qt: QuantTensor, idx: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """decode(qt)[idx] without materializing the full table. Returns
+    [*idx.shape, K]."""
+    sub = gather_rows(qt, idx)
+    out = decode(sub, dtype=dtype)
+    return out.reshape(*idx.shape, qt.shape[-1])
+
+
 def permute_activation(x: jnp.ndarray, qt: QuantTensor) -> jnp.ndarray:
     """Reorder x's K axis into the QuantTensor's strided column order."""
     R = qt.group_size

@@ -102,6 +102,53 @@ class Engine:
 
         self._embed_step = embed_step
 
+        @functools.partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
+        def greedy_loop(params, cache, tok, seq_len, n):
+            """Device-side greedy decode: the token feedback never leaves the
+            chip, so N tokens cost one host round-trip (the reference's
+            decode loop is host-driven; on TPU the host<->device latency
+            would dominate single-stream decode)."""
+            B = tok.shape[0]
+            out_toks = jnp.zeros((B, n), dtype=jnp.int32)
+
+            def body(i, state):
+                cache, tok, seq_len, out_toks = state
+                write_pos = seq_len
+                positions = write_pos[:, None]
+                mask = build_causal_mask(write_pos, 1, cache.max_seq,
+                                         seq_len=seq_len + 1)
+                swa_mask = None
+                if config.sliding_window > 0:
+                    swa_mask = build_causal_mask(
+                        write_pos, 1, cache.max_seq, seq_len=seq_len + 1,
+                        sliding_window=config.sliding_window,
+                    )
+                logits, cache = forward(
+                    params, config, tok[:, None], positions, cache, write_pos,
+                    mask, swa_mask=swa_mask, dtype=dtype,
+                )
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                out_toks = out_toks.at[:, i].set(nxt)
+                return (cache, nxt, seq_len + 1, out_toks)
+
+            cache, tok, seq_len, out_toks = jax.lax.fori_loop(
+                0, n, body, (cache, tok, seq_len, out_toks)
+            )
+            return cache, out_toks, seq_len
+
+        self._greedy_loop = greedy_loop
+
+    def decode_greedy_tokens(self, first_tokens: np.ndarray, n: int) -> np.ndarray:
+        """Run n greedy decode steps fully on device; returns [B, n] tokens.
+        first_tokens are consumed as step 0's input."""
+        tok = jnp.asarray(first_tokens, dtype=jnp.int32)
+        seq_len = jnp.asarray(self.seq_len)
+        self.cache, out, new_len = self._greedy_loop(
+            self.params, self.cache, tok, seq_len, n
+        )
+        self.seq_len = np.array(new_len)  # writable host copy
+        return np.asarray(out)
+
     def _init_recurrent(self):
         """Mamba-family state path: the 'cache' is per-layer (conv, ssm)
         state (reference llama_memory_recurrent, src/llama-memory-recurrent.h).
@@ -298,6 +345,21 @@ class Engine:
         logits = self.prefill(prompt_tokens)
         out = []
         tok = int(np.argmax(logits))
+        if not self.recurrent and max_new_tokens > 1:
+            # on-device loop: one host round-trip for the whole generation
+            out.append(tok)
+            if tok in eog_ids:
+                return GenerationResult(tokens=out)
+            n = min(max_new_tokens - 1, self.max_seq - int(self.seq_len[0]) - 1)
+            if n > 0:
+                toks = self.decode_greedy_tokens(
+                    np.array([tok] * self.batch_size), n
+                )[0]
+                for t in toks:
+                    out.append(int(t))
+                    if int(t) in eog_ids:
+                        break
+            return GenerationResult(tokens=out)
         for _ in range(max_new_tokens):
             out.append(tok)
             if tok in eog_ids:
