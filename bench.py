@@ -29,7 +29,7 @@ SHAPE = dict(
     n_ctx=2048,
 )
 QUANT = os.environ.get("LLAMACOG_BENCH_QUANT", "Q4_0")
-N_DECODE = int(os.environ.get("LLAMACOG_BENCH_TOKENS", "64"))
+N_DECODE = int(os.environ.get("LLAMACOG_BENCH_TOKENS", "256"))
 
 # HBM bandwidth per chip (v5e ≈ 819 GB/s); override for other hw
 HBM_BW = float(os.environ.get("LLAMACOG_HBM_BW", 819e9))
@@ -79,23 +79,7 @@ def main() -> None:
     prompt = list(range(2, 130))
     engine.prefill(prompt)
 
-    # probe the achievable streaming bandwidth on this device (bf16 matvec)
-    # so the roofline reflects the real chip, not an assumed spec sheet
-    probe_n, probe_k = 16384, 8192
-    wprobe = jax.random.normal(
-        jax.random.PRNGKey(0), (probe_n, probe_k), jnp.bfloat16
-    )
-    xprobe = jnp.ones((1, probe_k), jnp.bfloat16)
-    mv = jax.jit(lambda x, w: x @ w.T)
-    mv(xprobe, wprobe).block_until_ready()
-    t0 = time.time()
-    for _ in range(20):
-        r = mv(xprobe, wprobe)
-    r.block_until_ready()
-    probe_bw = wprobe.nbytes * 20 / (time.time() - t0)
-    hbm_bw = max(HBM_BW, probe_bw)
-    print(f"[bench] probe bandwidth {probe_bw/1e9:.0f} GB/s", file=sys.stderr)
-
+    hbm_bw = HBM_BW
     # on-device greedy loop: token feedback never leaves the chip
     tok = np.array([5])
     engine.decode_greedy_tokens(tok, N_DECODE)  # warmup/compile

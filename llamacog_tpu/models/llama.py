@@ -165,25 +165,50 @@ def _rope_factors(params: dict, cfg: ModelConfig, max_seq: int):
     return None
 
 
+def _build_masks(cfg: ModelConfig, write_pos: jnp.ndarray, t: int, s_max: int):
+    """(old-cache mask [B,T,S], intra-block mask [T,T]) pairs for normal and
+    SWA layers. The cache is read as-is (old contents only) and the current
+    block's keys are attended explicitly, so the old mask allows exactly the
+    slots below write_pos."""
+    from ..runtime.kv_cache import build_causal_mask
+
+    w = cfg.sliding_window
+    mask = build_causal_mask(write_pos, t, s_max, seq_len=write_pos)
+    ti = jnp.arange(t)
+    ok = ti[None, :] <= ti[:, None]  # [T,T] keys j <= queries i
+    intra = jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)
+    if w <= 0:
+        return (mask, intra), (mask, intra)
+    swa_mask = build_causal_mask(write_pos, t, s_max, seq_len=write_pos, sliding_window=w)
+    ok_swa = ok & (ti[None, :] > ti[:, None] - w)
+    intra_swa = jnp.where(ok_swa, 0.0, -jnp.inf).astype(jnp.float32)
+    return (mask, intra), (swa_mask, intra_swa)
+
+
 def forward(
     params: dict,
     cfg: ModelConfig,
     tokens: jnp.ndarray,  # [B, T]
     positions: jnp.ndarray,  # [B, T] absolute positions
     cache: KVCache,
-    write_pos: jnp.ndarray,  # [B] cache write offsets
-    mask: jnp.ndarray,  # [B, T, S] additive
-    swa_mask: jnp.ndarray | None = None,  # [B, T, S] for SWA layers
+    write_pos: jnp.ndarray,  # [B] cache write offsets (= valid old length)
     dtype=jnp.bfloat16,
     return_hidden: bool = False,
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (logits [B, T, V] f32, updated cache); with return_hidden,
     the first element is the final-norm hidden state [B, T, E] instead
-    (embeddings path, reference llama_context::encode pooling)."""
+    (embeddings path, reference llama_context::encode pooling).
+
+    KV writes are deferred: layers read the old cache and attend to the
+    current block explicitly; one bulk write_all lands all layers' K/V."""
     B, T = tokens.shape
     H, Hkv = cfg.n_head, cfg.n_head_kv
     Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
     scale = cfg.kq_scale
+    (mask, intra), (swa_mask, intra_swa) = _build_masks(
+        cfg, write_pos, T, int(cache.max_seq)
+    )
+    new_ks, new_vs = [], []
 
     x = embed_tokens(params, tokens, dtype=dtype)
     if cfg.embd_scale != 1.0:
@@ -215,10 +240,13 @@ def forward(
         rope_cfg = cfg.rope_swa if is_swa else cfg.rope
         q = apply_rope(q, positions, rope_cfg, freq_factors)
         k = apply_rope(k, positions, rope_cfg, freq_factors)
-        cache, k_all, v_all = cache.update(il, k, v, write_pos)
-        m = swa_mask if (swa_mask is not None and is_swa) else mask
+        new_ks.append(k)
+        new_vs.append(v)
+        k_old, v_old = cache.read(il)
+        m, im = (swa_mask, intra_swa) if is_swa else (mask, intra)
         attn = masked_attention(
-            q, k_all, v_all, m, scale, logit_softcap=cfg.attn_logit_softcap
+            q, k_old, v_old, m, scale, logit_softcap=cfg.attn_logit_softcap,
+            k_cur=k, v_cur=v, intra_mask=im,
         )
         attn = _linear(attn.reshape(B, T, H * Dv), layer, "attn_output")
         if cfg.post_norms and "attn_post_norm" in layer:
@@ -245,6 +273,7 @@ def forward(
         if "cvec" in params:  # control vector (build_cvec, llama-adapter.cpp:21)
             x = x + params["cvec"][il].astype(x.dtype)
 
+    cache = cache.write_all(jnp.stack(new_ks), jnp.stack(new_vs), write_pos)
     if cfg.norm_type == "layer":
         x = layer_norm(x, params["output_norm"], params.get("output_norm_b"), cfg.norm_eps)
     else:

@@ -20,22 +20,47 @@ def masked_attention(
     mask: jnp.ndarray,  # [B, T, S] additive (0 or -inf), f32
     scale: float,
     logit_softcap: float = 0.0,
+    k_cur: jnp.ndarray | None = None,  # [B, T, Hkv, Dk] this step's keys
+    v_cur: jnp.ndarray | None = None,
+    intra_mask: jnp.ndarray | None = None,  # [T, T] additive, within-block
 ) -> jnp.ndarray:  # [B, T, H, Dv]
+    """Attention over the (old) cache plus, optionally, the current block's
+    keys/values handled explicitly. Splitting "old cache" from "current
+    tokens" lets the KV write be deferred to one bulk update per step
+    instead of a read-modify-write per layer (the decode-time hot spot)."""
     B, T, H, Dk = q.shape
     Hkv = k.shape[2]
     rep = H // Hkv
     qf = q.astype(jnp.float32).reshape(B, T, Hkv, rep, Dk)
     kf = k.astype(jnp.float32)
     scores = jnp.einsum("bthrd,bshd->bhrts", qf, kf) * scale  # [B,Hkv,rep,T,S]
+    if k_cur is not None:
+        sc_cur = jnp.einsum(
+            "bthrd,bshd->bhrts", qf, k_cur.astype(jnp.float32)
+        ) * scale  # [B,Hkv,rep,T,T]
+        scores = jnp.concatenate([scores, sc_cur], axis=-1)
     if logit_softcap > 0.0:
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     # select (not add) the mask: masked cache slots may hold garbage —
     # including NaN from fully-masked pad rows — which must not reach the
     # softmax. The finite floor keeps fully-masked rows NaN-free (uniform
     # garbage that downstream masking discards).
-    allowed = mask[:, None, None, :, :] >= 0
+    full_mask = mask
+    if k_cur is not None:
+        im = intra_mask if intra_mask is not None else jnp.zeros((T, T), jnp.float32)
+        full_mask = jnp.concatenate(
+            [mask, jnp.broadcast_to(im[None], (B, T, T))], axis=-1
+        )
+    allowed = full_mask[:, None, None, :, :] >= 0
     scores = jnp.where(allowed, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     vf = v.astype(jnp.float32)
-    out = jnp.einsum("bhrts,bshd->bthrd", probs, vf)
+    if k_cur is not None:
+        S = k.shape[1]
+        out = jnp.einsum("bhrts,bshd->bthrd", probs[..., :S], vf)
+        out = out + jnp.einsum(
+            "bhrts,bshd->bthrd", probs[..., S:], v_cur.astype(jnp.float32)
+        )
+    else:
+        out = jnp.einsum("bhrts,bshd->bthrd", probs, vf)
     return out.reshape(B, T, H, -1).astype(q.dtype)

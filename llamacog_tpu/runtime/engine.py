@@ -75,16 +75,8 @@ class Engine:
         @functools.partial(jax.jit, static_argnames=("t",))
         def step(params, cache, tokens, write_pos, seq_len, t):
             positions = write_pos[:, None] + jnp.arange(t)[None, :]
-            mask = build_causal_mask(write_pos, t, cache.max_seq, seq_len=seq_len)
-            swa_mask = None
-            if config.sliding_window > 0:
-                swa_mask = build_causal_mask(
-                    write_pos, t, cache.max_seq, seq_len=seq_len,
-                    sliding_window=config.sliding_window,
-                )
             logits, cache = forward(
-                params, config, tokens, positions, cache, write_pos, mask,
-                swa_mask=swa_mask, dtype=dtype,
+                params, config, tokens, positions, cache, write_pos, dtype=dtype
             )
             return logits, cache
 
@@ -93,9 +85,8 @@ class Engine:
         @functools.partial(jax.jit, static_argnames=("t",))
         def embed_step(params, cache, tokens, write_pos, seq_len, t):
             positions = write_pos[:, None] + jnp.arange(t)[None, :]
-            mask = build_causal_mask(write_pos, t, cache.max_seq, seq_len=seq_len)
             hidden, cache = forward(
-                params, config, tokens, positions, cache, write_pos, mask,
+                params, config, tokens, positions, cache, write_pos,
                 dtype=dtype, return_hidden=True,
             )
             return hidden, cache
@@ -115,17 +106,9 @@ class Engine:
                 cache, tok, seq_len, out_toks = state
                 write_pos = seq_len
                 positions = write_pos[:, None]
-                mask = build_causal_mask(write_pos, 1, cache.max_seq,
-                                         seq_len=seq_len + 1)
-                swa_mask = None
-                if config.sliding_window > 0:
-                    swa_mask = build_causal_mask(
-                        write_pos, 1, cache.max_seq, seq_len=seq_len + 1,
-                        sliding_window=config.sliding_window,
-                    )
                 logits, cache = forward(
                     params, config, tok[:, None], positions, cache, write_pos,
-                    mask, swa_mask=swa_mask, dtype=dtype,
+                    dtype=dtype,
                 )
                 nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
                 out_toks = out_toks.at[:, i].set(nxt)

@@ -51,6 +51,30 @@ class KVCache:
         v_l = jax.vmap(write_row)(self.v[layer], v_new, write_pos)
         return KVCache(self.k.at[layer].set(k_l), self.v.at[layer].set(v_l)), k_l, v_l
 
+    def read(self, layer: int):
+        """(k, v) [B, S, Hkv, D] for one layer (old contents only)."""
+        return self.k[layer], self.v[layer]
+
+    def write_all(self, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray):
+        """Deferred bulk write: [L, B, T, Hkv, D] for ALL layers in two
+        dynamic-update-slices per batch row (one DUS per step instead of two
+        per layer — per-layer .at[il].set copies dominated decode time)."""
+
+        def write_row(k_col, v_col, kn, vn, pos):
+            # k_col [L, S, H, D], kn [L, T, H, D]
+            k_col = jax.lax.dynamic_update_slice(
+                k_col, kn.astype(k_col.dtype), (0, pos, 0, 0)
+            )
+            v_col = jax.lax.dynamic_update_slice(
+                v_col, vn.astype(v_col.dtype), (0, pos, 0, 0)
+            )
+            return k_col, v_col
+
+        k, v = jax.vmap(write_row, in_axes=(1, 1, 1, 1, 0), out_axes=(1, 1))(
+            self.k, self.v, k_new, v_new, write_pos
+        )
+        return KVCache(k, v)
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
@@ -135,6 +159,29 @@ class QuantKVCache:
         k_all = self._dequant(kq, ks, k_new.dtype)
         v_all = self._dequant(vq, vs, v_new.dtype)
         return new_cache, k_all, v_all
+
+    def read(self, layer: int):
+        k = self._dequant(self.k_q[layer], self.k_s[layer], jnp.bfloat16)
+        v = self._dequant(self.v_q[layer], self.v_s[layer], jnp.bfloat16)
+        return k, v
+
+    def write_all(self, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray):
+        kq_new, ks_new = self._quant(k_new)
+        vq_new, vs_new = self._quant(v_new)
+
+        def write_row(planes, news, pos):
+            return tuple(
+                jax.lax.dynamic_update_slice(
+                    c, n.astype(c.dtype), (0, pos) + (0,) * (c.ndim - 2)
+                )
+                for c, n in zip(planes, news)
+            )
+
+        kq, ks, vq, vs = jax.vmap(
+            lambda a, b, c, d, na, nb, nc, nd, p: write_row((a, b, c, d), (na, nb, nc, nd), p),
+            in_axes=(1,) * 8 + (0,), out_axes=(1, 1, 1, 1),
+        )(self.k_q, self.k_s, self.v_q, self.v_s, kq_new, ks_new, vq_new, vs_new, write_pos)
+        return QuantKVCache(kq, ks, vq, vs)
 
 
 def make_cache(kind: str, n_layers, batch, max_seq, n_head_kv, dk, dv, dtype=jnp.bfloat16):

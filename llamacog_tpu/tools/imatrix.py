@@ -104,9 +104,8 @@ def collect_imatrix(model, text: str, n_ctx: int = 512, max_chunks: int = 0,
             )
             toks = jnp.asarray(np.asarray(chunk, dtype=np.int32)[None, :])
             wp = jnp.zeros((1,), jnp.int32)
-            mask = build_causal_mask(wp, t, t, seq_len=jnp.full((1,), t, jnp.int32))
             pos = wp[:, None] + jnp.arange(t)[None, :]
-            forward(model.params, cfg, toks, pos, cache, wp, mask, dtype=jnp.float32)
+            forward(model.params, cfg, toks, pos, cache, wp, dtype=jnp.float32)
             collector.ncall += 1
             if progress:
                 progress(c + 1, n_chunk)

@@ -60,10 +60,8 @@ def _loss_fn(params, cfg: ModelConfig, tokens, targets, mask_valid, n_ctx):
     )
     write_pos = jnp.zeros((B,), jnp.int32)
     positions = jnp.arange(T)[None, :].repeat(B, 0)
-    seq_len = jnp.full((B,), T, jnp.int32)
-    mask = build_causal_mask(write_pos, T, n_ctx, seq_len=seq_len)
     logits, _ = forward(
-        params, cfg, tokens, positions, cache, write_pos, mask, dtype=jnp.float32
+        params, cfg, tokens, positions, cache, write_pos, dtype=jnp.float32
     )
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
