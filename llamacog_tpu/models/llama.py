@@ -194,6 +194,8 @@ def forward(
     write_pos: jnp.ndarray,  # [B] cache write offsets (= valid old length)
     dtype=jnp.bfloat16,
     return_hidden: bool = False,
+    input_embd: jnp.ndarray | None = None,  # [B, T, E] pre-computed embeddings
+    # (multimodal image chunks; llama_batch.embd path)
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (logits [B, T, V] f32, updated cache); with return_hidden,
     the first element is the final-norm hidden state [B, T, E] instead
@@ -210,9 +212,12 @@ def forward(
     )
     new_ks, new_vs = [], []
 
-    x = embed_tokens(params, tokens, dtype=dtype)
-    if cfg.embd_scale != 1.0:
-        x = x * jnp.asarray(cfg.embd_scale, dtype)
+    if input_embd is not None:
+        x = input_embd.astype(dtype)
+    else:
+        x = embed_tokens(params, tokens, dtype=dtype)
+        if cfg.embd_scale != 1.0:
+            x = x * jnp.asarray(cfg.embd_scale, dtype)
     if cfg.learned_pos_embd and "pos_embd" in params:
         pe = params["pos_embd"]
         if isinstance(pe, QuantTensor):

@@ -1,0 +1,266 @@
+"""CLIP/SigLIP-style vision encoder (functional JAX) + mmproj loading.
+
+The TPU replacement for the reference's ggml CLIP implementation
+(tools/mtmd/clip.cpp): a plain jitted ViT — patch conv as an unfold+matmul
+(MXU-friendly), learned positions, pre/post layernorm, standard MHA blocks,
+then the multimodal projector (LLaVA MLP `mm.0/mm.2`, clip-impl.h:78; gemma3
+`mm.input_projection`, :84).
+
+mmproj GGUF tensor names per tools/mtmd/clip-impl.h:57-95, metadata keys
+:16-46.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class ClipVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    n_embd: int = 1024
+    n_ff: int = 4096
+    n_layer: int = 24
+    n_head: int = 16
+    proj_dim: int = 4096  # text-model embedding size after projection
+    eps: float = 1e-5
+    use_gelu: bool = True  # else quick-gelu / silu per metadata
+    use_silu: bool = False
+    projector_type: str = "mlp"  # mlp (llava) | gemma3 | idefics3
+    image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
+    has_class_embd: bool = True
+
+    @property
+    def n_patches_side(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def n_patches(self) -> int:
+        return self.n_patches_side**2
+
+
+@dataclass
+class ClipVisionModel:
+    config: ClipVisionConfig
+    params: dict = field(default_factory=dict)
+
+    def preprocess(self, image: np.ndarray) -> np.ndarray:
+        """uint8/float HWC RGB -> normalized [3, S, S] f32 (bilinear resize;
+        reference clip.cpp image preprocessing with image_mean/std)."""
+        cfg = self.config
+        img = np.asarray(image)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        img = _resize_bilinear(img, cfg.image_size, cfg.image_size)
+        img = (img - np.asarray(cfg.image_mean)) / np.asarray(cfg.image_std)
+        return img.transpose(2, 0, 1).astype(np.float32)
+
+    def encode(self, pixels: np.ndarray) -> np.ndarray:
+        """[3, S, S] (or batch [B, 3, S, S]) -> projected embeddings
+        [n_tokens, n_embd_text]."""
+        x = jnp.asarray(pixels)
+        if x.ndim == 3:
+            x = x[None]
+        out = _encode_jit(self.params, x, _static_cfg(self.config))
+        return np.asarray(out[0] if pixels.ndim == 3 else out)
+
+
+def _static_cfg(cfg: ClipVisionConfig) -> tuple:
+    return (
+        cfg.patch_size, cfg.n_head, cfg.eps, cfg.use_gelu, cfg.use_silu,
+        cfg.projector_type, cfg.has_class_embd,
+    )
+
+
+def _act(x, use_gelu, use_silu):
+    xf = x.astype(jnp.float32)
+    if use_silu:
+        return jax.nn.silu(xf)
+    if use_gelu:
+        return jax.nn.gelu(xf, approximate=True)
+    return xf * jax.nn.sigmoid(1.702 * xf)  # quick-gelu (original CLIP)
+
+
+def _layer_norm(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * w
+    if b is not None:
+        out = out + b
+    return out
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _encode_jit(params, pixels, static):
+    patch_size, n_head, eps, use_gelu, use_silu, proj_type, has_cls = static
+    B, C, S, _ = pixels.shape
+    P = patch_size
+    n_side = S // P
+    # unfold patches -> [B, n_patches, C*P*P], conv == matmul with the
+    # flattened conv kernel (MXU path, no real conv needed)
+    x = pixels.reshape(B, C, n_side, P, n_side, P)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, n_side * n_side, C * P * P)
+    w = params["patch_embd"]  # [E, C*P*P]
+    x = x.astype(jnp.float32) @ w.T
+    if "patch_embd_b" in params:
+        x = x + params["patch_embd_b"]
+    if has_cls and "class_embd" in params:
+        cls = jnp.broadcast_to(params["class_embd"][None, None], (B, 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embd"][: x.shape[1]]
+    if "pre_ln" in params:
+        x = _layer_norm(x, params["pre_ln"], params.get("pre_ln_b"), eps)
+    E = x.shape[-1]
+    D = E // n_head
+    scale = D**-0.5
+    for layer in params["layers"]:
+        h = _layer_norm(x, layer["ln1"], layer.get("ln1_b"), eps)
+        q = (h @ layer["attn_q"].T + layer.get("attn_q_b", 0.0)).reshape(B, -1, n_head, D)
+        k = (h @ layer["attn_k"].T + layer.get("attn_k_b", 0.0)).reshape(B, -1, n_head, D)
+        v = (h @ layer["attn_v"].T + layer.get("attn_v_b", 0.0)).reshape(B, -1, n_head, D)
+        att = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+        att = jax.nn.softmax(att, axis=-1)
+        o = jnp.einsum("bhts,bshd->bthd", att, v).reshape(B, -1, E)
+        o = o @ layer["attn_out"].T + layer.get("attn_out_b", 0.0)
+        if "ls1" in layer:  # layer scale (InternVL)
+            o = o * layer["ls1"]
+        x = x + o
+        h = _layer_norm(x, layer["ln2"], layer.get("ln2_b"), eps)
+        if "ffn_gate" in layer:
+            ff = _act(h @ layer["ffn_gate"].T + layer.get("ffn_gate_b", 0.0),
+                      use_gelu, use_silu) * (h @ layer["ffn_up"].T + layer.get("ffn_up_b", 0.0))
+        else:
+            ff = _act(h @ layer["ffn_up"].T + layer.get("ffn_up_b", 0.0),
+                      use_gelu, use_silu)
+        ff = ff @ layer["ffn_down"].T + layer.get("ffn_down_b", 0.0)
+        if "ls2" in layer:
+            ff = ff * layer["ls2"]
+        x = x + ff
+    if "post_ln" in params:
+        x = _layer_norm(x, params["post_ln"], params.get("post_ln_b"), eps)
+    if has_cls:
+        x = x[:, 1:]  # patch tokens feed the LLM (LLaVA drops CLS)
+    # projector
+    if proj_type == "gemma3":
+        x = _layer_norm(x, params["mm_soft_emb_norm"], None, eps)
+        x = x @ params["mm_input_projection"]
+    elif "mm_0" in params:  # llava MLP: mm.0 -> gelu -> mm.2
+        x = x @ params["mm_0"].T + params.get("mm_0_b", 0.0)
+        x = jax.nn.gelu(x, approximate=False)
+        if "mm_2" in params:
+            x = x @ params["mm_2"].T + params.get("mm_2_b", 0.0)
+    return x
+
+
+def load_mmproj(path: str) -> ClipVisionModel:
+    """Load a .mmproj GGUF (clip.cpp format) into a ClipVisionModel."""
+    from ..gguf import GGUFModelReader
+    from ..quant.decode_np import dequantize_tensor
+
+    r = GGUFModelReader(path)
+    md = r.metadata
+
+    def g(key, default=None):
+        return md.get(key, default)
+
+    cfg = ClipVisionConfig(
+        image_size=int(g("clip.vision.image_size", 224)),
+        patch_size=int(g("clip.vision.patch_size", 14)),
+        n_embd=int(g("clip.vision.embedding_length", 1024)),
+        n_ff=int(g("clip.vision.feed_forward_length", 4096)),
+        n_layer=int(g("clip.vision.block_count", 24)),
+        n_head=int(g("clip.vision.attention.head_count", 16)),
+        proj_dim=int(g("clip.vision.projection_dim", 4096)),
+        eps=float(g("clip.vision.attention.layer_norm_epsilon", 1e-5)),
+        use_gelu=bool(g("clip.use_gelu", False)),
+        use_silu=bool(g("clip.use_silu", False)),
+        projector_type=str(g("clip.projector_type", "mlp")),
+        image_mean=tuple(g("clip.vision.image_mean", (0.48145466, 0.4578275, 0.40821073))),
+        image_std=tuple(g("clip.vision.image_std", (0.26862954, 0.26130258, 0.27577711))),
+    )
+
+    def t(name):
+        if name not in r.tensors:
+            return None
+        rd, ti = r.tensors[name]
+        arr = dequantize_tensor(rd.tensor_bytes(name), ti.ggml_type, ti.shape)
+        return jnp.asarray(arr, jnp.float32)
+
+    p: dict = {}
+    pe = t("v.patch_embd.weight")
+    if pe is None:
+        raise ValueError(f"{path}: no v.patch_embd.weight (not an mmproj gguf?)")
+    p["patch_embd"] = pe.reshape(pe.shape[0], -1)  # [E, C*P*P]
+    if (b := t("v.patch_embd.bias")) is not None:
+        p["patch_embd_b"] = b
+    if (c := t("v.class_embd")) is not None:
+        p["class_embd"] = c
+    else:
+        cfg.has_class_embd = False
+    p["pos_embd"] = t("v.position_embd.weight")
+    for pre, key in (("v.pre_ln", "pre_ln"), ("v.post_ln", "post_ln")):
+        if (w := t(pre + ".weight")) is not None:
+            p[key] = w
+            if (b := t(pre + ".bias")) is not None:
+                p[key + "_b"] = b
+    layers = []
+    for il in range(cfg.n_layer):
+        bl = f"v.blk.{il}."
+        layer = {}
+        for gguf_name, key in (
+            ("attn_q", "attn_q"), ("attn_k", "attn_k"), ("attn_v", "attn_v"),
+            ("attn_out", "attn_out"), ("ln1", "ln1"), ("ln2", "ln2"),
+            ("ffn_up", "ffn_up"), ("ffn_down", "ffn_down"), ("ffn_gate", "ffn_gate"),
+            ("ls1", "ls1"), ("ls2", "ls2"),
+        ):
+            if (w := t(bl + gguf_name + ".weight")) is not None:
+                layer[key] = w
+            if (b := t(bl + gguf_name + ".bias")) is not None:
+                layer[key + "_b"] = b
+        layers.append(layer)
+    p["layers"] = layers
+    # projectors
+    for i in (0, 2):
+        if (w := t(f"mm.{i}.weight")) is not None:
+            p[f"mm_{i}"] = w
+        if (b := t(f"mm.{i}.bias")) is not None:
+            p[f"mm_{i}_b"] = b
+    if (w := t("mm.input_projection.weight")) is not None:
+        p["mm_input_projection"] = w
+    if (w := t("mm.soft_emb_norm.weight")) is not None:
+        p["mm_soft_emb_norm"] = w
+    r.close()
+    return ClipVisionModel(cfg, p)
+
+
+def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """[H, W, C] float -> [h, w, C] bilinear."""
+    H, W = img.shape[:2]
+    if (H, W) == (h, w):
+        return img
+    ys = (np.arange(h) + 0.5) * H / h - 0.5
+    xs = (np.arange(w) + 0.5) * W / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, H - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, W - 1)
+    y1 = np.clip(y0 + 1, 0, H - 1)
+    x1 = np.clip(x0 + 1, 0, W - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    a = img[y0][:, x0] * (1 - wy) * (1 - wx)
+    b = img[y0][:, x1] * (1 - wy) * wx
+    c = img[y1][:, x0] * wy * (1 - wx)
+    d = img[y1][:, x1] * wy * wx
+    return (a + b + c + d).astype(np.float32)

@@ -93,6 +93,20 @@ class Engine:
 
         self._embed_step = embed_step
 
+        @functools.partial(jax.jit, static_argnames=("t",))
+        def embd_input_step(params, cache, embd, write_pos, t):
+            """Prefill with precomputed embeddings (multimodal image chunks —
+            the llama_batch.embd path)."""
+            positions = write_pos[:, None] + jnp.arange(t)[None, :]
+            tokens = jnp.zeros(embd.shape[:2], jnp.int32)
+            logits, cache = forward(
+                params, config, tokens, positions, cache, write_pos, dtype=dtype,
+                input_embd=embd,
+            )
+            return logits, cache
+
+        self._embd_input_step = embd_input_step
+
         @functools.partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
         def greedy_loop(params, cache, tok, seq_len, n):
             """Device-side greedy decode: the token feedback never leaves the
@@ -220,6 +234,22 @@ class Engine:
         new_len[row] += n
         logits, self.cache = self._step(
             self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t
+        )
+        self.seq_len = new_len
+        return np.asarray(logits[row, n - 1])
+
+    def prefill_embd(self, embd: np.ndarray, row: int = 0) -> np.ndarray:
+        """Prefill one row with precomputed embeddings [n, E] (image chunks);
+        returns the last position's logits."""
+        n = embd.shape[0]
+        t = self._prefill_t(n)
+        buf = np.zeros((self.batch_size, t, embd.shape[1]), dtype=np.float32)
+        buf[row, :n] = embd
+        write_pos = jnp.asarray(self.seq_len)
+        new_len = self.seq_len.copy()
+        new_len[row] += n
+        logits, self.cache = self._embd_input_step(
+            self.params, self.cache, jnp.asarray(buf), write_pos, t
         )
         self.seq_len = new_len
         return np.asarray(logits[row, n - 1])

@@ -1,0 +1,134 @@
+"""Multimodal tests: CLIP vision encoder HF parity + mtmd chunk flow
+(role of the reference's mtmd/clip test coverage)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from llamacog_tpu.gguf import GGUFWriter
+from llamacog_tpu.mtmd import ClipVisionModel, MtmdContext, load_mmproj
+from llamacog_tpu.mtmd.clip import ClipVisionConfig
+
+
+def _tiny_hf_clip():
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    cfg = CLIPVisionConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(0)
+    return CLIPVisionModel(cfg).eval()
+
+
+def _write_mmproj(model, path, n_embd_text=48):
+    """Convert an HF CLIPVisionModel to the mmproj GGUF layout
+    (clip-impl.h names; conversion mirror of convert_hf_to_gguf MmprojModel)."""
+    sd = model.state_dict()
+    cfg = model.config
+    w = GGUFWriter(path)
+    w.add("general.architecture", "clip")
+    w.add("clip.has_vision_encoder", True)
+    w.add("clip.projector_type", "mlp")
+    w.add("clip.vision.image_size", cfg.image_size)
+    w.add("clip.vision.patch_size", cfg.patch_size)
+    w.add("clip.vision.embedding_length", cfg.hidden_size)
+    w.add("clip.vision.feed_forward_length", cfg.intermediate_size)
+    w.add("clip.vision.block_count", cfg.num_hidden_layers)
+    w.add("clip.vision.attention.head_count", cfg.num_attention_heads)
+    w.add("clip.vision.attention.layer_norm_epsilon", cfg.layer_norm_eps)
+    w.add("clip.vision.projection_dim", n_embd_text)
+    w.add("clip.use_gelu", False)  # CLIP uses quick-gelu
+
+    pre = "vision_model."
+    w.add_tensor("v.patch_embd.weight",
+                 sd[pre + "embeddings.patch_embedding.weight"].float().numpy())
+    w.add_tensor("v.class_embd", sd[pre + "embeddings.class_embedding"].float().numpy())
+    w.add_tensor("v.position_embd.weight",
+                 sd[pre + "embeddings.position_embedding.weight"].float().numpy())
+    w.add_tensor("v.pre_ln.weight", sd[pre + "pre_layrnorm.weight"].float().numpy())
+    w.add_tensor("v.pre_ln.bias", sd[pre + "pre_layrnorm.bias"].float().numpy())
+    # post_ln intentionally omitted: LLaVA mmproj files export the -2 feature
+    # layer, i.e. encoder output before post_layernorm (HF applies
+    # post_layernorm only to the pooled CLS path)
+    name_map = {
+        "self_attn.q_proj": "attn_q", "self_attn.k_proj": "attn_k",
+        "self_attn.v_proj": "attn_v", "self_attn.out_proj": "attn_out",
+        "layer_norm1": "ln1", "layer_norm2": "ln2",
+        "mlp.fc1": "ffn_up", "mlp.fc2": "ffn_down",
+    }
+    for il in range(cfg.num_hidden_layers):
+        for hf, gg in name_map.items():
+            for suffix in ("weight", "bias"):
+                key = f"{pre}encoder.layers.{il}.{hf}.{suffix}"
+                if key in sd:
+                    w.add_tensor(f"v.blk.{il}.{gg}.{suffix}", sd[key].float().numpy())
+    # llava-style MLP projector with random weights
+    rng = np.random.default_rng(1)
+    w.add_tensor("mm.0.weight", (rng.standard_normal((n_embd_text, cfg.hidden_size)) * 0.05).astype(np.float32))
+    w.add_tensor("mm.0.bias", np.zeros(n_embd_text, np.float32))
+    w.add_tensor("mm.2.weight", (rng.standard_normal((n_embd_text, n_embd_text)) * 0.05).astype(np.float32))
+    w.add_tensor("mm.2.bias", np.zeros(n_embd_text, np.float32))
+    w.write()
+    return path
+
+
+def test_clip_encoder_hf_parity(tmp_path):
+    model = _tiny_hf_clip()
+    path = _write_mmproj(model, str(tmp_path / "mmproj.gguf"))
+    vision = load_mmproj(path)
+    assert vision.config.n_layer == 2 and vision.config.patch_size == 14
+
+    rng = np.random.default_rng(2)
+    pixels = rng.standard_normal((3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        hf = model(torch.tensor(pixels)[None]).last_hidden_state[0].numpy()
+    # compare pre-projector hidden states via a model without the projector
+    v2 = ClipVisionModel(vision.config, {k: v for k, v in vision.params.items()
+                                         if not k.startswith("mm_")})
+    ours = v2.encode(pixels)
+    # ours drops the CLS token; HF keeps it at index 0
+    np.testing.assert_allclose(ours, hf[1:], atol=2e-3, rtol=1e-3)
+
+
+def test_clip_preprocess_and_project(tmp_path):
+    model = _tiny_hf_clip()
+    path = _write_mmproj(model, str(tmp_path / "mmproj2.gguf"))
+    vision = load_mmproj(path)
+    img = (np.random.default_rng(3).random((56, 42, 3)) * 255).astype(np.uint8)
+    pixels = vision.preprocess(img)
+    assert pixels.shape == (3, 28, 28)
+    embd = vision.encode(pixels)
+    assert embd.shape == (4, 48)  # 2x2 patches -> 4 tokens, projected to 48
+    assert np.isfinite(embd).all()
+
+
+def test_mtmd_chunks_and_engine(tmp_path):
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.engine import Engine
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    model = _tiny_hf_clip()
+    mmproj = _write_mmproj(model, str(tmp_path / "mmproj3.gguf"), n_embd_text=64)
+    vision = load_mmproj(mmproj)
+    lm_path = make_tiny_llama_gguf(str(tmp_path / "lm.gguf"), n_embd=64)
+    lm = load_model(lm_path)
+    ctx = MtmdContext(vision, lm.tokenizer)
+    img = (np.random.default_rng(4).random((28, 28, 3)) * 255).astype(np.uint8)
+    chunks = ctx.tokenize("ab<__media__>cd", [img])
+    kinds = [c.kind for c in chunks]
+    assert kinds == ["text", "image", "text"]
+    assert chunks[1].embd.shape == (4, 64)
+    eng = Engine(lm.params, lm.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    logits = ctx.eval_chunks(eng, chunks)
+    assert logits.shape == (lm.config.n_vocab,)
+    assert np.isfinite(logits).all()
+    # image changed the context: different image -> different logits
+    img2 = (np.random.default_rng(5).random((28, 28, 3)) * 255).astype(np.uint8)
+    eng2 = Engine(lm.params, lm.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    logits2 = ctx.eval_chunks(eng2, ctx.tokenize("ab<__media__>cd", [img2]))
+    assert np.abs(logits - logits2).max() > 1e-4
