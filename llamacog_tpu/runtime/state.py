@@ -34,8 +34,18 @@ def save_row_state(engine: Engine, path: str, row: int = 0, tokens: list[int] | 
         arrays["v_s"] = np.asarray(c.v_s[:, row, :n])
     else:
         arrays["kind"] = np.frombuffer(b"dense", dtype=np.uint8)
-        arrays["k"] = np.asarray(c.k[:, row, :n])
-        arrays["v"] = np.asarray(c.v[:, row, :n])
+        # bf16 isn't a native numpy dtype (npz round-trips it as void):
+        # store the bit pattern as uint16 + a dtype tag
+        k = np.asarray(c.k[:, row, :n])
+        v = np.asarray(c.v[:, row, :n])
+        if k.dtype.itemsize == 2 and k.dtype.kind == "V" or str(k.dtype) == "bfloat16":
+            arrays["dtype"] = np.frombuffer(b"bf16", dtype=np.uint8)
+            k = k.view(np.uint16)
+            v = v.view(np.uint16)
+        else:
+            arrays["dtype"] = np.frombuffer(str(k.dtype).encode(), dtype=np.uint8)
+        arrays["k"] = k
+        arrays["v"] = v
     # write through a handle: np.savez would append ".npz" to bare paths
     with open(path, "wb") as f:
         np.savez_compressed(f, **arrays)
@@ -67,9 +77,15 @@ def load_row_state(engine: Engine, path: str, row: int = 0) -> list[int]:
     else:
         if not isinstance(c, KVCache):
             raise ValueError("state is dense but engine cache is quantized")
+        k, v = z["k"], z["v"]
+        if "dtype" in z and bytes(z["dtype"]).decode() == "bf16":
+            import ml_dtypes
+
+            k = k.view(ml_dtypes.bfloat16)
+            v = v.view(ml_dtypes.bfloat16)
         engine.cache = KVCache(
-            c.k.at[:, row, :n].set(jnp.asarray(z["k"]).astype(c.k.dtype)),
-            c.v.at[:, row, :n].set(jnp.asarray(z["v"]).astype(c.v.dtype)),
+            c.k.at[:, row, :n].set(jnp.asarray(k).astype(c.k.dtype)),
+            c.v.at[:, row, :n].set(jnp.asarray(v).astype(c.v.dtype)),
         )
     engine.seq_len[row] = n
     return [int(t) for t in z["tokens"]]
