@@ -36,6 +36,12 @@ class SamplerParams:
     mirostat: int = 0  # 0 off, 1, 2
     mirostat_tau: float = 5.0
     mirostat_eta: float = 0.1
+    # DRY repetition penalty (llama_sampler_dry, llama-sampling.cpp:1892)
+    dry_multiplier: float = 0.0  # 0 = disabled
+    dry_base: float = 1.75
+    dry_allowed_length: int = 2
+    dry_penalty_last_n: int = -1  # -1 = whole window
+    dry_sequence_breakers: tuple = ()  # token ids that reset repetition
     seed: int = -1
     logit_bias: dict[int, float] = field(default_factory=dict)
     min_keep: int = 1
@@ -73,6 +79,69 @@ class SamplerChain:
                 l = l / p.penalty_repeat if l > 0 else l * p.penalty_repeat
             l -= c * p.penalty_freq + (1.0 if c > 0 else 0.0) * p.penalty_present
             logits[t] = l
+
+    def _apply_dry(self, logits: np.ndarray) -> None:
+        """DRY repetition penalty: penalize tokens that would extend a
+        repeated suffix of the context (llama-sampling.cpp:1892-2090,
+        reverse Z-algorithm repeat counts)."""
+        p = self.p
+        if p.dry_multiplier <= 0.0 or p.dry_base < 1.0:
+            return
+        toks = list(self.prev)
+        if p.dry_penalty_last_n > 0:
+            toks = toks[-p.dry_penalty_last_n:]
+        n = len(toks)
+        if n <= p.dry_allowed_length:
+            return
+        # restart sequences bound the usable suffix length
+        rep_limit = n
+        for i, t in enumerate(reversed(toks)):
+            if t in p.dry_sequence_breakers:
+                rep_limit = i
+                break
+        if rep_limit < p.dry_allowed_length:
+            return
+        # reverse Z-array: z[j] = length of the match between the suffix
+        # ending at position j and the whole-context suffix
+        rev = toks[::-1]
+        z = [0] * n
+        lt = rt = 0
+        for k in range(1, n):
+            if k > rt:
+                m = 0
+                while k + m < n and rev[m] == rev[k + m]:
+                    m += 1
+                z[k] = m
+                if m > 0:
+                    lt, rt = k, k + m - 1
+            else:
+                pk = k - lt
+                if z[pk] < rt - k + 1:
+                    z[k] = z[pk]
+                else:
+                    i2 = rt + 1
+                    while i2 < n and rev[i2] == rev[i2 - k]:
+                        i2 += 1
+                    z[k] = i2 - k
+                    lt, rt = k, i2 - 1
+        max_repeat: dict[int, int] = {}
+        for k in range(1, n):
+            rl = min(z[k], rep_limit)
+            if rl >= p.dry_allowed_length:
+                # the token right after this repeated run (nearer the end)
+                nxt = rev[k - 1]
+                if max_repeat.get(nxt, 0) < rl:
+                    max_repeat[nxt] = rl
+        if not max_repeat:
+            return
+        max_exp = 88.7228391 / np.log(p.dry_base) if p.dry_base > 1.000001 else 0
+        for tok, rl in max_repeat.items():
+            if tok in p.dry_sequence_breakers:
+                continue
+            e = rl - p.dry_allowed_length
+            if max_exp > 0:
+                e = min(e, max_exp)
+            logits[tok] -= p.dry_multiplier * (p.dry_base**e)
 
     @staticmethod
     def top_k_mask(logits: np.ndarray, k: int) -> np.ndarray:
@@ -169,6 +238,7 @@ class SamplerChain:
         for t, b in p.logit_bias.items():
             logits[t] += b
         self._apply_penalties(logits)
+        self._apply_dry(logits)
         if p.temp <= 0.0:
             tok = int(np.argmax(logits))
         elif p.mirostat == 2:

@@ -106,3 +106,44 @@ def test_top_n_sigma():
     logits = np.array([10.0, 9.9, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], np.float32)
     draws = {c.sample(logits) for _ in range(50)}
     assert draws <= {0, 1}
+
+
+def test_dry_penalizes_repetition():
+    from llamacog_tpu.runtime.sampler import SamplerChain, SamplerParams
+
+    p = SamplerParams(temp=0.0, dry_multiplier=2.0, dry_base=1.75,
+                      dry_allowed_length=2)
+    chain = SamplerChain(p, n_vocab=16)
+    # context: 1 2 3 1 2 3 1 2 — next token 3 would extend a repeat of len >= 2
+    for t in [1, 2, 3, 1, 2, 3, 1, 2]:
+        chain.accept(t)
+    logits = np.zeros(16, np.float32)
+    logits_before = logits.copy()
+    chain._apply_dry(logits)
+    assert logits[3] < logits_before[3]  # 3 extends the repeated suffix
+    assert logits[7] == logits_before[7]  # unrelated token untouched
+
+
+def test_dry_respects_sequence_breaker():
+    from llamacog_tpu.runtime.sampler import SamplerChain, SamplerParams
+
+    p = SamplerParams(temp=0.0, dry_multiplier=2.0, dry_allowed_length=2,
+                      dry_sequence_breakers=(9,))
+    chain = SamplerChain(p, n_vocab=16)
+    for t in [1, 2, 3, 1, 2, 3, 9, 2]:  # breaker one token back
+        chain.accept(t)
+    logits = np.zeros(16, np.float32)
+    chain._apply_dry(logits)
+    # rep_limit (1) < allowed_length (2): nothing penalized
+    np.testing.assert_array_equal(logits, np.zeros(16, np.float32))
+
+
+def test_dry_disabled_is_noop():
+    from llamacog_tpu.runtime.sampler import SamplerChain, SamplerParams
+
+    chain = SamplerChain(SamplerParams(dry_multiplier=0.0), n_vocab=8)
+    for t in [1, 1, 1, 1]:
+        chain.accept(t)
+    logits = np.ones(8, np.float32)
+    chain._apply_dry(logits)
+    np.testing.assert_array_equal(logits, np.ones(8, np.float32))
