@@ -381,6 +381,10 @@ class ServerContext:
             penalty_repeat=float(body.get("repeat_penalty", 1.0)),
             penalty_freq=float(body.get("frequency_penalty", 0.0)),
             penalty_present=float(body.get("presence_penalty", 0.0)),
+            dry_multiplier=float(body.get("dry_multiplier", 0.0)),
+            dry_base=float(body.get("dry_base", 1.75)),
+            dry_allowed_length=int(body.get("dry_allowed_length", 2)),
+            dry_penalty_last_n=int(body.get("dry_penalty_last_n", -1)),
             seed=int(body.get("seed", -1)),
         )
         stops = body.get("stop", []) or []
