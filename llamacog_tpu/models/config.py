@@ -47,6 +47,10 @@ class ModelConfig:
     n_ff_exp: int = 0
     n_ff_shexp: int = 0
     n_expert_shared: int = 0
+    # MLA / low-rank attention (deepseek2; llama-hparams.h n_lora_q/kv)
+    n_lora_q: int = 0
+    n_lora_kv: int = 0
+    n_layer_dense_lead: int = 0  # deepseek: first K layers use dense FFN
     # SSM / recurrent (mamba; reference llama-hparams.h:115-121)
     ssm_d_conv: int = 0
     ssm_d_inner: int = 0
@@ -158,6 +162,9 @@ class ModelConfig:
             final_logit_softcap=float(g("final_logit_softcapping", 0.0) or 0.0),
             norm_eps=float(g("attention.layer_norm_epsilon", 1e-5) or 1e-5),
             attn_scale=float(g("attention.scale", 0.0) or 0.0),
+            n_lora_q=int(g("attention.q_lora_rank", 0) or 0),
+            n_lora_kv=int(g("attention.kv_lora_rank", 0) or 0),
+            n_layer_dense_lead=int(g("leading_dense_block_count", 0) or 0),
             ssm_d_conv=int(g("ssm.conv_kernel", 0) or 0),
             ssm_d_inner=int(g("ssm.inner_size", 0) or 0),
             ssm_d_state=int(g("ssm.state_size", 0) or 0),
@@ -209,6 +216,20 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
         cfg.norm_type = "layer"
         cfg.ffn_act = "gelu"
         cfg.parallel_residual = True
+    elif a == "deepseek2":
+        # decompressed-MHA path (llm_build_deepseek2 non-MLA branch,
+        # src/llama-model.cpp:10700): every head gets its own decompressed
+        # K/V, so the cache is full-MHA shaped
+        cfg.n_head_kv = cfg.n_head
+        # YaRN mscale folded into the attention scale; rope attn_factor
+        # adjusted (llama-model.cpp:10560-10564)
+        if cfg.rope.scaling_type == "yarn" and cfg.rope.scaling_factor not in (0.0, 1.0):
+            freq_scale = 1.0 / cfg.rope.scaling_factor
+            mscale = cfg.rope.attn_factor * (
+                1.0 + cfg.rope.yarn_log_mul * math.log(1.0 / freq_scale)
+            )
+            cfg.attn_scale = mscale * mscale / math.sqrt(cfg.head_dim_k)
+            cfg.rope.attn_factor = 1.0 / (1.0 + 0.1 * math.log(1.0 / freq_scale))
     elif a in ("bert", "nomic-bert"):
         cfg.norm_type = "layer"
         cfg.causal = False

@@ -228,6 +228,57 @@ def forward(
     freq_factors = _rope_factors(params, cfg, int(cache.max_seq))
     for il, layer in enumerate(params["layers"]):
         h = _norm(x, layer, "attn_norm", cfg)
+        if "attn_kv_a_mqa" in layer:
+            # deepseek2 MLA, decompressed-MHA form (llm_build_deepseek2
+            # non-MLA branch, src/llama-model.cpp:10630-10745)
+            rope_dim = cfg.rope.dim
+            nope = Dk - rope_dim
+            if "attn_q_a" in layer:
+                qa = rms_norm(qmatmul(h, layer["attn_q_a"]), layer["attn_q_a_norm"],
+                              cfg.rms_norm_eps)
+                q = qmatmul(qa, layer["attn_q_b"])
+            else:
+                q = qmatmul(h, layer["attn_q"])
+            q = q.reshape(B, T, H, Dk)
+            q_nope, q_pe = q[..., :nope], q[..., nope:]
+            kv_pe = qmatmul(h, layer["attn_kv_a_mqa"])  # [B,T, lora_kv + rope]
+            kv_cmpr, k_pe = (
+                kv_pe[..., : cfg.n_lora_kv],
+                kv_pe[..., cfg.n_lora_kv :].reshape(B, T, 1, rope_dim),
+            )
+            is_swa = cfg.is_swa(il)
+            rope_cfg = cfg.rope_swa if is_swa else cfg.rope
+            q_pe = apply_rope(q_pe, positions, rope_cfg, freq_factors)
+            k_pe = apply_rope(k_pe, positions, rope_cfg, freq_factors)
+            kv_cmpr = rms_norm(kv_cmpr, layer["attn_kv_a_norm"], cfg.rms_norm_eps)
+            kv = qmatmul(kv_cmpr, layer["attn_kv_b"]).reshape(B, T, H, nope + Dv)
+            k_nope, v = kv[..., :nope], kv[..., nope:]
+            # rope part first (matches the reference's cache layout)
+            q = jnp.concatenate([q_pe, q_nope], axis=-1)
+            k = jnp.concatenate(
+                [jnp.broadcast_to(k_pe, (B, T, H, rope_dim)), k_nope], axis=-1
+            )
+            new_ks.append(k)
+            new_vs.append(v)
+            k_old, v_old = cache.read(il)
+            m, im = (swa_mask, intra_swa) if is_swa else (mask, intra)
+            attn = masked_attention(
+                q, k_old, v_old, m, scale, logit_softcap=cfg.attn_logit_softcap,
+                k_cur=k, v_cur=v, intra_mask=im,
+            )
+            attn = _linear(attn.reshape(B, T, H * Dv), layer, "attn_output")
+            if cfg.post_norms and "attn_post_norm" in layer:
+                attn = _norm(attn, layer, "attn_post_norm", cfg)
+            x = x + attn
+            h = _norm(x, layer, "ffn_norm", cfg)
+            if cfg.n_expert > 0 and "ffn_gate_inp" in layer:
+                ffn = _ffn_moe(layer, h, cfg)
+            else:
+                ffn = _ffn(layer, h, cfg)
+            x = x + ffn
+            if "cvec" in params:
+                x = x + params["cvec"][il].astype(x.dtype)
+            continue
         if "attn_qkv" in layer:
             qkv = _linear(h, layer, "attn_qkv")
             q, k, v = jnp.split(qkv, [H * Dk, H * Dk + Hkv * Dk], axis=-1)

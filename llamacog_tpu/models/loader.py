@@ -40,6 +40,13 @@ _LAYER_TENSORS = {
     "attn_output_b": "attn_output.bias",
     "attn_q_norm": "attn_q_norm.weight",
     "attn_k_norm": "attn_k_norm.weight",
+    # deepseek2 MLA projections (LLM_TENSOR names src/llama-arch.cpp)
+    "attn_q_a": "attn_q_a.weight",
+    "attn_q_a_norm": "attn_q_a_norm.weight",
+    "attn_q_b": "attn_q_b.weight",
+    "attn_kv_a_mqa": "attn_kv_a_mqa.weight",
+    "attn_kv_a_norm": "attn_kv_a_norm.weight",
+    "attn_kv_b": "attn_kv_b.weight",
     "attn_post_norm": "post_attention_norm.weight",
     "ffn_post_norm": "post_ffw_norm.weight",
     "ffn_norm": "ffn_norm.weight",

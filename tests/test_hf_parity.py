@@ -309,3 +309,60 @@ def test_mamba_decode_matches_prefill(tmp_path):
     for i, tok in enumerate(TOKENS[4:]):
         logits = eng2.decode_one(np.array([tok]))
         np.testing.assert_allclose(logits[0], full[4 + i], atol=1e-4)
+
+
+def test_deepseek2_parity(tmp_path):
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    cfg = DeepseekV2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=256,
+        kv_lora_rank=32, q_lora_rank=24, qk_rope_head_dim=8, qk_nope_head_dim=16,
+        v_head_dim=16, n_routed_experts=None, first_k_dense_replace=2,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(7)
+    model = DeepseekV2ForCausalLM(cfg).eval()
+    sd = model.state_dict()
+    path = str(tmp_path / "dsv2.gguf")
+    w = GGUFWriter(path)
+    arch = "deepseek2"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", 64)
+    w.add(f"{arch}.block_count", 2)
+    w.add(f"{arch}.feed_forward_length", 96)
+    w.add(f"{arch}.attention.head_count", 4)
+    w.add(f"{arch}.attention.head_count_kv", 1)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", cfg.rms_norm_eps)
+    w.add(f"{arch}.attention.key_length", 24)   # qk_nope + qk_rope
+    w.add(f"{arch}.attention.value_length", 16)
+    w.add(f"{arch}.attention.kv_lora_rank", 32)
+    w.add(f"{arch}.attention.q_lora_rank", 24)
+    w.add(f"{arch}.rope.dimension_count", 8)
+    w.add(f"{arch}.rope.freq_base", cfg.rope_theta)
+    w.add(f"{arch}.vocab_size", 128)
+    w.add_tensor("token_embd.weight", sd["model.embed_tokens.weight"].float().numpy())
+    w.add_tensor("output_norm.weight", sd["model.norm.weight"].float().numpy())
+    w.add_tensor("output.weight", sd["lm_head.weight"].float().numpy())
+    nmap = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "ffn_norm.weight",
+        "self_attn.q_a_proj.weight": "attn_q_a.weight",
+        "self_attn.q_a_layernorm.weight": "attn_q_a_norm.weight",
+        "self_attn.q_b_proj.weight": "attn_q_b.weight",
+        "self_attn.kv_a_proj_with_mqa.weight": "attn_kv_a_mqa.weight",
+        "self_attn.kv_a_layernorm.weight": "attn_kv_a_norm.weight",
+        "self_attn.kv_b_proj.weight": "attn_kv_b.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+    for il in range(2):
+        for hf, gg in nmap.items():
+            key = f"model.layers.{il}.{hf}"
+            if key in sd:
+                w.add_tensor(f"blk.{il}.{gg}", sd[key].float().numpy())
+    w.write()
+    _assert_close(_our_logits(path), _hf_logits(model), atol=5e-3)
