@@ -74,3 +74,25 @@ def test_tokenize_cli(tiny, capsys):
     rc = main(["-m", path, "--detokenize", ",".join(map(str, ids[1:]))])
     assert rc == 0
     assert "ab" in capsys.readouterr().out
+
+
+def test_cvector_generator(tiny, tmp_path):
+    path, _ = tiny
+    from llamacog_tpu.runtime.lora import attach_control_vector, load_control_vector
+    from llamacog_tpu.tools.cvector_generator import generate_cvector
+
+    out = str(tmp_path / "cv.gguf")
+    n = generate_cvector(path, out, ["happy joy", "great day"], ["sad pain", "bad day"])
+    dirs = load_control_vector(out)
+    assert len(dirs) == n
+    for v in dirs.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-4  # unit directions
+    # applying it steers logits
+    m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+    e = Engine(m.params, m.config, max_seq=32, dtype=jnp.float32)
+    base = e.prefill([1, 2, 3])
+    attach_control_vector(m.params, dirs, m.config.n_layer, m.config.n_embd,
+                          strength=2.0, layer_start=0)
+    e2 = Engine(m.params, m.config, max_seq=32, dtype=jnp.float32)
+    steered = e2.prefill([1, 2, 3])
+    assert np.abs(steered - base).max() > 1e-4
