@@ -239,6 +239,7 @@ class SamplerChain:
             logits[t] += b
         self._apply_penalties(logits)
         self._apply_dry(logits)
+        base_logits = logits.copy()  # pre-truncation, for grammar fallback
         if p.temp <= 0.0:
             tok = int(np.argmax(logits))
         elif p.mirostat == 2:
@@ -274,6 +275,10 @@ class SamplerChain:
             if not self.grammar.accepts_token(tok):
                 mask = self.grammar.token_mask()
                 logits2 = np.where(mask, logits, -np.inf)
+                if not np.isfinite(logits2).any():
+                    # truncation (top-k/p) removed every grammar-legal token:
+                    # fall back to masking the untruncated logits
+                    logits2 = np.where(mask, base_logits, -np.inf)
                 if np.isfinite(logits2).any():
                     probs = _softmax(logits2)
                     tok = int(self.rng.choice(self.n_vocab, p=probs))

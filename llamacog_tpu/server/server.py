@@ -46,6 +46,7 @@ class Task:
     grammar_text: str | None
     out: "queue.Queue" = field(default_factory=queue.Queue)
     kind: str = "completion"  # completion | chat
+    cache_prompt: bool = True  # prefix-cache reuse (server.cpp cache_prompt)
     cancelled: bool = False
 
 
@@ -60,6 +61,7 @@ class Slot:
         self.t_start = 0.0
         self.t_first_token = 0.0
         self.next_token: int | None = None
+        self.cache_tokens: list[int] = []  # tokens currently in this row's KV
 
 
 class ServerContext:
@@ -135,9 +137,24 @@ class ServerContext:
             ids = task.prompt_ids
             if len(ids) >= self.ctx_size:
                 ids = ids[-(self.ctx_size - max(task.n_predict, 16)) :]
-            self.engine.clear_row(slot.id)
-            logits = self.engine.prefill(ids, row=slot.id)
-            self.metrics["prompt_tokens_total"] += len(ids)
+            # prompt prefix-cache reuse (reference server.cpp:3191-3260):
+            # keep the common prefix already in this row's KV, prefill only
+            # the new suffix (at least one token, so we get logits)
+            n_common = 0
+            if task.cache_prompt and slot.cache_tokens:
+                limit = min(len(slot.cache_tokens), len(ids) - 1)
+                while n_common < limit and slot.cache_tokens[n_common] == ids[n_common]:
+                    n_common += 1
+            if n_common > 0:
+                self.engine.seq_len[slot.id] = n_common
+            else:
+                self.engine.clear_row(slot.id)
+            logits = self.engine.prefill(ids[n_common:], row=slot.id)
+            slot.cache_tokens = list(ids)
+            self.metrics["prompt_tokens_total"] += len(ids) - n_common
+            self.metrics["prompt_tokens_cached_total"] = (
+                self.metrics.get("prompt_tokens_cached_total", 0) + n_common
+            )
             slot.next_token = slot.sampler.sample(logits)
             slot.t_first_token = time.time()
             slot.state = GENERATING
@@ -152,6 +169,7 @@ class ServerContext:
         for slot in gen:
             tok = slot.next_token
             slot.sampler.accept(tok)
+            slot.cache_tokens.append(tok)
             piece = vocab.token_to_piece(tok).decode("utf-8", errors="replace")
             slot.text += piece
             slot.n_gen += 1
@@ -305,6 +323,7 @@ class ServerContext:
             self.engine.clear_row(slot_id)
             self.slots[slot_id].state = IDLE
             self.slots[slot_id].task = None
+            self.slots[slot_id].cache_tokens = []
             return {"id_slot": slot_id, "n_erased": 1}
         filename = str(body.get("filename", f"slot_{slot_id}.bin"))
         if "/" in filename or filename.startswith("."):
@@ -403,6 +422,7 @@ class ServerContext:
             stop_strings=stops,
             grammar_text=grammar_text,
             kind=kind,
+            cache_prompt=bool(body.get("cache_prompt", True)),
         )
         self.metrics["requests_total"] += 1
         return task
