@@ -15,8 +15,23 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="llamacog-cli", description="TPU-native llama inference")
     p.add_argument("-m", "--model", required=True, help="GGUF model path")
     p.add_argument("-p", "--prompt", default="", help="prompt text")
+    p.add_argument("-f", "--file", default=None, help="prompt from file")
     p.add_argument("-n", "--n-predict", type=int, default=64, help="tokens to generate")
     p.add_argument("-c", "--ctx-size", type=int, default=2048)
+    p.add_argument("-i", "--interactive", action="store_true",
+                   help="interactive mode (read more input after each reply)")
+    p.add_argument("-cnv", "--conversation", action="store_true",
+                   help="chat mode: wrap turns with the model's chat template")
+    p.add_argument("--chat-template", default=None,
+                   help="builtin chat template name (overrides the GGUF's)")
+    p.add_argument("-r", "--reverse-prompt", action="append", default=[],
+                   help="stop generating and return control at this string")
+    p.add_argument("--prompt-cache", default=None,
+                   help="session file: restore matching prompt prefix, save on exit "
+                        "(tools/main/main.cpp:236-254)")
+    p.add_argument("--keep", type=int, default=0,
+                   help="tokens kept from the initial prompt on context shift")
+    p.add_argument("-sys", "--system-prompt", default=None, help="chat system prompt")
     p.add_argument("--temp", type=float, default=0.8)
     p.add_argument("--top-k", type=int, default=40)
     p.add_argument("--top-p", type=float, default=0.95)
@@ -59,7 +74,6 @@ def main(argv=None) -> int:
     if tok is None:
         print("error: model has no supported tokenizer", file=sys.stderr)
         return 1
-    prompt_ids = tok.tokenize(args.prompt, add_special=True, parse_special=True)
     engine = Engine(model.params, model.config, max_seq=args.ctx_size, dtype=dtype)
 
     params = SamplerParams(
@@ -71,41 +85,141 @@ def main(argv=None) -> int:
     )
     sampler = SamplerChain(params, n_vocab=model.config.n_vocab)
 
-    if not args.no_display_prompt:
-        sys.stdout.write(args.prompt)
-        sys.stdout.flush()
+    prompt_text = args.prompt
+    if args.file:
+        prompt_text = open(args.file, encoding="utf-8").read()
 
-    t1 = time.time()
-    logits = engine.prefill(prompt_ids)
-    t_prefill = time.time() - t1
+    messages = []
+    if args.conversation and args.system_prompt:
+        messages.append({"role": "system", "content": args.system_prompt})
 
-    n_gen = 0
-    t2 = time.time()
-    text_parts = []
-    tok_id = sampler.sample(logits)
-    for _ in range(args.n_predict):
-        piece = model.vocab.token_to_piece(tok_id).decode("utf-8", errors="replace")
-        sys.stdout.write(piece)
-        sys.stdout.flush()
-        text_parts.append(piece)
-        n_gen += 1
-        sampler.accept(tok_id)
-        if model.vocab.is_eog(tok_id):
-            break
-        if int(engine.seq_len[0]) >= args.ctx_size:
-            break
-        logits = engine.decode_one(np.array([tok_id]))[0]
-        tok_id = sampler.sample(logits)
-    t_gen = time.time() - t2
-    sys.stdout.write("\n")
-    if args.verbose or True:
-        pp_tps = len(prompt_ids) / t_prefill if t_prefill > 0 else 0.0
-        tg_tps = n_gen / t_gen if t_gen > 0 else 0.0
-        print(
-            f"[perf] prompt: {len(prompt_ids)} tok, {pp_tps:.2f} t/s | "
-            f"gen: {n_gen} tok, {tg_tps:.2f} t/s | load {t_load:.2f}s",
-            file=sys.stderr,
+    def render_chat(user_text: str) -> str:
+        from ..runtime.chat import apply_builtin_template, render_template
+
+        messages.append({"role": "user", "content": user_text})
+        if args.chat_template:
+            return apply_builtin_template(args.chat_template, messages, True)
+        v = model.vocab
+        return render_template(
+            v.chat_template if v else None, messages, add_generation_prompt=True,
+            bos_token=v.tokens[v.bos_id] if v and v.bos_id >= 0 else "",
+            eos_token=v.tokens[v.eos_id] if v and v.eos_id >= 0 else "",
         )
+
+    history: list[int] = []  # tokens currently in the KV row
+
+    # prompt-cache restore (reference tools/main/main.cpp:236-254)
+    if args.prompt_cache:
+        import os
+
+        from ..runtime.state import load_row_state
+
+        if os.path.exists(args.prompt_cache):
+            try:
+                history = load_row_state(engine, args.prompt_cache)
+                if args.verbose:
+                    print(f"[cache] restored {len(history)} tokens", file=sys.stderr)
+            except Exception as e:
+                print(f"[cache] ignoring invalid session file: {e}", file=sys.stderr)
+                history = []
+
+    def feed(ids: list[int]):
+        """Prefill ids, reusing any cached common prefix; returns last logits."""
+        nonlocal history
+        n_common = 0
+        limit = min(len(history), len(ids) - 1)
+        while n_common < limit and history[n_common] == ids[n_common]:
+            n_common += 1
+        engine.seq_len[0] = n_common
+        logits = engine.prefill(ids[n_common:])
+        history = list(ids)
+        return logits, len(ids) - n_common
+
+    def generate(logits) -> tuple[str, int]:
+        """Stream tokens until EOG / limit / reverse prompt; returns (text, n)."""
+        nonlocal history
+        text, n_gen = "", 0
+        tok_id = sampler.sample(logits)
+        for _ in range(args.n_predict if args.n_predict >= 0 else 1 << 30):
+            piece = model.vocab.token_to_piece(tok_id).decode("utf-8", errors="replace")
+            sampler.accept(tok_id)
+            history.append(tok_id)
+            n_gen += 1
+            if model.vocab.is_eog(tok_id):
+                break
+            sys.stdout.write(piece)
+            sys.stdout.flush()
+            text += piece
+            if any(text.endswith(r) for r in args.reverse_prompt):
+                break
+            if int(engine.seq_len[0]) + 1 >= args.ctx_size:
+                # context shift: drop the oldest half beyond --keep
+                # (tools/main/main.cpp context-shift; engine re-rotates K)
+                n_keep = args.keep
+                n_discard = (int(engine.seq_len[0]) - n_keep) // 2
+                engine.shift_row(0, n_keep, n_discard)
+                history = history[:n_keep] + history[n_keep + n_discard:]
+                if args.verbose:
+                    print(f"\n[ctx shift] discarded {n_discard}", file=sys.stderr)
+            logits = engine.decode_one(np.array([tok_id]))[0]
+            tok_id = sampler.sample(logits)
+        return text, n_gen
+
+    interactive = args.interactive or args.conversation
+    first_input = prompt_text
+    total_gen, t_gen_total = 0, 0.0
+    t_prefill, n_prompt = 0.0, 0
+    while True:
+        if not first_input and interactive:
+            try:
+                sys.stdout.write("\n> ")
+                sys.stdout.flush()
+                first_input = input()
+            except EOFError:
+                break
+            if not first_input.strip():
+                continue
+        if args.conversation:
+            text_in = render_chat(first_input)
+        else:
+            text_in = first_input
+            if not args.no_display_prompt:
+                sys.stdout.write(text_in)
+                sys.stdout.flush()
+        ids = tok.tokenize(text_in, add_special=not args.conversation,
+                           parse_special=True)
+        if args.conversation and model.vocab.add_bos and model.vocab.bos_id >= 0:
+            if not ids or ids[0] != model.vocab.bos_id:
+                ids = [model.vocab.bos_id] + ids
+        t1 = time.time()
+        logits, n_fed = feed(ids)
+        t_prefill += time.time() - t1
+        n_prompt += n_fed
+        t2 = time.time()
+        text, n_gen = generate(logits)
+        t_gen_total += time.time() - t2
+        total_gen += n_gen
+        if args.conversation:
+            messages.append({"role": "assistant", "content": text})
+        first_input = ""
+        if not interactive:
+            break
+    sys.stdout.write("\n")
+
+    if args.prompt_cache:
+        from ..runtime.state import save_row_state
+
+        save_row_state(engine, args.prompt_cache, tokens=history)
+        if args.verbose:
+            print(f"[cache] saved {len(history)} tokens", file=sys.stderr)
+
+    pp_tps = n_prompt / t_prefill if t_prefill > 0 else 0.0
+    tg_tps = total_gen / t_gen_total if t_gen_total > 0 else 0.0
+    print(
+        f"[perf] prompt: {n_prompt} tok, {pp_tps:.2f} t/s | "
+        f"gen: {total_gen} tok, {tg_tps:.2f} t/s | load {t_load:.2f}s",
+        file=sys.stderr,
+    )
     return 0
 
 
