@@ -207,9 +207,18 @@ def forward(
     H, Hkv = cfg.n_head, cfg.n_head_kv
     Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
     scale = cfg.kq_scale
-    (mask, intra), (swa_mask, intra_swa) = _build_masks(
-        cfg, write_pos, T, int(cache.max_seq)
-    )
+    from ..ops.pallas import flash_decode
+
+    use_flash = flash_decode.supported(cfg, cache, T)
+    if use_flash:
+        mask = intra = swa_mask = intra_swa = None
+        import jax
+
+        _interp = jax.default_backend() != "tpu"
+    else:
+        (mask, intra), (swa_mask, intra_swa) = _build_masks(
+            cfg, write_pos, T, int(cache.max_seq)
+        )
     new_ks, new_vs = [], []
 
     if input_embd is not None:
@@ -226,6 +235,16 @@ def forward(
     if "tok_norm" in params:
         x = layer_norm(x, params["tok_norm"], params.get("tok_norm_b"), cfg.norm_eps)
     freq_factors = _rope_factors(params, cfg, int(cache.max_seq))
+    # rope tables shared by all layers (computed once per step)
+    from ..ops.rope import apply_rope_tables, rope_tables
+
+    rtab = rope_tables(positions, cfg.rope, Dk, freq_factors) if cfg.rope.enabled else None
+    rtab_swa = (
+        rope_tables(positions, cfg.rope_swa, Dk, freq_factors)
+        if cfg.rope.enabled and cfg.rope_freq_base_swa > 0.0
+        else rtab
+    )
+    rdim = cfg.rope.dim or Dk
     for il, layer in enumerate(params["layers"]):
         h = _norm(x, layer, "attn_norm", cfg)
         if "attn_kv_a_mqa" in layer:
@@ -247,9 +266,9 @@ def forward(
                 kv_pe[..., cfg.n_lora_kv :].reshape(B, T, 1, rope_dim),
             )
             is_swa = cfg.is_swa(il)
-            rope_cfg = cfg.rope_swa if is_swa else cfg.rope
-            q_pe = apply_rope(q_pe, positions, rope_cfg, freq_factors)
-            k_pe = apply_rope(k_pe, positions, rope_cfg, freq_factors)
+            tab = rtab_swa if is_swa else rtab
+            q_pe = apply_rope_tables(q_pe, tab, rope_dim)
+            k_pe = apply_rope_tables(k_pe, tab, rope_dim)
             kv_cmpr = rms_norm(kv_cmpr, layer["attn_kv_a_norm"], cfg.rms_norm_eps)
             kv = qmatmul(kv_cmpr, layer["attn_kv_b"]).reshape(B, T, H, nope + Dv)
             k_nope, v = kv[..., :nope], kv[..., nope:]
@@ -261,11 +280,19 @@ def forward(
             new_ks.append(k)
             new_vs.append(v)
             k_old, v_old = cache.read(il)
-            m, im = (swa_mask, intra_swa) if is_swa else (mask, intra)
-            attn = masked_attention(
-                q, k_old, v_old, m, scale, logit_softcap=cfg.attn_logit_softcap,
-                k_cur=k, v_cur=v, intra_mask=im,
-            )
+            if use_flash:
+                attn = flash_decode.flash_decode_attention(
+                    q[:, 0], k_old, v_old, k[:, 0], v[:, 0], write_pos, scale,
+                    softcap=cfg.attn_logit_softcap,
+                    window=cfg.sliding_window if is_swa else 0,
+                    interpret=_interp,
+                )[:, None]
+            else:
+                m, im = (swa_mask, intra_swa) if is_swa else (mask, intra)
+                attn = masked_attention(
+                    q, k_old, v_old, m, scale, logit_softcap=cfg.attn_logit_softcap,
+                    k_cur=k, v_cur=v, intra_mask=im,
+                )
             attn = _linear(attn.reshape(B, T, H * Dv), layer, "attn_output")
             if cfg.post_norms and "attn_post_norm" in layer:
                 attn = _norm(attn, layer, "attn_post_norm", cfg)
@@ -293,17 +320,26 @@ def forward(
             q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)
         is_swa = cfg.is_swa(il)
-        rope_cfg = cfg.rope_swa if is_swa else cfg.rope
-        q = apply_rope(q, positions, rope_cfg, freq_factors)
-        k = apply_rope(k, positions, rope_cfg, freq_factors)
+        if rtab is not None:
+            tab = rtab_swa if is_swa else rtab
+            q = apply_rope_tables(q, tab, rdim)
+            k = apply_rope_tables(k, tab, rdim)
         new_ks.append(k)
         new_vs.append(v)
         k_old, v_old = cache.read(il)
-        m, im = (swa_mask, intra_swa) if is_swa else (mask, intra)
-        attn = masked_attention(
-            q, k_old, v_old, m, scale, logit_softcap=cfg.attn_logit_softcap,
-            k_cur=k, v_cur=v, intra_mask=im,
-        )
+        if use_flash:
+            attn = flash_decode.flash_decode_attention(
+                q[:, 0], k_old, v_old, k[:, 0], v[:, 0], write_pos, scale,
+                softcap=cfg.attn_logit_softcap,
+                window=cfg.sliding_window if is_swa else 0,
+                interpret=_interp,
+            )[:, None]
+        else:
+            m, im = (swa_mask, intra_swa) if is_swa else (mask, intra)
+            attn = masked_attention(
+                q, k_old, v_old, m, scale, logit_softcap=cfg.attn_logit_softcap,
+                k_cur=k, v_cur=v, intra_mask=im,
+            )
         attn = _linear(attn.reshape(B, T, H * Dv), layer, "attn_output")
         if cfg.post_norms and "attn_post_norm" in layer:
             attn = _norm(attn, layer, "attn_post_norm", cfg)

@@ -53,6 +53,50 @@ def rope_frequencies(cfg: RopeConfig, head_dim: int) -> tuple[np.ndarray, np.nda
     )
 
 
+def rope_tables(
+    positions: jnp.ndarray,  # [..., T]
+    cfg: RopeConfig,
+    head_dim: int,
+    freq_factors: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos, sin) [..., T, dim/2] — computed ONCE per step and shared by all
+    layers (the per-layer transcendentals were a measurable decode cost)."""
+    dim = cfg.dim or head_dim
+    inv_freq, ramp, mscale = rope_frequencies(cfg, head_dim)
+    inv_freq = jnp.asarray(inv_freq)
+    if cfg.scaling_type == "yarn" and cfg.scaling_factor not in (0.0, 1.0):
+        inv_extrap = jnp.asarray(rope_frequencies(
+            RopeConfig(dim=cfg.dim, freq_base=cfg.freq_base), head_dim)[0])
+        inv_freq = inv_extrap * (1 - jnp.asarray(ramp)) + (
+            inv_extrap / cfg.scaling_factor
+        ) * jnp.asarray(ramp)
+    if freq_factors is not None:
+        inv_freq = inv_freq / freq_factors.astype(jnp.float32)
+    theta = positions[..., None].astype(jnp.float32) * inv_freq  # [..., T, dim/2]
+    return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
+
+
+def apply_rope_tables(
+    x: jnp.ndarray,  # [..., T, H, D]
+    tables: tuple[jnp.ndarray, jnp.ndarray],  # from rope_tables
+    dim: int | None = None,
+) -> jnp.ndarray:
+    """NeoX rope with precomputed tables: rotate pairs (i, i + dim/2)."""
+    cos, sin = tables
+    D = x.shape[-1]
+    dim = dim or 2 * cos.shape[-1]
+    cos = cos[..., None, :]  # broadcast over heads
+    sin = sin[..., None, :]
+    half = dim // 2
+    x_rot = x[..., :dim].astype(jnp.float32)
+    x1 = x_rot[..., :half]
+    x2 = x_rot[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    if dim < D:
+        out = jnp.concatenate([out, x[..., dim:].astype(jnp.float32)], axis=-1)
+    return out.astype(x.dtype)
+
+
 def apply_rope(
     x: jnp.ndarray,  # [..., T, H, D]
     positions: jnp.ndarray,  # [..., T]
@@ -65,26 +109,5 @@ def apply_rope(
         return x
     D = x.shape[-1]
     dim = cfg.dim or D
-    inv_freq, ramp, mscale = rope_frequencies(cfg, D)
-    inv_freq = jnp.asarray(inv_freq)
-    if cfg.scaling_type == "yarn" and cfg.scaling_factor not in (0.0, 1.0):
-        inv_extrap = jnp.asarray(rope_frequencies(
-            RopeConfig(dim=cfg.dim, freq_base=cfg.freq_base), D)[0])
-        inv_freq = inv_extrap * (1 - jnp.asarray(ramp)) + (
-            inv_extrap / cfg.scaling_factor
-        ) * jnp.asarray(ramp)
-    if freq_factors is not None:
-        inv_freq = inv_freq / freq_factors.astype(jnp.float32)
-    theta = positions[..., None].astype(jnp.float32) * inv_freq  # [..., T, dim/2]
-    cos = jnp.cos(theta) * mscale
-    sin = jnp.sin(theta) * mscale
-    cos = cos[..., None, :]  # broadcast over heads
-    sin = sin[..., None, :]
-    half = dim // 2
-    x_rot = x[..., :dim].astype(jnp.float32)
-    x1 = x_rot[..., :half]
-    x2 = x_rot[..., half:]
-    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
-    if dim < D:
-        out = jnp.concatenate([out, x[..., dim:].astype(jnp.float32)], axis=-1)
-    return out.astype(x.dtype)
+    tables = rope_tables(positions, cfg, D, freq_factors)
+    return apply_rope_tables(x, tables, dim)
