@@ -308,6 +308,37 @@ class Engine:
         if self.recurrent:
             self.clear_row_state(row)
 
+    def copy_row(self, src: int, dst: int) -> None:
+        """llama_memory_seq_cp analog: duplicate one row's state into another
+        (prompt shared across parallel continuations without re-prefilling)."""
+        if src == dst:
+            return
+        if self.recurrent:
+            from ..models.mamba import RecurrentCache
+
+            c = self.cache
+            self.cache = RecurrentCache(
+                c.conv.at[:, dst].set(c.conv[:, src]),
+                c.ssm.at[:, dst].set(c.ssm[:, src]),
+            )
+        else:
+            from .kv_cache import QuantKVCache
+
+            c = self.cache
+            if isinstance(c, QuantKVCache):
+                self.cache = QuantKVCache(
+                    c.k_q.at[:, dst].set(c.k_q[:, src]),
+                    c.k_s.at[:, dst].set(c.k_s[:, src]),
+                    c.v_q.at[:, dst].set(c.v_q[:, src]),
+                    c.v_s.at[:, dst].set(c.v_s[:, src]),
+                )
+            else:
+                self.cache = type(c)(
+                    c.k.at[:, dst].set(c.k[:, src]),
+                    c.v.at[:, dst].set(c.v[:, src]),
+                )
+        self.seq_len[dst] = self.seq_len[src]
+
     def shift_row(self, row: int, n_keep: int, n_discard: int) -> None:
         """Context shift: drop tokens [n_keep, n_keep+n_discard) of a row and
         slide the rest down, re-rotating the moved K by -n_discard (the

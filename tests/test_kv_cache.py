@@ -85,3 +85,22 @@ def test_context_shift_matches_recompute_single_layer(tmp_path):
     e2.prefill([5, 6, 7, 8])
     l_fresh = e2.decode_one(np.array([9]))[0]
     np.testing.assert_allclose(l_shift, l_fresh, rtol=2e-3, atol=2e-3)
+
+
+def test_engine_copy_row(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.engine import Engine
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(str(tmp_path / "c.gguf"))
+    m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+    e = Engine(m.params, m.config, batch_size=2, max_seq=64, dtype=jnp.float32)
+    e.prefill([1, 2, 3, 4], row=0)
+    e.copy_row(0, 1)
+    assert e.seq_len[1] == e.seq_len[0]
+    # both rows decode identically from the shared state
+    logits = e.decode_one(np.array([5, 5]))
+    np.testing.assert_allclose(logits[0], logits[1], atol=1e-5)
