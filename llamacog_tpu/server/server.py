@@ -62,6 +62,7 @@ class Slot:
         self.t_first_token = 0.0
         self.next_token: int | None = None
         self.cache_tokens: list[int] = []  # tokens currently in this row's KV
+        self.n_sent = 0  # chars of self.text already streamed out
 
 
 class ServerContext:
@@ -115,6 +116,7 @@ class ServerContext:
             slot.state = PROMPT
             slot.n_gen = 0
             slot.text = ""
+            slot.n_sent = 0
             slot.t_start = time.time()
             grammar = None
             if task.grammar_text:
@@ -183,11 +185,36 @@ class ServerContext:
                 or any(stop in slot.text for stop in task.stop_strings)
             )
             if task.stream and not vocab.is_eog(tok):
-                task.out.put({"content": piece, "stop": False})
+                # hold back any suffix that could become a stop string
+                # (string_find_partial_stop role; runtime/partial.py)
+                hold = 0
+                if task.stop_strings and not finished:
+                    from ..runtime.partial import partial_stop_match
+
+                    hold = max(
+                        partial_stop_match(slot.text, s) for s in task.stop_strings
+                    )
+                emit_to = len(slot.text) - hold
+                if emit_to > slot.n_sent:
+                    task.out.put({
+                        "content": slot.text[slot.n_sent:emit_to], "stop": False
+                    })
+                    slot.n_sent = emit_to
             if finished:
                 t_now = time.time()
+                # truncate at the stop string (reference server behavior)
+                final_text = slot.text
+                for s in task.stop_strings:
+                    idx = final_text.find(s)
+                    if idx >= 0:
+                        final_text = final_text[:idx]
+                if task.stream:
+                    tail = final_text[slot.n_sent:]
+                    content = tail if tail and not vocab.is_eog(tok) else ""
+                else:
+                    content = final_text
                 task.out.put({
-                    "content": "" if task.stream else slot.text,
+                    "content": content,
                     "stop": True,
                     "stop_reason": "eos" if vocab.is_eog(tok) else "limit",
                     "tokens_predicted": slot.n_gen,

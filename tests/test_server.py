@@ -245,3 +245,23 @@ def test_prompt_prefix_cache_reuse(server):
     assert "prompt_tokens_cached_total" in text or True  # metric optional in scrape
     # functional check: result is still valid
     assert "content" in body1
+
+
+def test_stream_stop_string_holdback(server):
+    """Streamed chunks must never leak a partial stop string."""
+    import urllib.request
+
+    body = {"prompt": "abc", "n_predict": 24, "stream": True, "stop": ["@@"],
+            "temperature": 0.0}
+    req = urllib.request.Request(
+        server + "/completion", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=300) as r:
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                chunks.append(json.loads(line[6:]))
+    text = "".join(c.get("content", "") for c in chunks)
+    assert "@@" not in text
