@@ -76,6 +76,10 @@ _LAYER_TENSORS = {
     "ssm_a": "ssm_a",
     "ssm_d": "ssm_d",
     "ssm_out": "ssm_out.weight",
+    # jamba learned dt/B/C norms
+    "ssm_dt_norm": "ssm_dt_norm.weight",
+    "ssm_b_norm": "ssm_b_norm.weight",
+    "ssm_c_norm": "ssm_c_norm.weight",
 }
 
 # model-level (non-blk) optional tensors

@@ -89,7 +89,11 @@ def _mixer(
 
     x_db = qmatmul(xc, layer["ssm_x"]).astype(jnp.float32)
     dt, Bm, Cm = jnp.split(x_db, [dt_rank, dt_rank + d_state], axis=-1)
-    if cfg.ssm_dt_b_c_rms:  # FalconMamba variant
+    if "ssm_dt_norm" in layer:  # jamba: learned RMSNorm on dt/B/C
+        dt = rms_norm(dt, layer["ssm_dt_norm"], cfg.rms_norm_eps)
+        Bm = rms_norm(Bm, layer["ssm_b_norm"], cfg.rms_norm_eps)
+        Cm = rms_norm(Cm, layer["ssm_c_norm"], cfg.rms_norm_eps)
+    elif cfg.ssm_dt_b_c_rms:  # FalconMamba variant (weightless)
         one = jnp.ones((), jnp.float32)
         dt = rms_norm(dt, one, cfg.rms_norm_eps)
         Bm = rms_norm(Bm, one, cfg.rms_norm_eps)

@@ -147,22 +147,42 @@ class Engine:
         return np.asarray(out)
 
     def _init_recurrent(self):
-        """Mamba-family state path: the 'cache' is per-layer (conv, ssm)
-        state (reference llama_memory_recurrent, src/llama-memory-recurrent.h).
-        Positions/masks are meaningless; `active` gates state advancement."""
+        """Recurrent-state path: pure mamba (llama_memory_recurrent role) or
+        jamba-style hybrid (llama_memory_hybrid role: attention KV for the
+        attention layers + conv/ssm state for the mamba layers). Prefill runs
+        exact-length (padding would corrupt recurrent state); `active` gates
+        which rows advance."""
+        from ..models.jamba import forward as jamba_forward
+        from ..models.jamba import layer_kinds, make_hybrid_cache
         from ..models.mamba import forward as mamba_forward
         from ..models.mamba import make_recurrent_cache
 
         config, dtype = self.config, self.dtype
-        self.cache = make_recurrent_cache(config, self.batch_size, dtype=jnp.float32)
         self.seq_len = np.zeros(self.batch_size, dtype=np.int32)
-
-        @functools.partial(jax.jit, static_argnames=("t", "return_hidden"))
-        def step(params, cache, tokens, active, t, return_hidden=False):
-            return mamba_forward(
-                params, config, tokens, cache, active, dtype=dtype,
-                return_hidden=return_hidden,
+        hybrid = any(k == "attn" for k in layer_kinds(self.params))
+        if hybrid:
+            self.cache = make_hybrid_cache(
+                config, self.params, self.batch_size, self.max_seq, dtype=dtype
             )
+
+            @functools.partial(jax.jit, static_argnames=("t", "return_hidden"))
+            def step(params, cache, tokens, active, write_pos, t,
+                     return_hidden=False):
+                return jamba_forward(
+                    params, config, tokens, cache, write_pos, active,
+                    dtype=dtype, return_hidden=return_hidden,
+                )
+        else:
+            self.cache = make_recurrent_cache(config, self.batch_size,
+                                              dtype=jnp.float32)
+
+            @functools.partial(jax.jit, static_argnames=("t", "return_hidden"))
+            def step(params, cache, tokens, active, write_pos, t,
+                     return_hidden=False):
+                return mamba_forward(
+                    params, config, tokens, cache, active, dtype=dtype,
+                    return_hidden=return_hidden,
+                )
 
         self._recurrent_step = step
 
@@ -175,19 +195,27 @@ class Engine:
         # mamba state advances per token: feed only the real tokens, padding
         # would corrupt the state, so run the exact length in chunks of t
         logits, self.cache = self._recurrent_step(
-            self.params, self.cache, jnp.asarray(toks[:, :n]), jnp.asarray(active), t=n
+            self.params, self.cache, jnp.asarray(toks[:, :n]), jnp.asarray(active),
+            jnp.asarray(self.seq_len), t=n
         )
         self.seq_len[row] += n
         return np.asarray(logits[row, :n]) if all_logits else np.asarray(logits[row, n - 1])
 
     def clear_row_state(self, row: int) -> None:
         if self.recurrent:
+            from ..models.jamba import HybridCache
             from ..models.mamba import RecurrentCache
 
             c = self.cache
-            self.cache = RecurrentCache(
-                c.conv.at[:, row].set(0.0), c.ssm.at[:, row].set(0.0)
-            )
+            if isinstance(c, HybridCache):
+                self.cache = HybridCache(
+                    c.kv_k, c.kv_v,
+                    c.conv.at[:, row].set(0.0), c.ssm.at[:, row].set(0.0),
+                )
+            else:
+                self.cache = RecurrentCache(
+                    c.conv.at[:, row].set(0.0), c.ssm.at[:, row].set(0.0)
+                )
 
     def embed(self, token_ids: list[int], pooling: str = "mean") -> np.ndarray:
         """Embed one sequence; pooling in mean|cls|last|none
@@ -292,7 +320,8 @@ class Engine:
                 else np.asarray(active, dtype=bool)
             )
             logits, self.cache = self._recurrent_step(
-                self.params, self.cache, toks, jnp.asarray(act), t=1
+                self.params, self.cache, toks, jnp.asarray(act),
+                jnp.asarray(self.seq_len), t=1
             )
             self.seq_len = new_len
             return np.asarray(logits[:, 0])

@@ -366,3 +366,99 @@ def test_deepseek2_parity(tmp_path):
                 w.add_tensor(f"blk.{il}.{gg}", sd[key].float().numpy())
     w.write()
     _assert_close(_our_logits(path), _hf_logits(model), atol=5e-3)
+
+
+def test_jamba_hybrid_parity(tmp_path):
+    """Hybrid attention+mamba (llama_memory_hybrid role) vs HF Jamba."""
+    from transformers import JambaConfig, JambaForCausalLM
+
+    cfg = JambaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2,
+        attn_layer_period=2, attn_layer_offset=1,  # layers 1,3 attention
+        expert_layer_period=100, expert_layer_offset=0, num_experts=1,
+        mamba_d_state=16, mamba_d_conv=4, mamba_expand=2, mamba_dt_rank=8,
+        use_mamba_kernels=False, max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(8)
+    model = JambaForCausalLM(cfg).eval()
+    sd = model.state_dict()
+    d_inner = cfg.mamba_expand * cfg.hidden_size
+    path = str(tmp_path / "jamba.gguf")
+    w = GGUFWriter(path)
+    arch = "jamba"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", 64)
+    w.add(f"{arch}.block_count", 4)
+    w.add(f"{arch}.feed_forward_length", 96)
+    w.add(f"{arch}.attention.head_count", 4)
+    w.add(f"{arch}.attention.head_count_kv", 2)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", cfg.rms_norm_eps)
+    w.add(f"{arch}.ssm.conv_kernel", cfg.mamba_d_conv)
+    w.add(f"{arch}.ssm.inner_size", d_inner)
+    w.add(f"{arch}.ssm.state_size", cfg.mamba_d_state)
+    w.add(f"{arch}.ssm.time_step_rank", cfg.mamba_dt_rank)
+    w.add(f"{arch}.vocab_size", 128)
+    w.add_tensor("token_embd.weight", sd["model.embed_tokens.weight"].float().numpy())
+    w.add_tensor("output_norm.weight", sd["model.final_layernorm.weight"].float().numpy())
+    w.add_tensor("output.weight", sd["lm_head.weight"].float().numpy())
+    for il in range(4):
+        pre = f"model.layers.{il}"
+        bl = f"blk.{il}"
+        w.add_tensor(f"{bl}.attn_norm.weight",
+                     sd[f"{pre}.input_layernorm.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_norm.weight",
+                     sd[f"{pre}.pre_ff_layernorm.weight"].float().numpy())
+        for hf, gg in (("feed_forward.gate_proj", "ffn_gate"),
+                       ("feed_forward.up_proj", "ffn_up"),
+                       ("feed_forward.down_proj", "ffn_down")):
+            w.add_tensor(f"{bl}.{gg}.weight", sd[f"{pre}.{hf}.weight"].float().numpy())
+        if f"{pre}.self_attn.q_proj.weight" in sd:
+            for hf, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                           ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+                w.add_tensor(f"{bl}.{gg}.weight",
+                             sd[f"{pre}.self_attn.{hf}.weight"].float().numpy())
+        else:
+            mx = f"{pre}.mamba"
+            w.add_tensor(f"{bl}.ssm_in.weight", sd[f"{mx}.in_proj.weight"].float().numpy())
+            w.add_tensor(f"{bl}.ssm_conv1d.weight",
+                         sd[f"{mx}.conv1d.weight"].squeeze(1).float().numpy())
+            w.add_tensor(f"{bl}.ssm_conv1d.bias", sd[f"{mx}.conv1d.bias"].float().numpy())
+            w.add_tensor(f"{bl}.ssm_x.weight", sd[f"{mx}.x_proj.weight"].float().numpy())
+            w.add_tensor(f"{bl}.ssm_dt.weight", sd[f"{mx}.dt_proj.weight"].float().numpy())
+            w.add_tensor(f"{bl}.ssm_dt.bias", sd[f"{mx}.dt_proj.bias"].float().numpy())
+            w.add_tensor(f"{bl}.ssm_a", (-torch.exp(sd[f"{mx}.A_log"].float())).numpy())
+            w.add_tensor(f"{bl}.ssm_d", sd[f"{mx}.D"].float().numpy())
+            w.add_tensor(f"{bl}.ssm_out.weight", sd[f"{mx}.out_proj.weight"].float().numpy())
+            w.add_tensor(f"{bl}.ssm_dt_norm.weight",
+                         sd[f"{mx}.dt_layernorm.weight"].float().numpy())
+            w.add_tensor(f"{bl}.ssm_b_norm.weight",
+                         sd[f"{mx}.b_layernorm.weight"].float().numpy())
+            w.add_tensor(f"{bl}.ssm_c_norm.weight",
+                         sd[f"{mx}.c_layernorm.weight"].float().numpy())
+    w.write()
+    ours = _our_logits(path)
+    _assert_close(ours, _hf_logits(model), atol=5e-3)
+
+
+def test_jamba_decode_matches_prefill(tmp_path):
+    """Hybrid state consistency: step-by-step decode == one-shot prefill."""
+    # reuse the conversion from the parity test via a fresh model
+    import inspect
+
+    src = inspect.getsource(test_jamba_hybrid_parity)
+    # build the same gguf
+    test_jamba_hybrid_parity(tmp_path)
+    path = str(tmp_path / "jamba.gguf")
+    m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+    assert m.config.is_recurrent
+    eng = Engine(m.params, m.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    full = eng.prefill_logits(TOKENS)
+    eng2 = Engine(m.params, m.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    last = eng2.prefill(TOKENS[:4])
+    np.testing.assert_allclose(last, full[3], atol=1e-4)
+    for i, t in enumerate(TOKENS[4:6]):
+        logits = eng2.decode_one(np.array([t]))
+        np.testing.assert_allclose(logits[0], full[4 + i], atol=1e-4)
