@@ -132,3 +132,122 @@ def test_mtmd_chunks_and_engine(tmp_path):
     eng2 = Engine(lm.params, lm.config, batch_size=1, max_seq=64, dtype=jnp.float32)
     logits2 = ctx.eval_chunks(eng2, ctx.tokenize("ab<__media__>cd", [img2]))
     assert np.abs(logits - logits2).max() > 1e-4
+
+
+# ---------------------------------------------------------------------------
+# audio (whisper-style encoder + ultravox projector)
+# ---------------------------------------------------------------------------
+
+
+def test_log_mel_matches_whisper_feature_extractor():
+    from transformers import WhisperFeatureExtractor
+
+    from llamacog_tpu.mtmd.audio import log_mel_spectrogram
+
+    fe = WhisperFeatureExtractor(feature_size=80)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)  # 1s
+    ref = fe(audio, sampling_rate=16000, return_tensors="np",
+             padding="max_length").input_features[0]
+    ours = log_mel_spectrogram(audio, n_mels=80, pad_to_frames=3000)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def _tiny_whisper():
+    from transformers import WhisperConfig, WhisperModel
+
+    cfg = WhisperConfig(
+        num_mel_bins=80, d_model=64, encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=1, decoder_attention_heads=4, encoder_ffn_dim=128,
+        max_source_positions=1500,
+    )
+    torch.manual_seed(11)
+    return WhisperModel(cfg).eval()
+
+
+def _write_audio_mmproj(model, path, n_embd_text=48, stack=2):
+    from llamacog_tpu.gguf import GGUFWriter
+
+    sd = model.state_dict()
+    cfg = model.config
+    w = GGUFWriter(path)
+    w.add("general.architecture", "clip")
+    w.add("clip.has_audio_encoder", True)
+    w.add("clip.projector_type", "ultravox")
+    w.add("clip.audio.num_mel_bins", cfg.num_mel_bins)
+    w.add("clip.audio.embedding_length", cfg.d_model)
+    w.add("clip.audio.feed_forward_length", cfg.encoder_ffn_dim)
+    w.add("clip.audio.block_count", cfg.encoder_layers)
+    w.add("clip.audio.attention.head_count", cfg.encoder_attention_heads)
+    w.add("clip.audio.projector.stack_factor", stack)
+    pre = "encoder."
+    w.add_tensor("a.conv1d.1.weight", sd[pre + "conv1.weight"].float().numpy())
+    w.add_tensor("a.conv1d.1.bias", sd[pre + "conv1.bias"].float().numpy())
+    w.add_tensor("a.conv1d.2.weight", sd[pre + "conv2.weight"].float().numpy())
+    w.add_tensor("a.conv1d.2.bias", sd[pre + "conv2.bias"].float().numpy())
+    w.add_tensor("a.position_embd.weight", sd[pre + "embed_positions.weight"].float().numpy())
+    w.add_tensor("a.post_ln.weight", sd[pre + "layer_norm.weight"].float().numpy())
+    w.add_tensor("a.post_ln.bias", sd[pre + "layer_norm.bias"].float().numpy())
+    nm = {
+        "self_attn.q_proj": "attn_q", "self_attn.k_proj": "attn_k",
+        "self_attn.v_proj": "attn_v", "self_attn.out_proj": "attn_out",
+        "self_attn_layer_norm": "ln1", "final_layer_norm": "ln2",
+        "fc1": "ffn_up", "fc2": "ffn_down",
+    }
+    for il in range(cfg.encoder_layers):
+        for hf, gg in nm.items():
+            for sfx in ("weight", "bias"):
+                key = f"{pre}layers.{il}.{hf}.{sfx}"
+                if key in sd:
+                    w.add_tensor(f"a.blk.{il}.{gg}.{sfx}", sd[key].float().numpy())
+    rng = np.random.default_rng(5)
+    d = cfg.d_model * stack
+    w.add_tensor("mm.a.norm_pre.weight", np.ones(d, np.float32))
+    w.add_tensor("mm.a.mlp.1.weight", (rng.standard_normal((2 * n_embd_text, d)) * 0.05).astype(np.float32))
+    w.add_tensor("mm.a.norm_mid.weight", np.ones(n_embd_text, np.float32))
+    w.add_tensor("mm.a.mlp.2.weight", (rng.standard_normal((n_embd_text, n_embd_text)) * 0.05).astype(np.float32))
+    w.write()
+    return path
+
+
+def test_whisper_encoder_hf_parity(tmp_path):
+    from llamacog_tpu.mtmd.audio import load_audio_mmproj, log_mel_spectrogram
+
+    model = _tiny_whisper()
+    path = _write_audio_mmproj(model, str(tmp_path / "audio.gguf"))
+    enc = load_audio_mmproj(path)
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    mel = log_mel_spectrogram(audio, n_mels=80, pad_to_frames=3000)
+    with torch.no_grad():
+        ref = model.encoder(torch.tensor(mel)[None]).last_hidden_state[0].numpy()
+    # compare the transformer output (pre-projector): build a qwen2a-style
+    # identity check by stripping projector params
+    p = {k: v for k, v in enc.params.items() if not k.startswith("mm_")}
+    import dataclasses
+
+    from llamacog_tpu.mtmd.audio import AudioEncoderModel
+
+    cfg2 = dataclasses.replace(enc.config, projector_type="qwen2a")
+    import jax.numpy as jnp2
+
+    p["mm_fc_w"] = jnp2.eye(enc.config.n_embd, dtype=jnp2.float32)
+    p["mm_fc_b"] = jnp2.zeros(enc.config.n_embd, jnp2.float32)
+    ours = AudioEncoderModel(cfg2, p).encode(mel)
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=1e-3)
+
+
+def test_ultravox_projector_shapes(tmp_path):
+    from llamacog_tpu.mtmd.audio import load_audio_mmproj, log_mel_spectrogram
+
+    model = _tiny_whisper()
+    path = _write_audio_mmproj(model, str(tmp_path / "audio2.gguf"), n_embd_text=48,
+                               stack=2)
+    enc = load_audio_mmproj(path)
+    audio = np.zeros(8000, np.float32)
+    mel = log_mel_spectrogram(audio, n_mels=80, pad_to_frames=100)
+    out = enc.encode(mel)
+    # conv stride 2 halves frames; stacking by 2 halves again
+    assert out.shape == (25, 48)
+    assert np.isfinite(out).all()
