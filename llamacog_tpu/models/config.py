@@ -69,8 +69,11 @@ class ModelConfig:
     ffn_act: str = "silu"  # silu | gelu | gelu_quick | relu | relu2
     norm_type: str = "rms"  # rms | layer
     norm_eps: float = 1e-5  # layer-norm epsilon (f_norm_eps)
-    parallel_residual: bool = False  # phi2/gptneox: attn+ffn share input
+    parallel_residual: bool = False  # phi2/gptneox/command-r: attn+ffn share input
     post_norms: bool = False  # gemma2/3: attn_post_norm / ffn_post_norm
+    post_norm_only: bool = False  # olmo2: no pre-norms, norm the branch outputs
+    qk_norm_full: bool = False  # olmo2: q/k norm over the full projection
+    logit_scale: float = 1.0  # command-r: final logits multiplier
     learned_pos_embd: bool = False  # gpt2/bert: position_embd.weight added
     causal: bool = True  # False for encoder models (bert)
     rope_freq_base_swa: float = 0.0  # gemma3: different rope base on SWA layers
@@ -162,6 +165,7 @@ class ModelConfig:
             final_logit_softcap=float(g("final_logit_softcapping", 0.0) or 0.0),
             norm_eps=float(g("attention.layer_norm_epsilon", 1e-5) or 1e-5),
             attn_scale=float(g("attention.scale", 0.0) or 0.0),
+            logit_scale=float(g("logit_scale", 1.0) or 1.0),
             n_lora_q=int(g("attention.q_lora_rank", 0) or 0),
             n_lora_kv=int(g("attention.kv_lora_rank", 0) or 0),
             n_layer_dense_lead=int(g("leading_dense_block_count", 0) or 0),
@@ -216,6 +220,18 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
         cfg.norm_type = "layer"
         cfg.ffn_act = "gelu"
         cfg.parallel_residual = True
+    elif a == "olmo2":
+        # post-norm architecture (llm_build_olmo2, llama-model.cpp:9710):
+        # no pre-norms, branch outputs normalized; q/k norm over the full
+        # projection before the head reshape
+        cfg.post_norm_only = True
+        cfg.post_norms = True
+        cfg.qk_norm_full = True
+    elif a in ("command-r", "cohere2"):
+        # shared input norm feeding attention AND FFN in parallel
+        # (llm_build_command_r, llama-model.cpp:9299); LayerNorm, no bias
+        cfg.parallel_residual = True
+        cfg.norm_type = "layer"
     elif a == "deepseek2":
         # decompressed-MHA path (llm_build_deepseek2 non-MLA branch,
         # src/llama-model.cpp:10700): every head gets its own decompressed

@@ -246,7 +246,8 @@ def forward(
     )
     rdim = cfg.rope.dim or Dk
     for il, layer in enumerate(params["layers"]):
-        h = _norm(x, layer, "attn_norm", cfg)
+        # olmo2: post-norm design — attention reads the raw residual stream
+        h = x if cfg.post_norm_only else _norm(x, layer, "attn_norm", cfg)
         if "attn_kv_a_mqa" in layer:
             # deepseek2 MLA, decompressed-MHA form (llm_build_deepseek2
             # non-MLA branch, src/llama-model.cpp:10630-10745)
@@ -313,10 +314,17 @@ def forward(
             k = k.reshape(B, T, Hkv, Dk)
             v = v.reshape(B, T, Hkv, Dv)
         else:
-            q = _linear(h, layer, "attn_q").reshape(B, T, H, Dk)
-            k = _linear(h, layer, "attn_k").reshape(B, T, Hkv, Dk)
-            v = _linear(h, layer, "attn_v").reshape(B, T, Hkv, Dv)
-        if "attn_q_norm" in layer:
+            q = _linear(h, layer, "attn_q")
+            k = _linear(h, layer, "attn_k")
+            v = _linear(h, layer, "attn_v")
+            if cfg.qk_norm_full and "attn_q_norm" in layer:
+                # olmo2: norm over the whole projection, not per head
+                q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
+                k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)
+            q = q.reshape(B, T, H, Dk)
+            k = k.reshape(B, T, Hkv, Dk)
+            v = v.reshape(B, T, Hkv, Dv)
+        if not cfg.qk_norm_full and "attn_q_norm" in layer:
             q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)
         is_swa = cfg.is_swa(il)
@@ -379,6 +387,8 @@ def forward(
     if "output_lora" in params and "output" in params:
         lo = params["output_lora"]
         logits = logits + lo["scale"] * ((x.astype(jnp.float32) @ lo["a"].T) @ lo["b"].T)
+    if cfg.logit_scale != 1.0:  # command-r (f_logit_scale)
+        logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0.0:
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
     return logits, cache

@@ -167,7 +167,11 @@ def load_model(
             name = f"blk.{il}.{suffix}"
             if name in reader.tensors:
                 layer[key] = _load_tensor(reader, name, mode, dtype)
-        if fuse and all(k in layer for k in ("attn_q", "attn_k", "attn_v")):
+        if cfg.qk_norm_full and "attn_q_norm" in layer:
+            fuse_qkv = False  # olmo2: full-projection q/k norm needs separate q/k
+        else:
+            fuse_qkv = fuse
+        if fuse_qkv and all(k in layer for k in ("attn_q", "attn_k", "attn_v")):
             fused = _fuse_rows([layer["attn_q"], layer["attn_k"], layer["attn_v"]])
             if fused is not None:
                 layer["attn_qkv"] = fused

@@ -462,3 +462,98 @@ def test_jamba_decode_matches_prefill(tmp_path):
     for i, t in enumerate(TOKENS[4:6]):
         logits = eng2.decode_one(np.array([t]))
         np.testing.assert_allclose(logits[0], full[4 + i], atol=1e-4)
+
+
+def test_olmo2_parity(tmp_path):
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    cfg = Olmo2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(9)
+    model = Olmo2ForCausalLM(cfg).eval()
+    sd = model.state_dict()
+    path = str(tmp_path / "olmo2.gguf")
+    w = GGUFWriter(path)
+    arch = "olmo2"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", 64)
+    w.add(f"{arch}.block_count", 2)
+    w.add(f"{arch}.feed_forward_length", 96)
+    w.add(f"{arch}.attention.head_count", 4)
+    w.add(f"{arch}.attention.head_count_kv", 2)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", cfg.rms_norm_eps)
+    w.add(f"{arch}.rope.freq_base", cfg.rope_theta)
+    w.add(f"{arch}.vocab_size", 128)
+    w.add_tensor("token_embd.weight", sd["model.embed_tokens.weight"].float().numpy())
+    w.add_tensor("output_norm.weight", sd["model.norm.weight"].float().numpy())
+    w.add_tensor("output.weight", sd["lm_head.weight"].float().numpy())
+    nmap = {
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "self_attn.q_norm.weight": "attn_q_norm.weight",
+        "self_attn.k_norm.weight": "attn_k_norm.weight",
+        "post_attention_layernorm.weight": "post_attention_norm.weight",
+        "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+    for il in range(2):
+        for hf, gg in nmap.items():
+            key = f"model.layers.{il}.{hf}"
+            if key in sd:
+                w.add_tensor(f"blk.{il}.{gg}", sd[key].float().numpy())
+    w.write()
+    _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
+
+
+def test_command_r_parity(tmp_path):
+    from transformers import CohereConfig, CohereForCausalLM
+
+    cfg = CohereConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        logit_scale=0.5, use_qk_norm=False, tie_word_embeddings=True,
+    )
+    torch.manual_seed(10)
+    model = CohereForCausalLM(cfg).eval()
+    sd = model.state_dict()
+    path = str(tmp_path / "commandr.gguf")
+    w = GGUFWriter(path)
+    arch = "command-r"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", 64)
+    w.add(f"{arch}.block_count", 2)
+    w.add(f"{arch}.feed_forward_length", 96)
+    w.add(f"{arch}.attention.head_count", 4)
+    w.add(f"{arch}.attention.head_count_kv", 2)
+    w.add(f"{arch}.attention.layer_norm_epsilon", cfg.layer_norm_eps)
+    w.add(f"{arch}.logit_scale", 0.5)
+    w.add(f"{arch}.rope.freq_base", cfg.rope_theta)
+    w.add(f"{arch}.vocab_size", 128)
+    w.add_tensor("token_embd.weight", sd["model.embed_tokens.weight"].float().numpy())
+    w.add_tensor("output_norm.weight", sd["model.norm.weight"].float().numpy())
+    nmap = {
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "input_layernorm.weight": "attn_norm.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+    for il in range(2):
+        for hf, gg in nmap.items():
+            key = f"model.layers.{il}.{hf}"
+            if key in sd:
+                w.add_tensor(f"blk.{il}.{gg}", sd[key].float().numpy())
+    w.write()
+    _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
