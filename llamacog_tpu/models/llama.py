@@ -207,10 +207,13 @@ def forward(
     H, Hkv = cfg.n_head, cfg.n_head_kv
     Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
     scale = cfg.kq_scale
-    from ..ops.pallas import flash_decode
+    from ..ops.pallas import flash_decode, flash_prefill
 
     use_flash = flash_decode.supported(cfg, cache, T)
-    if use_flash:
+    use_flash_prefill = not use_flash and flash_prefill.supported(
+        cfg, cache, T, int(cache.max_seq)
+    )
+    if use_flash or use_flash_prefill:
         mask = intra = swa_mask = intra_swa = None
         import jax
 
@@ -342,6 +345,13 @@ def forward(
                 window=cfg.sliding_window if is_swa else 0,
                 interpret=_interp,
             )[:, None]
+        elif use_flash_prefill:
+            attn = flash_prefill.flash_prefill_attention(
+                q, k_old, v_old, k, v, write_pos, scale,
+                softcap=cfg.attn_logit_softcap,
+                window=cfg.sliding_window if is_swa else 0,
+                interpret=_interp,
+            )
         else:
             m, im = (swa_mask, intra_swa) if is_swa else (mask, intra)
             attn = masked_attention(
