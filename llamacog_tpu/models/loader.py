@@ -22,7 +22,7 @@ from .config import ModelConfig
 _ALWAYS_DENSE_SUFFIXES = (
     "_norm.weight", ".bias", "exp_probs_b.bias",
     "rope_freqs.weight", "rope_factors_long.weight", "rope_factors_short.weight",
-    "position_embd.weight",
+    "position_embd.weight", "token_types.weight", "cls.weight", "cls.output.weight",
 )
 
 _LAYER_TENSORS = {
@@ -49,6 +49,11 @@ _LAYER_TENSORS = {
     "attn_kv_b": "attn_kv_b.weight",
     "attn_post_norm": "post_attention_norm.weight",
     "ffn_post_norm": "post_ffw_norm.weight",
+    # bert-family post-LN norms (LLM_ARCH_BERT tensor map)
+    "attn_out_norm": "attn_output_norm.weight",
+    "attn_out_norm_b": "attn_output_norm.bias",
+    "layer_out_norm": "layer_output_norm.weight",
+    "layer_out_norm_b": "layer_output_norm.bias",
     "ffn_norm": "ffn_norm.weight",
     "ffn_norm_b": "ffn_norm.bias",
     "ffn_gate": "ffn_gate.weight",
@@ -92,6 +97,11 @@ _MODEL_TENSORS = {
     "tok_norm": "token_embd_norm.weight",  # bert embedding layernorm
     "tok_norm_b": "token_embd_norm.bias",
     "output_norm_b": "output_norm.bias",
+    "token_types": "token_types.weight",  # bert token-type embeddings
+    "cls": "cls.weight",  # reranker / classifier head
+    "cls_b": "cls.bias",
+    "cls_out": "cls.output.weight",
+    "cls_out_b": "cls.output.bias",
 }
 
 

@@ -269,8 +269,27 @@ class ServerContext:
     def embed(self, texts: list[str], pooling: str = "mean") -> list[list[float]]:
         import threading as _th
 
-        if not hasattr(self, "_embed_engine"):
+        if not hasattr(self, "_embed_lock"):
             self._embed_lock = _th.Lock()
+        # encoder models (bert family) use the bidirectional encoder path
+        if not self.model.config.causal:
+            from ..models.bert import BertEncoder
+
+            if not hasattr(self, "_bert_encoder"):
+                self._bert_encoder = BertEncoder(self.model.params, self.model.config)
+            with self._embed_lock:
+                batches = [
+                    self.model.tokenizer.tokenize(t, add_special=True,
+                                                  parse_special=True)[:512]
+                    for t in texts
+                ]
+                vecs = self._bert_encoder.embed(batches, pooling=pooling)
+            out = []
+            for v in vecs:
+                n = float(np.linalg.norm(v)) or 1.0
+                out.append((v / n).tolist())
+            return out
+        if not hasattr(self, "_embed_engine"):
             self._embed_engine = Engine(
                 self.model.params, self.model.config, batch_size=1,
                 max_seq=min(self.ctx_size, 512), dtype=self.engine.dtype,
@@ -326,11 +345,24 @@ class ServerContext:
         return extra + ids + [v.fim_mid_id]
 
     def rerank(self, query: str, documents: list[str]) -> list[float]:
-        """Query-document relevance via embedding cosine similarity.
+        """Query-document relevance. Rank-head models (bert rerankers with
+        cls tensors, pooling_type RANK — the reference's /rerank path) score
+        [query SEP doc] pairs; decoder models fall back to cosine over
+        pooled embeddings."""
+        if not self.model.config.causal and "cls_out" in self.model.params:
+            from ..models.bert import BertEncoder
 
-        (The reference's /rerank uses rank-pooled classifier models,
-        server.cpp /rerank; for decoder models without a rank head the
-        cosine score over pooled embeddings is the standard fallback.)"""
+            if not hasattr(self, "_bert_encoder"):
+                self._bert_encoder = BertEncoder(self.model.params, self.model.config)
+            tok = self.model.tokenizer
+            v = self.model.vocab
+            sep = [v.sep_id] if v.sep_id >= 0 else []
+            qids = tok.tokenize(query, add_special=True, parse_special=True)
+            batches = [
+                (qids + sep + tok.tokenize(d, add_special=False, parse_special=True))[:512]
+                for d in documents
+            ]
+            return [float(s) for s in self._bert_encoder.rank(batches)]
         vecs = self.embed([query] + documents, pooling="mean")
         q = np.asarray(vecs[0])
         out = []

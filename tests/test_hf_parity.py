@@ -557,3 +557,83 @@ def test_command_r_parity(tmp_path):
                 w.add_tensor(f"blk.{il}.{gg}", sd[key].float().numpy())
     w.write()
     _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
+
+
+def _convert_bert(tmp_path, with_cls=False):
+    from transformers import BertConfig, BertModel
+
+    cfg = BertConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128, type_vocab_size=2,
+        layer_norm_eps=1e-12,
+    )
+    torch.manual_seed(12)
+    model = BertModel(cfg, add_pooling_layer=False).eval()
+    sd = model.state_dict()
+    path = str(tmp_path / "bert.gguf")
+    w = GGUFWriter(path)
+    arch = "bert"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 128)
+    w.add(f"{arch}.embedding_length", 64)
+    w.add(f"{arch}.block_count", 2)
+    w.add(f"{arch}.feed_forward_length", 96)
+    w.add(f"{arch}.attention.head_count", 4)
+    w.add(f"{arch}.attention.head_count_kv", 4)
+    w.add(f"{arch}.attention.layer_norm_epsilon", cfg.layer_norm_eps)
+    w.add(f"{arch}.vocab_size", 128)
+    w.add_tensor("token_embd.weight", sd["embeddings.word_embeddings.weight"].float().numpy())
+    w.add_tensor("token_types.weight", sd["embeddings.token_type_embeddings.weight"].float().numpy())
+    w.add_tensor("position_embd.weight", sd["embeddings.position_embeddings.weight"].float().numpy())
+    w.add_tensor("token_embd_norm.weight", sd["embeddings.LayerNorm.weight"].float().numpy())
+    w.add_tensor("token_embd_norm.bias", sd["embeddings.LayerNorm.bias"].float().numpy())
+    nmap = {
+        "attention.self.query": "attn_q", "attention.self.key": "attn_k",
+        "attention.self.value": "attn_v", "attention.output.dense": "attn_output",
+        "attention.output.LayerNorm": "attn_output_norm",
+        "intermediate.dense": "ffn_up", "output.dense": "ffn_down",
+        "output.LayerNorm": "layer_output_norm",
+    }
+    for il in range(2):
+        for hf, gg in nmap.items():
+            for sfx in ("weight", "bias"):
+                key = f"encoder.layer.{il}.{hf}.{sfx}"
+                if key in sd:
+                    w.add_tensor(f"blk.{il}.{gg}.{sfx}", sd[key].float().numpy())
+    if with_cls:
+        rng = np.random.default_rng(13)
+        w.add_tensor("cls.weight", (rng.standard_normal((64, 64)) * 0.05).astype(np.float32))
+        w.add_tensor("cls.bias", np.zeros(64, np.float32))
+        w.add_tensor("cls.output.weight", (rng.standard_normal((1, 64)) * 0.05).astype(np.float32))
+        w.add_tensor("cls.output.bias", np.zeros(1, np.float32))
+    w.write()
+    return path, model
+
+
+def test_bert_encoder_parity(tmp_path):
+    from llamacog_tpu.models.bert import BertEncoder
+
+    path, model = _convert_bert(tmp_path)
+    m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+    assert not m.config.causal
+    enc = BertEncoder(m.params, m.config)
+    toks = [[2, 17, 42, 9, 63], [5, 8, 99]]
+    h, valid = enc.hidden(toks)
+    import torch as _t
+
+    with _t.no_grad():
+        ref0 = model(_t.tensor([toks[0]])).last_hidden_state[0].numpy()
+        ref1 = model(_t.tensor([toks[1]])).last_hidden_state[0].numpy()
+    np.testing.assert_allclose(np.asarray(h[0, :5]), ref0, atol=3e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(h[1, :3]), ref1, atol=3e-3, rtol=1e-3)
+
+
+def test_bert_rank_head(tmp_path):
+    from llamacog_tpu.models.bert import BertEncoder
+
+    path, _ = _convert_bert(tmp_path, with_cls=True)
+    m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+    enc = BertEncoder(m.params, m.config)
+    scores = enc.rank([[2, 17, 42], [5, 8, 99, 3]])
+    assert scores.shape == (2,)
+    assert np.isfinite(scores).all()
