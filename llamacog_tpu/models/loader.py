@@ -162,6 +162,27 @@ def load_model(
 ) -> Model:
     reader = GGUFModelReader(path)
     cfg = ModelConfig.from_metadata(reader.metadata)
+    if cfg.arch in ("t5", "t5encoder"):
+        from .t5 import load_t5_params
+
+        def lt(name, optional=False):
+            if name not in reader.tensors:
+                if optional:
+                    return None
+                raise KeyError(name)
+            return _load_tensor(reader, name, mode, dtype)
+
+        params = load_t5_params(reader, cfg, lt)
+        params["layers"] = []  # keep the pytree shape loaders expect
+        vocab = tokenizer = None
+        if with_tokenizer and "tokenizer.ggml.tokens" in reader.metadata:
+            vocab = Vocab.from_metadata(reader.metadata)
+            try:
+                tokenizer = build_tokenizer(vocab)
+            except NotImplementedError:
+                tokenizer = None
+        reader.close()
+        return Model(cfg, params, vocab, tokenizer)
     params: dict = {"layers": []}
     params["tok_embd"] = _load_tensor(reader, "token_embd.weight", mode, dtype)
     if "output_norm.weight" in reader.tensors:

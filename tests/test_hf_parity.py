@@ -637,3 +637,90 @@ def test_bert_rank_head(tmp_path):
     scores = enc.rank([[2, 17, 42], [5, 8, 99, 3]])
     assert scores.shape == (2,)
     assert np.isfinite(scores).all()
+
+
+def test_t5_parity(tmp_path):
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    cfg = T5Config(
+        vocab_size=128, d_model=64, d_kv=16, d_ff=96, num_layers=2, num_heads=4,
+        relative_attention_num_buckets=32, decoder_start_token_id=0,
+        tie_word_embeddings=True, feed_forward_proj="relu",
+    )
+    torch.manual_seed(14)
+    model = T5ForConditionalGeneration(cfg).eval()
+    sd = model.state_dict()
+    path = str(tmp_path / "t5.gguf")
+    w = GGUFWriter(path)
+    arch = "t5"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", 64)
+    w.add(f"{arch}.block_count", 2)
+    w.add(f"{arch}.feed_forward_length", 96)
+    w.add(f"{arch}.attention.head_count", 4)
+    w.add(f"{arch}.attention.head_count_kv", 4)
+    w.add(f"{arch}.attention.key_length", 16)
+    w.add(f"{arch}.attention.value_length", 16)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", cfg.layer_norm_epsilon)
+    w.add(f"{arch}.attention.relative_buckets_count", 32)
+    w.add(f"{arch}.vocab_size", 128)
+    w.add_tensor("token_embd.weight", sd["shared.weight"].float().numpy())
+    w.add_tensor("enc.output_norm.weight",
+                 sd["encoder.final_layer_norm.weight"].float().numpy())
+    w.add_tensor("dec.output_norm.weight",
+                 sd["decoder.final_layer_norm.weight"].float().numpy())
+    enc_map = {
+        "layer.0.SelfAttention.q": "attn_q", "layer.0.SelfAttention.k": "attn_k",
+        "layer.0.SelfAttention.v": "attn_v", "layer.0.SelfAttention.o": "attn_o",
+        "layer.0.SelfAttention.relative_attention_bias": "attn_rel_b",
+        "layer.0.layer_norm": "attn_norm",
+        "layer.1.DenseReluDense.wi": "ffn_up",
+        "layer.1.DenseReluDense.wo": "ffn_down",
+        "layer.1.layer_norm": "ffn_norm",
+    }
+    dec_map = {
+        "layer.0.SelfAttention.q": "attn_q", "layer.0.SelfAttention.k": "attn_k",
+        "layer.0.SelfAttention.v": "attn_v", "layer.0.SelfAttention.o": "attn_o",
+        "layer.0.SelfAttention.relative_attention_bias": "attn_rel_b",
+        "layer.0.layer_norm": "attn_norm",
+        "layer.1.EncDecAttention.q": "cross_attn_q",
+        "layer.1.EncDecAttention.k": "cross_attn_k",
+        "layer.1.EncDecAttention.v": "cross_attn_v",
+        "layer.1.EncDecAttention.o": "cross_attn_o",
+        "layer.1.layer_norm": "cross_attn_norm",
+        "layer.2.DenseReluDense.wi": "ffn_up",
+        "layer.2.DenseReluDense.wo": "ffn_down",
+        "layer.2.layer_norm": "ffn_norm",
+    }
+    for il in range(2):
+        for hf, gg in enc_map.items():
+            key = f"encoder.block.{il}.{hf}.weight"
+            if key in sd:
+                w.add_tensor(f"enc.blk.{il}.{gg}.weight", sd[key].float().numpy())
+        for hf, gg in dec_map.items():
+            key = f"decoder.block.{il}.{hf}.weight"
+            if key in sd:
+                w.add_tensor(f"dec.blk.{il}.{gg}.weight", sd[key].float().numpy())
+    w.write()
+
+    from llamacog_tpu.models.t5 import T5Model
+
+    m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+    t5 = T5Model(m.params, m.config)
+    enc_ids = [3, 17, 42, 9]
+    dec_ids = [0, 5, 8]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([enc_ids]),
+                    decoder_input_ids=torch.tensor([dec_ids])).logits[0].numpy()
+    import llamacog_tpu.models.t5 as T5
+
+    toks = jnp.asarray([enc_ids], jnp.int32)
+    valid = jnp.ones_like(toks, bool)
+    enc_out = T5.t5_encode(m.params, m.config, toks, valid)
+    logits = T5.t5_decode(m.params, m.config, jnp.asarray([dec_ids], jnp.int32),
+                          enc_out, valid)
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=3e-3, rtol=1e-3)
+    # greedy generation runs end-to-end
+    out = t5.generate_greedy(enc_ids, 4, decoder_start_id=0, eos_id=1)
+    assert 1 <= len(out) <= 4
