@@ -35,8 +35,20 @@ def make_mesh(n_data: int = 1, n_model: int | None = None, devices=None) -> Mesh
     return Mesh(dev, ("data", "model"))
 
 
+def _fit_spec(shape, spec: P, mesh: Mesh) -> P:
+    """Drop sharded axes whose dimension doesn't divide the mesh axis size
+    (e.g. Hkv=4 over an 8-way model axis → replicate that dim)."""
+    out = []
+    for i, axis in enumerate(spec):
+        if axis is None or i >= len(shape):
+            out.append(None if i >= len(shape) else axis)
+            continue
+        n = mesh.shape[axis]
+        out.append(axis if shape[i] % n == 0 else None)
+    return P(*out[: len(shape)])
+
+
 def _put(x, mesh: Mesh, spec: P):
-    sharding = NamedSharding(mesh, spec)
     if isinstance(x, QuantTensor):
         planes = {}
         for name, plane in x.planes.items():
@@ -44,9 +56,10 @@ def _put(x, mesh: Mesh, spec: P):
             # planes are 2-D [N, K/g]; drop trailing spec dims if any
             if plane.ndim < len(spec):
                 pspec = P(*spec[: plane.ndim])
+            pspec = _fit_spec(plane.shape, pspec, mesh)
             planes[name] = jax.device_put(plane, NamedSharding(mesh, pspec))
         return QuantTensor(x.kind, x.shape, planes)
-    return jax.device_put(x, sharding)
+    return jax.device_put(x, NamedSharding(mesh, _fit_spec(x.shape, spec, mesh)))
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
@@ -85,8 +98,10 @@ def cache_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_cache(cache, mesh: Mesh):
-    s = cache_sharding(mesh)
-    return type(cache)(jax.device_put(cache.k, s), jax.device_put(cache.v, s))
+    spec = P(None, "data", None, "model", None)
+    k = jax.device_put(cache.k, NamedSharding(mesh, _fit_spec(cache.k.shape, spec, mesh)))
+    v = jax.device_put(cache.v, NamedSharding(mesh, _fit_spec(cache.v.shape, spec, mesh)))
+    return type(cache)(k, v)
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

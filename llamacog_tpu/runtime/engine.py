@@ -47,6 +47,7 @@ class Engine:
         max_seq: int = 2048,
         dtype=jnp.bfloat16,
         kv_type: str = "dense",
+        mesh=None,  # jax.sharding.Mesh for TP/EP/DP sharded serving
     ):
         from .kv_cache import make_cache
 
@@ -56,7 +57,18 @@ class Engine:
         self.max_seq = max_seq
         self.dtype = dtype
         self.kv_type = kv_type
+        self.mesh = mesh
         self.recurrent = config.is_recurrent
+        if mesh is not None and not self.recurrent:
+            # shard weights (TP rows/cols, EP experts) and KV (data x heads)
+            # over the mesh; the jitted steps below then run SPMD with XLA
+            # inserting/overlapping the collectives (SURVEY §2.4-2.5)
+            from ..parallel.sharding import shard_cache, shard_params
+
+            self.params = params = shard_params(params, mesh)
+            self._shard_cache_fn = lambda c: shard_cache(c, mesh)
+        else:
+            self._shard_cache_fn = None
         if self.recurrent:
             self._init_recurrent()
             return
@@ -70,6 +82,8 @@ class Engine:
             config.head_dim_v,
             dtype=dtype,
         )
+        if self._shard_cache_fn is not None:
+            self.cache = self._shard_cache_fn(self.cache)
         self.seq_len = np.zeros(batch_size, dtype=np.int32)  # host-side lengths
 
         @functools.partial(jax.jit, static_argnames=("t",))

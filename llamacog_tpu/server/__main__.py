@@ -14,6 +14,10 @@ def main(argv=None) -> int:
     p.add_argument("--mode", choices=("quantized", "dequant"), default="quantized")
     p.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
     p.add_argument("--device", choices=("auto", "cpu", "tpu"), default="auto")
+    p.add_argument("-tp", "--tensor-parallel", type=int, default=1,
+                   help="shard weights/KV over N chips (model mesh axis)")
+    p.add_argument("-dp", "--data-parallel", type=int, default=1,
+                   help="shard request batch over N chip groups")
     p.add_argument("--lora", action="append", default=[], help="LoRA adapter GGUF")
     p.add_argument("--control-vector", default=None, help="control vector GGUF")
     p.add_argument("--control-vector-scale", type=float, default=1.0)
@@ -43,9 +47,14 @@ def main(argv=None) -> int:
             model.config.n_layer, model.config.n_embd,
             strength=args.control_vector_scale,
         )
+    mesh = None
+    if args.tensor_parallel > 1 or args.data_parallel > 1:
+        from ..parallel.sharding import make_mesh
+
+        mesh = make_mesh(args.data_parallel, args.tensor_parallel)
     ctx, httpd = serve(
         model, host=args.host, port=args.port, n_slots=args.n_slots,
-        ctx_size=args.ctx_size, dtype=dtype, loras=loras,
+        ctx_size=args.ctx_size, dtype=dtype, loras=loras, mesh=mesh,
     )
     print(f"llamacog-server listening on http://{args.host}:{args.port} "
           f"({args.n_slots} slots, ctx {args.ctx_size})", file=sys.stderr)

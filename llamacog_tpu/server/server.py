@@ -68,7 +68,7 @@ class Slot:
 class ServerContext:
     def __init__(
         self, model: Model, n_slots: int = 4, ctx_size: int = 2048, dtype=None,
-        loras=None,
+        loras=None, mesh=None,
     ):
         import jax.numpy as jnp
 
@@ -80,8 +80,9 @@ class ServerContext:
             attach_lora(model.params, ad)
         self.engine = Engine(
             model.params, model.config, batch_size=n_slots,
-            max_seq=ctx_size, dtype=dtype or jnp.bfloat16,
+            max_seq=ctx_size, dtype=dtype or jnp.bfloat16, mesh=mesh,
         )
+        model.params = self.engine.params  # sharded copies when mesh is set
         self.slots = [Slot(i) for i in range(n_slots)]
         self.pending: "queue.Queue[Task]" = queue.Queue()
         self.ctx_size = ctx_size
@@ -838,9 +839,10 @@ def make_handler(ctx: ServerContext):
 
 def serve(
     model: Model, host="127.0.0.1", port=8080, n_slots=4, ctx_size=2048, dtype=None,
-    loras=None,
+    loras=None, mesh=None,
 ):
-    ctx = ServerContext(model, n_slots=n_slots, ctx_size=ctx_size, dtype=dtype, loras=loras)
+    ctx = ServerContext(model, n_slots=n_slots, ctx_size=ctx_size, dtype=dtype,
+                        loras=loras, mesh=mesh)
     ctx.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(ctx))
     return ctx, httpd
