@@ -80,6 +80,14 @@ def main() -> None:
     engine.prefill(prompt)
 
     hbm_bw = HBM_BW
+    # TTFT / prefill throughput (pp512-style, reported on stderr)
+    engine.reset()
+    t0 = time.time()
+    engine.prefill(prompt)
+    ttft = time.time() - t0
+    print(f"[bench] pp{len(prompt)}: {ttft*1e3:.0f}ms TTFT "
+          f"({len(prompt)/ttft:.0f} t/s prefill)", file=sys.stderr)
+
     # on-device greedy loop: token feedback never leaves the chip
     tok = np.array([5])
     engine.decode_greedy_tokens(tok, N_DECODE)  # warmup/compile
