@@ -8,6 +8,8 @@ production path) or are dequantized to a dense dtype at load ("dequant").
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -192,12 +194,22 @@ def load_model(
     for key, name in _MODEL_TENSORS.items():
         if name in reader.tensors:
             params[key] = _load_tensor(reader, name, mode, dtype)
+    # per-tensor loads run in a thread pool: dequant/relayout is numpy/C++
+    # (GIL released), so layer loading parallelizes across cores — the role
+    # of the reference's threaded load_all_data (llama-model-loader.h:159)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=min(os.cpu_count() or 1, 16))
+    futures: list[dict] = []
     for il in range(cfg.n_layer):
-        layer = {}
+        lf = {}
         for key, suffix in _LAYER_TENSORS.items():
             name = f"blk.{il}.{suffix}"
             if name in reader.tensors:
-                layer[key] = _load_tensor(reader, name, mode, dtype)
+                lf[key] = pool.submit(_load_tensor, reader, name, mode, dtype)
+        futures.append(lf)
+    for il in range(cfg.n_layer):
+        layer = {k: f.result() for k, f in futures[il].items()}
         if cfg.qk_norm_full and "attn_q_norm" in layer:
             fuse_qkv = False  # olmo2: full-projection q/k norm needs separate q/k
         else:
@@ -223,6 +235,7 @@ def load_model(
             if rows == 2 * cfg.n_ff:
                 layer["ffn_gate_up"] = layer.pop("ffn_up")
         params["layers"].append(layer)
+    pool.shutdown(wait=True)
     vocab = tokenizer = None
     if with_tokenizer and "tokenizer.ggml.tokens" in reader.metadata:
         vocab = Vocab.from_metadata(reader.metadata)
