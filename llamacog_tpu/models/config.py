@@ -73,7 +73,8 @@ class ModelConfig:
     post_norms: bool = False  # gemma2/3: attn_post_norm / ffn_post_norm
     post_norm_only: bool = False  # olmo2: no pre-norms, norm the branch outputs
     qk_norm_full: bool = False  # olmo2: q/k norm over the full projection
-    logit_scale: float = 1.0  # command-r: final logits multiplier
+    logit_scale: float = 1.0  # command-r: multiplier; granite: divisor (see defaults)
+    residual_scale: float = 1.0  # granite: scales attn/ffn branch outputs
     learned_pos_embd: bool = False  # gpt2/bert: position_embd.weight added
     causal: bool = True  # False for encoder models (bert)
     rope_freq_base_swa: float = 0.0  # gemma3: different rope base on SWA layers
@@ -166,6 +167,8 @@ class ModelConfig:
             norm_eps=float(g("attention.layer_norm_epsilon", 1e-5) or 1e-5),
             attn_scale=float(g("attention.scale", 0.0) or 0.0),
             logit_scale=float(g("logit_scale", 1.0) or 1.0),
+            residual_scale=float(g("residual_scale", 1.0) or 1.0),
+            embd_scale=float(g("embedding_scale", 1.0) or 1.0),
             n_lora_q=int(g("attention.q_lora_rank", 0) or 0),
             n_lora_kv=int(g("attention.kv_lora_rank", 0) or 0),
             n_layer_dense_lead=int(g("leading_dense_block_count", 0) or 0),
@@ -188,6 +191,11 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
     import math
 
     a = cfg.arch
+    if a in ("granite", "granitemoe"):
+        # granite scales (llm_build_granite): logits are DIVIDED by
+        # logit_scale, unlike command-r's multiply
+        if cfg.logit_scale not in (0.0, 1.0):
+            cfg.logit_scale = 1.0 / cfg.logit_scale
     if a in ("gemma", "gemma2", "gemma3"):
         cfg.embd_scale = math.sqrt(cfg.n_embd)
         cfg.ffn_act = "gelu"

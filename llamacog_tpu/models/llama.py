@@ -361,6 +361,8 @@ def forward(
         attn = _linear(attn.reshape(B, T, H * Dv), layer, "attn_output")
         if cfg.post_norms and "attn_post_norm" in layer:
             attn = _norm(attn, layer, "attn_post_norm", cfg)
+        if cfg.residual_scale != 1.0:  # granite branch scaling
+            attn = attn * jnp.asarray(cfg.residual_scale, attn.dtype)
         if cfg.parallel_residual:
             # phi2-style: FFN reads the same attn_norm output, one residual add
             ffn = _ffn(layer, h, cfg)
@@ -379,6 +381,8 @@ def forward(
             ffn = _ffn(layer, h, cfg)
         if cfg.post_norms and "ffn_post_norm" in layer:
             ffn = _norm(ffn, layer, "ffn_post_norm", cfg)
+        if cfg.residual_scale != 1.0:
+            ffn = ffn * jnp.asarray(cfg.residual_scale, ffn.dtype)
         x = x + ffn
         if "cvec" in params:  # control vector (build_cvec, llama-adapter.cpp:21)
             x = x + params["cvec"][il].astype(x.dtype)

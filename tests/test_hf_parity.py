@@ -724,3 +724,26 @@ def test_t5_parity(tmp_path):
     # greedy generation runs end-to-end
     out = t5.generate_greedy(enc_ids, 4, decoder_start_id=0, eos_id=1)
     assert 1 <= len(out) <= 4
+
+
+def test_granite_parity(tmp_path):
+    from transformers import GraniteConfig, GraniteForCausalLM
+
+    cfg = GraniteConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        logits_scaling=4.0, residual_multiplier=0.5, embedding_multiplier=2.0,
+        attention_multiplier=0.2, tie_word_embeddings=False,
+    )
+    torch.manual_seed(15)
+    model = GraniteForCausalLM(cfg).eval()
+    path = _convert(
+        model, "granite", str(tmp_path / "granite.gguf"),
+        extra_md={
+            "granite.logit_scale": 4.0,
+            "granite.residual_scale": 0.5,
+            "granite.embedding_scale": 2.0,
+            "granite.attention.scale": 0.2,
+        },
+    )
+    _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
