@@ -21,6 +21,7 @@ def main(argv=None) -> int:
     p.add_argument("--lora", action="append", default=[], help="LoRA adapter GGUF")
     p.add_argument("--control-vector", default=None, help="control vector GGUF")
     p.add_argument("--control-vector-scale", type=float, default=1.0)
+    p.add_argument("--mmproj", default=None, help="vision mmproj GGUF (multimodal)")
     args = p.parse_args(argv)
 
     if args.device != "auto":
@@ -52,9 +53,14 @@ def main(argv=None) -> int:
         from ..parallel.sharding import make_mesh
 
         mesh = make_mesh(args.data_parallel, args.tensor_parallel)
+    vision = None
+    if args.mmproj:
+        from ..mtmd import load_mmproj
+
+        vision = load_mmproj(args.mmproj)
     ctx, httpd = serve(
         model, host=args.host, port=args.port, n_slots=args.n_slots,
-        ctx_size=args.ctx_size, dtype=dtype, loras=loras, mesh=mesh,
+        ctx_size=args.ctx_size, dtype=dtype, loras=loras, mesh=mesh, vision=vision,
     )
     print(f"llamacog-server listening on http://{args.host}:{args.port} "
           f"({args.n_slots} slots, ctx {args.ctx_size})", file=sys.stderr)

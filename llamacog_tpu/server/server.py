@@ -47,6 +47,7 @@ class Task:
     out: "queue.Queue" = field(default_factory=queue.Queue)
     kind: str = "completion"  # completion | chat
     cache_prompt: bool = True  # prefix-cache reuse (server.cpp cache_prompt)
+    chunks: list | None = None  # multimodal chunks (text tokens + image embd)
     cancelled: bool = False
 
 
@@ -68,11 +69,17 @@ class Slot:
 class ServerContext:
     def __init__(
         self, model: Model, n_slots: int = 4, ctx_size: int = 2048, dtype=None,
-        loras=None, mesh=None,
+        loras=None, mesh=None, vision=None,
     ):
         import jax.numpy as jnp
 
         self.model = model
+        self.vision = vision  # ClipVisionModel for multimodal requests
+        self.mtmd = None
+        if vision is not None:
+            from ..mtmd import MtmdContext
+
+            self.mtmd = MtmdContext(vision, model.tokenizer)
         self.loras = list(loras or [])  # LoraAdapter list (llama_set_adapter_lora)
         for ad in self.loras:
             from ..runtime.lora import attach_lora
@@ -137,6 +144,22 @@ class ServerContext:
             if slot.state != PROMPT:
                 continue
             task = slot.task
+            if task.chunks is not None:
+                # multimodal prompt: feed text/image chunks sequentially
+                # (mtmd-helper eval loop; no prefix reuse across media)
+                self.engine.clear_row(slot.id)
+                slot.cache_tokens = []
+                logits = None
+                for chunk in task.chunks:
+                    if chunk.kind == "text":
+                        logits = self.engine.prefill(chunk.tokens, row=slot.id)
+                    else:
+                        logits = self.engine.prefill_embd(chunk.embd, row=slot.id)
+                    self.metrics["prompt_tokens_total"] += chunk.n_tokens
+                slot.next_token = slot.sampler.sample(logits)
+                slot.t_first_token = time.time()
+                slot.state = GENERATING
+                return
             ids = task.prompt_ids
             if len(ids) >= self.ctx_size:
                 ids = ids[-(self.ctx_size - max(task.n_predict, 16)) :]
@@ -424,16 +447,58 @@ class ServerContext:
             eos_token=v.tokens[v.eos_id] if v and v.eos_id >= 0 else "",
         )
 
+    def _extract_media(self, messages: list) -> tuple[list, list]:
+        """OpenAI multimodal content arrays -> (text-only messages with media
+        markers, decoded images). Accepts data: URI base64 image_url parts."""
+        import base64
+        import io
+
+        from ..mtmd.mtmd import DEFAULT_MARKER
+
+        out_msgs, images = [], []
+        for m in messages:
+            content = m.get("content")
+            if not isinstance(content, list):
+                out_msgs.append(m)
+                continue
+            text_parts = []
+            for part in content:
+                ptype = part.get("type")
+                if ptype == "text":
+                    text_parts.append(part.get("text", ""))
+                elif ptype in ("image_url", "input_image"):
+                    url = part.get("image_url", {})
+                    url = url.get("url", url) if isinstance(url, dict) else url
+                    if not str(url).startswith("data:"):
+                        raise ValueError("only data: URI images are supported")
+                    b64 = str(url).split(",", 1)[1]
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+                    images.append(np.asarray(img))
+                    text_parts.append(DEFAULT_MARKER)
+            out_msgs.append({**m, "content": "".join(text_parts)})
+        return out_msgs, images
+
     def make_task(self, body: dict, kind: str) -> Task:
         v = self.model.vocab
         tok = self.model.tokenizer
+        chunks = None
         if kind == "chat":
-            prompt = self.apply_chat_template(
-                body.get("messages", []), tools=body.get("tools")
-            )
+            messages = body.get("messages", [])
+            images: list = []
+            if any(isinstance(m.get("content"), list) for m in messages):
+                if self.mtmd is None:
+                    raise ValueError("multimodal request but no --mmproj loaded")
+                messages, images = self._extract_media(messages)
+            prompt = self.apply_chat_template(messages, tools=body.get("tools"))
+            if images:
+                chunks = self.mtmd.tokenize(prompt, images)
         else:
             prompt = body.get("prompt", "")
-        if isinstance(prompt, list):  # pre-tokenized
+        if chunks is not None:
+            ids = [t for c in chunks if c.kind == "text" for t in c.tokens]
+        elif isinstance(prompt, list):  # pre-tokenized
             ids = [int(t) for t in prompt]
         else:
             ids = tok.tokenize(prompt, add_special=True, parse_special=True)
@@ -483,6 +548,7 @@ class ServerContext:
             grammar_text=grammar_text,
             kind=kind,
             cache_prompt=bool(body.get("cache_prompt", True)),
+            chunks=chunks,
         )
         self.metrics["requests_total"] += 1
         return task
@@ -839,10 +905,10 @@ def make_handler(ctx: ServerContext):
 
 def serve(
     model: Model, host="127.0.0.1", port=8080, n_slots=4, ctx_size=2048, dtype=None,
-    loras=None, mesh=None,
+    loras=None, mesh=None, vision=None,
 ):
     ctx = ServerContext(model, n_slots=n_slots, ctx_size=ctx_size, dtype=dtype,
-                        loras=loras, mesh=mesh)
+                        loras=loras, mesh=mesh, vision=vision)
     ctx.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(ctx))
     return ctx, httpd

@@ -251,3 +251,56 @@ def test_ultravox_projector_shapes(tmp_path):
     # conv stride 2 halves frames; stacking by 2 halves again
     assert out.shape == (25, 48)
     assert np.isfinite(out).all()
+
+
+def test_server_multimodal_chat(tmp_path):
+    """OpenAI-style multimodal chat request end-to-end (data: URI image)."""
+    import base64
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.server.server import serve
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    model_v = _tiny_hf_clip()
+    mmproj = _write_mmproj(model_v, str(tmp_path / "mm.gguf"), n_embd_text=64)
+    from llamacog_tpu.mtmd import load_mmproj
+
+    vision = load_mmproj(mmproj)
+    lm_path = make_tiny_llama_gguf(str(tmp_path / "lm.gguf"), n_embd=64)
+    lm = load_model(lm_path, dtype=jnp.float32)
+    ctx, httpd = serve(lm, port=0, n_slots=1, ctx_size=128, dtype=jnp.float32,
+                       vision=vision)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(
+            (np.random.default_rng(0).random((28, 28, 3)) * 255).astype(np.uint8)
+        ).save(buf, format="PNG")
+        uri = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+        body = {
+            "messages": [{
+                "role": "user",
+                "content": [
+                    {"type": "text", "text": "what is this?"},
+                    {"type": "image_url", "image_url": {"url": uri}},
+                ],
+            }],
+            "max_tokens": 4,
+        }
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{httpd.server_address[1]}/v1/chat/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        assert out["choices"][0]["message"]["content"] is not None
+    finally:
+        ctx.stop()
+        httpd.shutdown()
