@@ -304,3 +304,114 @@ def test_server_multimodal_chat(tmp_path):
     finally:
         ctx.stop()
         httpd.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Qwen2-VL vision tower + M-RoPE
+# ---------------------------------------------------------------------------
+
+
+def test_qwen2vl_vision_hf_parity(tmp_path):
+    from transformers.models.qwen2_vl.configuration_qwen2_vl import Qwen2VLVisionConfig
+    from transformers.models.qwen2_vl.modeling_qwen2_vl import (
+        Qwen2VisionTransformerPretrainedModel,
+    )
+
+    from llamacog_tpu.gguf import GGUFWriter
+    from llamacog_tpu.mtmd.qwen2vl import load_qwen2vl_mmproj
+
+    cfg = Qwen2VLVisionConfig(
+        depth=2, embed_dim=64, hidden_size=48, num_heads=4, in_channels=3,
+        patch_size=14, spatial_merge_size=2, temporal_patch_size=2, mlp_ratio=2,
+    )
+    torch.manual_seed(20)
+    model = Qwen2VisionTransformerPretrainedModel(cfg).eval()
+    sd = model.state_dict()
+    path = str(tmp_path / "q2vl.gguf")
+    w = GGUFWriter(path)
+    w.add("general.architecture", "clip")
+    w.add("clip.projector_type", "qwen2vl_merger")
+    w.add("clip.vision.patch_size", 14)
+    w.add("clip.vision.embedding_length", 64)
+    w.add("clip.vision.block_count", 2)
+    w.add("clip.vision.attention.head_count", 4)
+    w.add("clip.vision.projection_dim", 48)
+    w.add("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    # conv3d weight [E, 3, 2, 14, 14] -> two temporal planes
+    conv = sd["patch_embed.proj.weight"].float().numpy()
+    w.add_tensor("v.patch_embd.weight", np.ascontiguousarray(conv[:, :, 0]))
+    w.add_tensor("v.patch_embd.weight.1", np.ascontiguousarray(conv[:, :, 1]))
+    w.add_tensor("v.post_ln.weight", sd["merger.ln_q.weight"].float().numpy())
+    w.add_tensor("v.post_ln.bias", sd["merger.ln_q.bias"].float().numpy())
+    w.add_tensor("mm.0.weight", sd["merger.mlp.0.weight"].float().numpy())
+    w.add_tensor("mm.0.bias", sd["merger.mlp.0.bias"].float().numpy())
+    w.add_tensor("mm.2.weight", sd["merger.mlp.2.weight"].float().numpy())
+    w.add_tensor("mm.2.bias", sd["merger.mlp.2.bias"].float().numpy())
+    for il in range(2):
+        pre = f"blocks.{il}."
+        bl = f"v.blk.{il}."
+        for hf, gg in (("norm1", "ln1"), ("norm2", "ln2"),
+                       ("attn.qkv", "attn_qkv"), ("attn.proj", "attn_out"),
+                       ("mlp.fc1", "ffn_up"), ("mlp.fc2", "ffn_down")):
+            for sfx in ("weight", "bias"):
+                key = pre + hf + "." + sfx
+                if key in sd:
+                    w.add_tensor(bl + gg + "." + sfx, sd[key].float().numpy())
+    w.write()
+    vision = load_qwen2vl_mmproj(path)
+    rng = np.random.default_rng(3)
+    img = rng.standard_normal((56, 56, 3)).astype(np.float32)  # 4x4 patch grid
+    ours = vision.encode(img)
+    patches, (gh, gw) = vision.patchify(img)
+    with torch.no_grad():
+        ref = model(
+            torch.tensor(patches), grid_thw=torch.tensor([[1, gh, gw]])
+        ).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=1e-3)
+
+
+def test_mrope_tables_match_standard_for_text():
+    """With all position components equal, M-RoPE must reduce to plain rope."""
+    from llamacog_tpu.mtmd.qwen2vl import mrope_tables
+    from llamacog_tpu.models.config import RopeConfig
+    from llamacog_tpu.ops.rope import rope_tables
+
+    T, D = 6, 128
+    pos = np.arange(T)
+    multi = jnp.asarray(np.stack([pos, pos, pos]), jnp.int32)
+    cos_m, sin_m = mrope_tables(multi, (16, 24, 24), D)
+    cos_r, sin_r = rope_tables(jnp.asarray(pos), RopeConfig(dim=D), D)
+    np.testing.assert_allclose(np.asarray(cos_m), np.asarray(cos_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sin_m), np.asarray(sin_r), atol=1e-5)
+
+
+def test_mrope_tables_match_hf():
+    """M-RoPE with distinct components vs HF's multimodal rotary embedding."""
+    from transformers.models.qwen2_vl.modeling_qwen2_vl import (
+        Qwen2VLRotaryEmbedding, apply_multimodal_rotary_pos_emb,
+    )
+    from transformers import Qwen2VLConfig
+
+    from llamacog_tpu.mtmd.qwen2vl import mrope_tables
+
+    D, T = 128, 5
+    sections = (16, 24, 24)
+    cfg = Qwen2VLConfig(hidden_size=D * 4, num_attention_heads=4,
+                        rope_theta=10000.0)
+    rot = Qwen2VLRotaryEmbedding(config=cfg)
+    rng = np.random.default_rng(4)
+    pos3 = torch.tensor(rng.integers(0, 50, (3, 1, T)))
+    x = torch.tensor(rng.standard_normal((1, 4, T, D)), dtype=torch.float32)
+    cos, sin = rot(x, pos3)
+    q_hf, _ = apply_multimodal_rotary_pos_emb(x, x, cos, sin, list(sections))
+    cos_m, sin_m = mrope_tables(jnp.asarray(pos3[:, 0].numpy()), sections, D)
+    # apply to our layout [T, H, D]
+    from llamacog_tpu.ops.rope import apply_rope_tables
+
+    ours = apply_rope_tables(
+        jnp.asarray(x[0].numpy().transpose(1, 0, 2)), (cos_m, sin_m), D
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), q_hf[0].numpy().transpose(1, 0, 2), atol=2e-5
+    )
