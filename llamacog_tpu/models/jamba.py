@@ -23,7 +23,7 @@ from ..ops.linear import qmatmul
 from ..ops.norms import rms_norm
 from .config import ModelConfig
 from .llama import _ffn, _ffn_moe, embed_tokens
-from .mamba import RecurrentCache, _mixer
+from .mamba import _mixer
 
 
 @jax.tree_util.register_pytree_node_class

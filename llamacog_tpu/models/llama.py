@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from ..ops.attention import masked_attention
 from ..ops.linear import qmatmul
 from ..ops.norms import layer_norm, rms_norm
-from ..ops.rope import apply_rope
 from ..quant.planar import QuantTensor, decode
 from ..runtime.kv_cache import KVCache
 from .config import ModelConfig

@@ -9,8 +9,6 @@ decoder with cross-attention over the encoder output.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

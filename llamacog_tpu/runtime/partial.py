@@ -6,7 +6,6 @@ partial matches of a stop/trigger pattern at the end of a buffer."""
 from __future__ import annotations
 
 import json
-import re
 
 
 def parse_json_partial(text: str):

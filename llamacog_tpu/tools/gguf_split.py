@@ -13,7 +13,7 @@ import argparse
 import re
 import sys
 
-from ..gguf import GGUFModelReader, GGUFReader, GGUFWriter
+from ..gguf import GGUFModelReader, GGUFWriter
 
 SPLIT_RE = re.compile(r"^(.*)-(\d{5})-of-(\d{5})\.gguf$")
 

@@ -80,7 +80,7 @@ def collect_imatrix(model, text: str, n_ctx: int = 512, max_chunks: int = 0,
     import jax.numpy as jnp
 
     from ..models.llama import forward
-    from ..runtime.kv_cache import KVCache, build_causal_mask
+    from ..runtime.kv_cache import KVCache
 
     collector = ImatrixCollector(model.params)
     tokens = model.tokenizer.tokenize(text, add_special=False, parse_special=False)

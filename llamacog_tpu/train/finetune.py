@@ -22,7 +22,7 @@ import optax
 
 from ..models.config import ModelConfig
 from ..models.llama import forward
-from ..runtime.kv_cache import KVCache, build_causal_mask
+from ..runtime.kv_cache import KVCache
 
 
 @dataclass
