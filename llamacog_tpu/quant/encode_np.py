@@ -624,13 +624,44 @@ QUANT_FNS = {
 }
 
 
-def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
+def _register_iq():
+    """Codebook i-quant encoders live in encode_iq.py (grid machinery)."""
+    from . import encode_iq as iq
+
+    QUANT_FNS.update({
+        GGMLType.IQ2_XXS: iq.quant_iq2_xxs,
+        GGMLType.IQ2_XS: iq.quant_iq2_xs,
+        GGMLType.IQ2_S: iq.quant_iq2_s,
+        GGMLType.IQ3_XXS: iq.quant_iq3_xxs,
+        GGMLType.IQ3_S: iq.quant_iq3_s,
+        GGMLType.IQ1_S: iq.quant_iq1_s,
+        GGMLType.IQ1_M: iq.quant_iq1_m,
+    })
+
+
+_register_iq()
+
+# formats whose encoder accepts an importance matrix (quant_weights)
+IMATRIX_TYPES = frozenset({
+    GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
+})
+
+
+def quantize(x: np.ndarray, ggml_type: GGMLType, quant_weights=None) -> np.ndarray:
     """Quantize a flat float array to raw block bytes."""
     fn = QUANT_FNS.get(ggml_type)
     if fn is None:
         raise NotImplementedError(f"quantize not implemented for {ggml_type.name}")
+    if ggml_type in IMATRIX_TYPES:
+        return np.asarray(fn(x, quant_weights), dtype=np.uint8)
     return np.asarray(fn(x), dtype=np.uint8)
 
 
-def quantize_tensor(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
-    return quantize(np.ascontiguousarray(x, dtype=np.float32).reshape(-1), ggml_type)
+def quantize_tensor(
+    x: np.ndarray, ggml_type: GGMLType, quant_weights=None
+) -> np.ndarray:
+    return quantize(
+        np.ascontiguousarray(x, dtype=np.float32).reshape(-1), ggml_type,
+        quant_weights=quant_weights,
+    )

@@ -43,6 +43,16 @@ FTYPE_BASE = {
     LlamaFtype.MOSTLY_Q6_K: GGMLType.Q6_K,
     LlamaFtype.MOSTLY_IQ4_NL: GGMLType.IQ4_NL,
     LlamaFtype.MOSTLY_IQ4_XS: GGMLType.IQ4_XS,
+    LlamaFtype.MOSTLY_IQ2_XXS: GGMLType.IQ2_XXS,
+    LlamaFtype.MOSTLY_IQ2_XS: GGMLType.IQ2_XS,
+    LlamaFtype.MOSTLY_IQ2_S: GGMLType.IQ2_XS,  # llama-quant.cpp:593
+    LlamaFtype.MOSTLY_IQ2_M: GGMLType.IQ2_S,
+    LlamaFtype.MOSTLY_IQ3_XXS: GGMLType.IQ3_XXS,
+    LlamaFtype.MOSTLY_IQ3_XS: GGMLType.IQ3_S,
+    LlamaFtype.MOSTLY_IQ3_S: GGMLType.IQ3_S,
+    LlamaFtype.MOSTLY_IQ3_M: GGMLType.IQ3_S,
+    LlamaFtype.MOSTLY_IQ1_S: GGMLType.IQ1_S,
+    LlamaFtype.MOSTLY_IQ1_M: GGMLType.IQ1_M,
 }
 
 FTYPE_NAMES = {
@@ -57,7 +67,18 @@ FTYPE_NAMES = {
     "Q5_K_S": LlamaFtype.MOSTLY_Q5_K_S, "Q5_K_M": LlamaFtype.MOSTLY_Q5_K_M,
     "Q6_K": LlamaFtype.MOSTLY_Q6_K,
     "IQ4_NL": LlamaFtype.MOSTLY_IQ4_NL, "IQ4_XS": LlamaFtype.MOSTLY_IQ4_XS,
+    "IQ2_XXS": LlamaFtype.MOSTLY_IQ2_XXS, "IQ2_XS": LlamaFtype.MOSTLY_IQ2_XS,
+    "IQ2_S": LlamaFtype.MOSTLY_IQ2_S, "IQ2_M": LlamaFtype.MOSTLY_IQ2_M,
+    "IQ3_XXS": LlamaFtype.MOSTLY_IQ3_XXS, "IQ3_XS": LlamaFtype.MOSTLY_IQ3_XS,
+    "IQ3_S": LlamaFtype.MOSTLY_IQ3_S, "IQ3_M": LlamaFtype.MOSTLY_IQ3_M,
+    "IQ1_S": LlamaFtype.MOSTLY_IQ1_S, "IQ1_M": LlamaFtype.MOSTLY_IQ1_M,
 }
+
+# ftypes built on the 1-3 bpw codebook quants (llama-quant.cpp i-quant gates)
+_LOWBIT_IQ = frozenset({
+    LlamaFtype.MOSTLY_IQ2_XXS, LlamaFtype.MOSTLY_IQ2_XS, LlamaFtype.MOSTLY_IQ2_S,
+    LlamaFtype.MOSTLY_IQ2_M, LlamaFtype.MOSTLY_IQ1_S, LlamaFtype.MOSTLY_IQ1_M,
+})
 
 F = LlamaFtype
 T = GGMLType
@@ -99,10 +120,36 @@ def tensor_get_type(qs: QuantizeState, base: GGMLType, name: str, shape, ftype: 
         qk = GGML_TYPE_TRAITS[new_type].block_size
         if nx % qk != 0:
             new_type = T.Q8_0
+        elif ftype in _LOWBIT_IQ or ftype == F.MOSTLY_IQ3_XXS:
+            new_type = T.Q5_K
         elif new_type not in (T.Q8_0, T.F16, T.BF16, T.F32):
             new_type = T.Q6_K
     elif name == "token_embd.weight":
-        pass
+        if ftype in (F.MOSTLY_IQ2_XXS, F.MOSTLY_IQ2_XS, F.MOSTLY_IQ1_S, F.MOSTLY_IQ1_M):
+            new_type = T.Q2_K
+        elif ftype in (F.MOSTLY_IQ2_S, F.MOSTLY_IQ2_M, F.MOSTLY_IQ3_XXS):
+            new_type = T.IQ3_S
+    elif ftype in _LOWBIT_IQ:
+        # 1-2 bpw ftypes: dedicated bump rules (llama-quant.cpp:246-277)
+        if "attn_v.weight" in name:
+            if qs.n_gqa >= 4 or qs.n_expert >= 4:
+                new_type = T.Q4_K
+            else:
+                new_type = T.IQ3_S if ftype in (F.MOSTLY_IQ2_S, F.MOSTLY_IQ2_M) else T.Q2_K
+            qs.i_attn_v += 1
+        elif qs.n_expert == 8 and "attn_k.weight" in name:
+            new_type = T.Q4_K
+        elif "ffn_down" in name:
+            if qs.i_ffn_down < qs.n_layer // 8:
+                new_type = T.IQ3_S if ftype in (F.MOSTLY_IQ2_S, F.MOSTLY_IQ2_M) else T.Q2_K
+            qs.i_ffn_down += 1
+        elif "attn_output.weight" in name:
+            if qs.n_expert == 8:
+                new_type = T.Q5_K
+            elif ftype in (F.MOSTLY_IQ1_S, F.MOSTLY_IQ1_M):
+                new_type = T.IQ2_XXS
+            elif ftype in (F.MOSTLY_IQ2_S, F.MOSTLY_IQ2_M):
+                new_type = T.IQ3_S
     elif "attn_v.weight" in name:
         if ftype == F.MOSTLY_Q2_K:
             new_type = T.Q4_K if qs.n_gqa >= 4 else T.Q3_K
@@ -112,6 +159,13 @@ def tensor_get_type(qs: QuantizeState, base: GGMLType, name: str, shape, ftype: 
             new_type = T.Q5_K if qs.i_attn_v < 2 else T.Q4_K
         elif ftype == F.MOSTLY_Q3_K_L:
             new_type = T.Q5_K
+        elif ftype == F.MOSTLY_IQ3_XXS:
+            new_type = (T.Q4_K if qs.n_gqa >= 4
+                        else T.IQ3_XXS if qs.has_imatrix else T.IQ3_S)
+        elif ftype in (F.MOSTLY_IQ3_XS, F.MOSTLY_IQ3_S) and qs.n_gqa >= 4:
+            new_type = T.Q4_K
+        elif ftype == F.MOSTLY_IQ3_M:
+            new_type = T.Q4_K
         elif ftype in (F.MOSTLY_IQ4_NL, F.MOSTLY_IQ4_XS) and qs.n_gqa >= 4:
             new_type = T.Q5_K
         elif ftype in (F.MOSTLY_Q4_K_M, F.MOSTLY_Q5_K_M) and use_more_bits(
@@ -126,6 +180,15 @@ def tensor_get_type(qs: QuantizeState, base: GGMLType, name: str, shape, ftype: 
     elif "attn_k.weight" in name:
         if qs.n_expert == 8:
             new_type = T.Q8_0
+        elif ftype == F.MOSTLY_IQ3_XS:
+            new_type = T.IQ3_XXS
+        elif ftype == F.MOSTLY_IQ3_XXS:
+            new_type = T.IQ2_S
+    elif "attn_q.weight" in name:
+        if ftype == F.MOSTLY_IQ3_XS:
+            new_type = T.IQ3_XXS
+        elif ftype == F.MOSTLY_IQ3_XXS:
+            new_type = T.IQ2_S
     elif "ffn_down" in name:
         i_layer, n_layer = (
             (layer_of(name), qs.n_layer) if qs.n_expert > 1 else (qs.i_ffn_down, qs.n_layer)
@@ -135,6 +198,13 @@ def tensor_get_type(qs: QuantizeState, base: GGMLType, name: str, shape, ftype: 
         elif ftype == F.MOSTLY_Q2_K_S:
             if i_layer < n_layer // 8:
                 new_type = T.Q4_K
+        elif ftype == F.MOSTLY_IQ3_XXS and not qs.has_imatrix:
+            new_type = T.Q4_K if i_layer < n_layer // 8 else T.Q3_K
+        elif ftype == F.MOSTLY_IQ3_M and (
+            i_layer < n_layer // 8
+            or (qs.n_expert == 8 and use_more_bits(i_layer, n_layer))
+        ):
+            new_type = T.Q4_K
         elif ftype == F.MOSTLY_Q3_K_M:
             new_type = (
                 T.Q5_K if i_layer < n_layer // 16
@@ -161,17 +231,23 @@ def tensor_get_type(qs: QuantizeState, base: GGMLType, name: str, shape, ftype: 
     elif "attn_output.weight" in name:
         if qs.n_expert == 8:
             if ftype in (F.MOSTLY_Q2_K, F.MOSTLY_Q3_K_S, F.MOSTLY_Q3_K_M,
-                         F.MOSTLY_IQ4_NL, F.MOSTLY_IQ4_XS, F.MOSTLY_Q4_K_S, F.MOSTLY_Q4_K_M):
+                         F.MOSTLY_IQ4_NL, F.MOSTLY_IQ4_XS, F.MOSTLY_Q4_K_S,
+                         F.MOSTLY_Q4_K_M, F.MOSTLY_IQ3_XS, F.MOSTLY_IQ3_XXS,
+                         F.MOSTLY_IQ3_S, F.MOSTLY_IQ3_M):
                 new_type = T.Q5_K
         else:
             if ftype == F.MOSTLY_Q2_K:
                 new_type = T.Q3_K
+            elif ftype == F.MOSTLY_IQ3_XXS:
+                new_type = T.IQ3_S
             elif ftype == F.MOSTLY_Q3_K_M:
                 new_type = T.Q4_K
             elif ftype == F.MOSTLY_Q3_K_L:
                 new_type = T.Q5_K
+            elif ftype == F.MOSTLY_IQ3_M:
+                new_type = T.Q4_K
     elif "attn_qkv.weight" in name:
-        if ftype in (F.MOSTLY_Q3_K_M, F.MOSTLY_Q3_K_L):
+        if ftype in (F.MOSTLY_Q3_K_M, F.MOSTLY_Q3_K_L, F.MOSTLY_IQ3_M):
             new_type = T.Q4_K
         elif ftype == F.MOSTLY_Q4_K_M:
             new_type = T.Q5_K
@@ -277,7 +353,10 @@ def quantize_model(
             stats["out_bytes"] += ti.nbytes
             continue
         f32 = dequantize_tensor(raw, ti.ggml_type, ti.shape)
-        qdata = quantize_tensor(f32, new_type)
+        qw = imatrix.get(name)
+        if qw is not None and qw.size != ti.shape[-1]:
+            qw = None  # stale imatrix entry for a reshaped tensor
+        qdata = quantize_tensor(f32, new_type, quant_weights=qw)
         w.add_tensor(name, qdata.tobytes(), shape=ti.shape, ggml_type=new_type)
         stats["quantized"] += 1
         stats["out_bytes"] += qdata.nbytes
