@@ -29,7 +29,9 @@ SHAPE = dict(
     n_ctx=2048,
 )
 QUANT = os.environ.get("LLAMACOG_BENCH_QUANT", "Q4_0")
-N_DECODE = int(os.environ.get("LLAMACOG_BENCH_TOKENS", "256"))
+# 1024 steady-state tokens: one host round-trip (~30ms on a tunneled chip)
+# amortizes to <30us/token, so this measures the on-device decode rate
+N_DECODE = int(os.environ.get("LLAMACOG_BENCH_TOKENS", "1024"))
 
 # HBM bandwidth per chip (v5e ≈ 819 GB/s); override for other hw
 HBM_BW = float(os.environ.get("LLAMACOG_HBM_BW", 819e9))

@@ -7,15 +7,31 @@ in-register on the VPU, and feeds the MXU against the activation block.
 Decode is HBM-bandwidth-bound, so the win is reading ~2-8 bits/weight
 instead of 16.
 
+Throughput shape (measured on v5e): decode matvec is VPU-decode-bound, not
+DMA-bound, so the kernel minimises per-element VPU work two ways:
+  * sub-byte payloads are NOT concatenated into one [TN, K] tile; each
+    shift/mask slice is scaled and fed to the MXU as its own dot over the
+    matching activation columns (saves the concat copy);
+  * per-group offsets (the "-8" of Q4_0, the mins planes of the K-quants)
+    are not applied per element — the identity
+        sum_j x_j (q_j - off_g) s_g = x·(q s) - sum_g off_g s_g (sum_j∈g x_j)
+    turns them into one tiny [B,G]x[TN,G] correction dot against the
+    per-group sums of the activations.
+Together these cut VPU ops/element from ~6.5 to ~4.5 and lift Q4_0 matvec
+from ~510 to ~800 GB/s effective payload bandwidth.
+
 Layout contract (see quant/planar.py): payload planes unpack with plain
-lane-aligned `concat` of shift/mask slices; scale planes [TN, G] broadcast
-with one `pltpu.repeat` tile (column c ↔ scale c mod G); activations arrive
-already permuted into the same strided column order.
+lane-aligned shift/mask slices; scale planes [TN, G] broadcast with one
+`pltpu.repeat` tile (decoded column c ↔ scale c mod G); activations arrive
+already permuted into the same strided column order, so slice p of the
+unpack covers activation columns [p*K/P, (p+1)*K/P) and group membership
+stays c mod G within every slice.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,23 +47,35 @@ from ...quant.planar import IQ3XXS_ALPHABET, QuantTensor, permute_activation
 # ---------------------------------------------------------------------------
 
 
-def _unpack4(qs):
+def _nib(qs):
+    """4-bit payload -> (lo, hi) int32 slices of K/2 columns each."""
     q = qs.astype(jnp.int32)
-    return jnp.concatenate([q & 0xF, q >> 4], axis=-1)
+    return [q & 0xF, q >> 4]
 
 
-def _unpack2(qs):
+def _crumbs(qs):
+    """2-bit payload -> 4 int32 slices of K/4 columns each."""
     q = qs.astype(jnp.int32)
-    return jnp.concatenate([(q >> (2 * s)) & 3 for s in range(4)], axis=-1)
+    return [(q >> (2 * s)) & 3 for s in range(4)]
 
 
-def _unpack1(qb):
+def _bits(qb, n_parts):
+    """1-bit payload -> n_parts int32 slices (8//n_parts bits concatenated)."""
     q = qb.astype(jnp.int32)
-    return jnp.concatenate([(q >> b) & 1 for b in range(8)], axis=-1)
+    per = 8 // n_parts
+    return [
+        jnp.concatenate([(q >> (p * per + b)) & 1 for b in range(per)], axis=-1)
+        for p in range(n_parts)
+    ]
 
 
-def _tile_scale(s, R):
-    return pltpu.repeat(s.astype(jnp.float32), R, axis=1)
+def _rep(s, r):
+    return pltpu.repeat(s.astype(jnp.float32), r, axis=1)
+
+
+def _wm(v, st):
+    """int levels × f32 scale tile -> bf16 MXU operand."""
+    return (v.astype(jnp.float32) * st).astype(jnp.bfloat16)
 
 
 def _lut16(idx):
@@ -57,68 +85,104 @@ def _lut16(idx):
     return v
 
 
+def _f32(p):
+    return p.astype(jnp.float32)
+
+
+# Each decoder returns (parts, corr):
+#   parts: list of bf16 tiles, part p multiplying activation columns
+#          [p*K/P, (p+1)*K/P); levels are the RAW unsigned codes times scale.
+#   corr:  f32 [TN, G] plane C with  true = sum_p dot(x_p, part_p) - xg @ C.T
+#          (None when the format has no per-group offset).
+
+
 def _dec_q4_0(p):
-    return (_unpack4(p["qs"]).astype(jnp.float32) - 8.0) * _tile_scale(p["d"], 32)
+    st = _rep(p["d"], 16)
+    return [_wm(v, st) for v in _nib(p["qs"])], 8.0 * _f32(p["d"])
 
 
 def _dec_q4_1(p):
-    return _unpack4(p["qs"]).astype(jnp.float32) * _tile_scale(p["d"], 32) + _tile_scale(
-        p["m"], 32
-    )
+    st = _rep(p["d"], 16)
+    return [_wm(v, st) for v in _nib(p["qs"])], -_f32(p["m"])
 
 
 def _dec_q5_0(p):
-    v = (_unpack4(p["qs"]) | (_unpack1(p["qh"]) << 4)).astype(jnp.float32) - 16.0
-    return v * _tile_scale(p["d"], 32)
+    st = _rep(p["d"], 16)
+    hb = _bits(p["qh"], 2)
+    lo, hi = _nib(p["qs"])
+    return [_wm(lo | (hb[0] << 4), st), _wm(hi | (hb[1] << 4), st)], 16.0 * _f32(p["d"])
 
 
 def _dec_q5_1(p):
-    v = (_unpack4(p["qs"]) | (_unpack1(p["qh"]) << 4)).astype(jnp.float32)
-    return v * _tile_scale(p["d"], 32) + _tile_scale(p["m"], 32)
+    st = _rep(p["d"], 16)
+    hb = _bits(p["qh"], 2)
+    lo, hi = _nib(p["qs"])
+    return [_wm(lo | (hb[0] << 4), st), _wm(hi | (hb[1] << 4), st)], -_f32(p["m"])
 
 
 def _dec_q8_0(p):
-    return p["qs"].astype(jnp.float32) * _tile_scale(p["d"], 32)
+    return [_wm(p["qs"], _rep(p["d"], 32))], None
 
 
 def _dec_q2_K(p):
-    v = _unpack2(p["qs"]).astype(jnp.float32)
-    return v * _tile_scale(p["scales"], 16) - _tile_scale(p["mins"], 16)
+    st = _rep(p["scales"], 4)
+    return [_wm(v, st) for v in _crumbs(p["qs"])], _f32(p["mins"])
 
 
 def _dec_q3_K(p):
-    v = (_unpack2(p["qs"]) + (_unpack1(p["hb"]) << 2)).astype(jnp.float32) - 4.0
-    return v * _tile_scale(p["scales"], 16)
+    st = _rep(p["scales"], 4)
+    hb = _bits(p["hb"], 4)
+    q2 = _crumbs(p["qs"])
+    return [_wm(q2[i] | (hb[i] << 2), st) for i in range(4)], 4.0 * _f32(p["scales"])
 
 
 def _dec_q4_K(p):
-    v = _unpack4(p["qs"]).astype(jnp.float32)
-    return v * _tile_scale(p["scales"], 32) - _tile_scale(p["mins"], 32)
+    st = _rep(p["scales"], 16)
+    return [_wm(v, st) for v in _nib(p["qs"])], _f32(p["mins"])
 
 
 def _dec_q5_K(p):
-    v = (_unpack4(p["qs"]) | (_unpack1(p["qh"]) << 4)).astype(jnp.float32)
-    return v * _tile_scale(p["scales"], 32) - _tile_scale(p["mins"], 32)
+    st = _rep(p["scales"], 16)
+    hb = _bits(p["qh"], 2)
+    lo, hi = _nib(p["qs"])
+    return [_wm(lo | (hb[0] << 4), st), _wm(hi | (hb[1] << 4), st)], _f32(p["mins"])
 
 
 def _dec_q6_K(p):
-    v = (_unpack4(p["qs"]) | (_unpack2(p["qh"]) << 4)).astype(jnp.float32) - 32.0
-    return v * _tile_scale(p["scales"], 16)
+    st = _rep(p["scales"], 8)
+    hb = _crumbs(p["qh"])
+    lo, hi = _nib(p["qs"])
+    parts = [
+        _wm(lo | (jnp.concatenate(hb[0:2], axis=-1) << 4), st),
+        _wm(hi | (jnp.concatenate(hb[2:4], axis=-1) << 4), st),
+    ]
+    return parts, 32.0 * _f32(p["scales"])
 
 
 def _dec_iq4_nl(p):
-    return _lut16(_unpack4(p["qs"])) * _tile_scale(p["d"], 32)
+    st = _rep(p["d"], 16)
+    return [(_lut16(v) * st).astype(jnp.bfloat16) for v in _nib(p["qs"])], None
 
 
 def _dec_iq4_xs(p):
-    return _lut16(_unpack4(p["qs"])) * _tile_scale(p["scales"], 32)
+    st = _rep(p["scales"], 16)
+    return [(_lut16(v) * st).astype(jnp.bfloat16) for v in _nib(p["qs"])], None
+
+
+def _unpack2(qs):
+    return jnp.concatenate(_crumbs(qs), axis=-1)
+
+
+def _unpack1(qb):
+    q = qb.astype(jnp.int32)
+    return jnp.concatenate([(q >> b) & 1 for b in range(8)], axis=-1)
 
 
 def _dec_iq2(R, p):
     c = _unpack2(p["qs"])
     mag = jnp.where(c == 0, 8.0, jnp.where(c == 1, 25.0, 43.0))
     sign = 1.0 - 2.0 * _unpack1(p["sg"]).astype(jnp.float32)
-    return mag * sign * _tile_scale(p["scales"], R)
+    return [(mag * sign * _rep(p["scales"], R)).astype(jnp.bfloat16)], None
 
 
 def _dec_iq3_xxs(p):
@@ -127,40 +191,44 @@ def _dec_iq3_xxs(p):
     for i, val in enumerate(IQ3XXS_ALPHABET):
         mag = mag + jnp.where(c == i, np.float32(val), 0.0)
     sign = 1.0 - 2.0 * _unpack1(p["sg"]).astype(jnp.float32)
-    return mag * sign * _tile_scale(p["scales"], 32)
+    return [(mag * sign * _rep(p["scales"], 32)).astype(jnp.bfloat16)], None
 
 
 def _dec_iq3_s(p):
     c = _unpack2(p["qs"]) | (_unpack1(p["hb"]) << 2)
     sign = 1.0 - 2.0 * _unpack1(p["sg"]).astype(jnp.float32)
-    return (2 * c + 1).astype(jnp.float32) * sign * _tile_scale(p["scales"], 32)
+    w = (2 * c + 1).astype(jnp.float32) * sign * _rep(p["scales"], 32)
+    return [w.astype(jnp.bfloat16)], None
 
 
 def _dec_iq1(R, p):
-    v = _unpack2(p["qs"]).astype(jnp.float32) - 1.0
-    return v * _tile_scale(p["scales"], R) - _tile_scale(p["mins"], R)
+    # v = (q - 1)*s - m  ->  q*s with correction plane s + m
+    st = _rep(p["scales"], R // 4)
+    parts = [_wm(v, st) for v in _crumbs(p["qs"])]
+    return parts, _f32(p["scales"]) + _f32(p["mins"])
 
 
+# kind -> (decoder, payload plane names, group/scale plane for G)
 TILE_DECODERS = {
-    "Q4_0": (_dec_q4_0, ("qs", "d")),
-    "Q4_1": (_dec_q4_1, ("qs", "d", "m")),
-    "Q5_0": (_dec_q5_0, ("qs", "qh", "d")),
-    "Q5_1": (_dec_q5_1, ("qs", "qh", "d", "m")),
-    "Q8_0": (_dec_q8_0, ("qs", "d")),
-    "Q2_K": (_dec_q2_K, ("qs", "scales", "mins")),
-    "Q3_K": (_dec_q3_K, ("qs", "hb", "scales")),
-    "Q4_K": (_dec_q4_K, ("qs", "scales", "mins")),
-    "Q5_K": (_dec_q5_K, ("qs", "qh", "scales", "mins")),
-    "Q6_K": (_dec_q6_K, ("qs", "qh", "scales")),
-    "IQ4_NL": (_dec_iq4_nl, ("qs", "d")),
-    "IQ4_XS": (_dec_iq4_xs, ("qs", "scales")),
-    "IQ2_XXS": (functools.partial(_dec_iq2, 32), ("qs", "sg", "scales")),
-    "IQ2_XS": (functools.partial(_dec_iq2, 16), ("qs", "sg", "scales")),
-    "IQ2_S": (functools.partial(_dec_iq2, 16), ("qs", "sg", "scales")),
-    "IQ3_XXS": (_dec_iq3_xxs, ("qs", "hb", "sg", "scales")),
-    "IQ3_S": (_dec_iq3_s, ("qs", "hb", "sg", "scales")),
-    "IQ1_S": (functools.partial(_dec_iq1, 32), ("qs", "scales", "mins")),
-    "IQ1_M": (functools.partial(_dec_iq1, 8), ("qs", "scales", "mins")),
+    "Q4_0": (_dec_q4_0, ("qs", "d"), "d"),
+    "Q4_1": (_dec_q4_1, ("qs", "d", "m"), "d"),
+    "Q5_0": (_dec_q5_0, ("qs", "qh", "d"), "d"),
+    "Q5_1": (_dec_q5_1, ("qs", "qh", "d", "m"), "d"),
+    "Q8_0": (_dec_q8_0, ("qs", "d"), "d"),
+    "Q2_K": (_dec_q2_K, ("qs", "scales", "mins"), "scales"),
+    "Q3_K": (_dec_q3_K, ("qs", "hb", "scales"), "scales"),
+    "Q4_K": (_dec_q4_K, ("qs", "scales", "mins"), "scales"),
+    "Q5_K": (_dec_q5_K, ("qs", "qh", "scales", "mins"), "scales"),
+    "Q6_K": (_dec_q6_K, ("qs", "qh", "scales"), "scales"),
+    "IQ4_NL": (_dec_iq4_nl, ("qs", "d"), "d"),
+    "IQ4_XS": (_dec_iq4_xs, ("qs", "scales"), "scales"),
+    "IQ2_XXS": (functools.partial(_dec_iq2, 32), ("qs", "sg", "scales"), "scales"),
+    "IQ2_XS": (functools.partial(_dec_iq2, 16), ("qs", "sg", "scales"), "scales"),
+    "IQ2_S": (functools.partial(_dec_iq2, 16), ("qs", "sg", "scales"), "scales"),
+    "IQ3_XXS": (_dec_iq3_xxs, ("qs", "hb", "sg", "scales"), "scales"),
+    "IQ3_S": (_dec_iq3_s, ("qs", "hb", "sg", "scales"), "scales"),
+    "IQ1_S": (functools.partial(_dec_iq1, 32), ("qs", "scales", "mins"), "scales"),
+    "IQ1_M": (functools.partial(_dec_iq1, 8), ("qs", "scales", "mins"), "scales"),
 }
 
 
@@ -169,31 +237,56 @@ TILE_DECODERS = {
 # ---------------------------------------------------------------------------
 
 
-def _qmm_kernel(kind, n_planes, x_ref, *refs):
+def _qmm_kernel(kind, n_planes, G, x_ref, *refs):
     names = TILE_DECODERS[kind][1]
     planes = {name: refs[i][...] for i, name in enumerate(names)}
     out_ref = refs[n_planes]
-    # decode in f32 (exact scale products), feed the MXU in bf16 — same
-    # register budget as the reference's int8 path, f32 accumulation
-    w = TILE_DECODERS[kind][0](planes).astype(jnp.bfloat16)  # [TN, K] strided cols
-    x = x_ref[...].astype(jnp.bfloat16)  # [B, K] strided cols
-    out_ref[...] = jax.lax.dot_general(
-        x, w, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    parts, corr = TILE_DECODERS[kind][0](planes)
+    xf = x_ref[...]  # [B, K] f32, strided cols
+    x = xf.astype(jnp.bfloat16)
+    P = len(parts)
+    Kp = x.shape[1] // P
+    acc = None
+    for p, w in enumerate(parts):
+        d = jax.lax.dot_general(
+            x[:, p * Kp : (p + 1) * Kp], w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    if corr is not None:
+        # per-group activation sums (group of strided col c is c mod G):
+        # R cheap [B, G] slice-adds of the already-resident x block
+        R = x.shape[1] // G
+        xg = xf[:, :G].astype(jnp.float32)
+        for r in range(1, R):
+            xg = xg + xf[:, r * G : (r + 1) * G]
+        acc = acc - jax.lax.dot_general(
+            xg, corr, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[...] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "shape", "plane_names", "tn", "interpret"))
-def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, interpret=False):
+@functools.partial(jax.jit, static_argnames=("kind", "shape", "plane_names", "tn", "G", "interpret"))
+def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False):
     N, K = shape
     B = x.shape[0]
     planes = dict(zip(plane_names, plane_vals))
     grid = (N // tn,)
-    in_specs = [pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM)] + [
+    in_specs = [
+        pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ] + [
         pl.BlockSpec((tn, planes[name].shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
         for name in plane_names
     ]
-    kernel = functools.partial(_qmm_kernel, kind, len(plane_names))
+    kernel = functools.partial(_qmm_kernel, kind, len(plane_names), G)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
@@ -207,10 +300,9 @@ def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, interpret=False):
             + B * K * x.dtype.itemsize + B * N * 4,
             transcendentals=0,
         ),
+        **kwargs,
     )(x, *(planes[n] for n in plane_names))
 
-
-import os
 
 _TN_OVERRIDE = int(os.environ.get("LLAMACOG_QMM_TN", "0"))
 
@@ -229,7 +321,9 @@ def pick_tile_n(N: int, K: int, kind: str) -> int:
     row_bytes = K * (2 * bits / 8 + 2.0 + 4.0)
     budget = 16 * 1024 * 1024  # measured on v5e: tn1024 at K=2048 beats tn512 by ~18%
     tn = max(128, int(budget / max(row_bytes, 1)) // 128 * 128)
-    tn = min(tn, N)
+    # keep at least ~4 grid steps so the payload DMA pipeline fills
+    # (v5e scan: N=2048 best at tn 512, N=3072 at 768, N=11264 at 1024)
+    tn = min(tn, max(128, N // 4 // 128 * 128), N)
     while N % tn and tn > 128:
         tn -= 128
     if N % tn:
@@ -249,9 +343,10 @@ def qmm(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False) -> jnp.ndarray
     tn = pick_tile_n(N, K, qt.kind)
     if tn == 0:
         raise ValueError(f"N={N} not tileable")
-    names = TILE_DECODERS[qt.kind][1]
+    dec, names, gplane = TILE_DECODERS[qt.kind]
+    G = qt.planes[gplane].shape[1]
     plane_vals = tuple(qt.planes[n] for n in names)
-    out = _qmm_call(xp, plane_vals, qt.kind, (N, K), names, tn, interpret)
+    out = _qmm_call(xp, plane_vals, qt.kind, (N, K), names, tn, G, interpret)
     return out.reshape(*lead, N)
 
 

@@ -250,7 +250,13 @@ class Vocab:
                 return b""
         if attr & TokenAttr.BYTE:
             if self.model == "llama" and text.startswith("<0x") and text.endswith(">"):
-                return bytes([int(text[3:-1], 16)])
+                try:
+                    b = int(text[3:-1], 16)
+                except ValueError:
+                    b = -1
+                if 0 <= b <= 255:
+                    return bytes([b])
+                return text.encode("utf-8")  # malformed byte token: literal
             return byte_decode(text)
         if self.model == "llama":  # SPM
             return text.replace(SPM_SPACE, " ").encode("utf-8")

@@ -33,14 +33,15 @@ def test_qmm_matches_reference(kind, batch):
     qt = from_gguf(quantize(w.reshape(-1), ttype), ttype, (N, K))
     qt.planes = {k: jnp.asarray(v) for k, v in qt.planes.items()}
 
-    # kernel contract: decode in f32, feed the MXU in bf16, accumulate f32
-    w_bf16 = np.asarray(decode(qt, jnp.float32)).astype(jnp.bfloat16).astype(np.float32)
-    x_bf16 = np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
-    ref = x_bf16 @ w_bf16.T
+    # kernel contract: raw codes x scales hit the MXU in bf16, per-group
+    # offsets land as an exact f32 correction dot -> bf16-rounding-level
+    # noise vs the exact f32 product (see qmm.py header)
+    w_f32 = np.asarray(decode(qt, jnp.float32))
+    ref = x @ w_f32.T
     got = np.asarray(qmm(jnp.asarray(x), qt, interpret=True))
     assert got.shape == (batch, N)
     err = nmse(got, ref)
-    assert err < 1e-8, f"{kind}: nmse {err}"
+    assert err < 2e-4, f"{kind}: nmse {err}"
 
 
 IQUANT_KINDS = ["IQ2_XXS", "IQ2_XS", "IQ2_S", "IQ3_XXS", "IQ3_S", "IQ1_S", "IQ1_M"]
@@ -57,9 +58,8 @@ def test_qmm_iquant_matches_reference(kind):
     q = random_iq_blocks(ttype, N * K, seed=int(ttype))
     qt = from_gguf(q, ttype, (N, K))
     qt.planes = {k: jnp.asarray(v) for k, v in qt.planes.items()}
-    w_bf16 = np.asarray(decode(qt, jnp.float32)).astype(jnp.bfloat16).astype(np.float32)
-    x_bf16 = np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
-    ref = x_bf16 @ w_bf16.T
+    w_f32 = np.asarray(decode(qt, jnp.float32))
+    ref = x @ w_f32.T
     got = np.asarray(qmm(jnp.asarray(x), qt, interpret=True))
     err = nmse(got, ref)
-    assert err < 1e-8, f"{kind}: nmse {err}"
+    assert err < 2e-4, f"{kind}: nmse {err}"
