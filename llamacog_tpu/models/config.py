@@ -22,6 +22,8 @@ class RopeConfig:
     beta_slow: float = 1.0
     yarn_log_mul: float = 0.0
     enabled: bool = True  # False for learned-position arches (gpt2 family)
+    # M-RoPE (qwen2vl): rotary-pair sectors per position component (t,h,w,e)
+    sections: tuple = ()
 
 
 @dataclass
@@ -57,6 +59,9 @@ class ModelConfig:
     ssm_d_state: int = 0
     ssm_dt_rank: int = 0
     ssm_dt_b_c_rms: bool = False
+    # rwkv (llama.h LLM_KV_WKV_HEAD_SIZE / RESCALE_EVERY_N_LAYERS)
+    wkv_head_size: int = 0
+    rescale_every_n: int = 0
     # attention extras
     sliding_window: int = 0
     swa_pattern: int = 1  # every Nth layer is non-SWA (1 = no SWA)
@@ -95,9 +100,10 @@ class ModelConfig:
 
     @property
     def is_recurrent(self) -> bool:
-        """SSM/recurrent-state model (mamba family) — uses the recurrent
-        memory module instead of a KV cache (llama-memory-recurrent.h:16)."""
-        return self.ssm_d_inner > 0
+        """SSM/recurrent-state model (mamba/rwkv families) — uses the
+        recurrent memory module instead of a KV cache
+        (llama-memory-recurrent.h:16)."""
+        return self.ssm_d_inner > 0 or self.wkv_head_size > 0
 
     @property
     def n_gqa(self) -> int:
@@ -117,7 +123,7 @@ class ModelConfig:
             return md.get(f"{arch}.{key}", default)
 
         n_embd = int(g("embedding_length"))
-        n_head = int(g("attention.head_count"))
+        n_head = int(g("attention.head_count", 0) or 0)  # rwkv has none
         hk = g("attention.head_count_kv", n_head)
         # per-layer head counts (arrays) not yet supported; take first
         try:
@@ -125,6 +131,7 @@ class ModelConfig:
         except TypeError:
             n_head_kv = int(hk[0])
         head_dim = int(g("attention.key_length", n_embd // max(n_head, 1)))
+        sections = g("rope.dimension_sections")  # qwen2vl M-RoPE
         rope = RopeConfig(
             dim=int(g("rope.dimension_count", head_dim)),
             freq_base=float(g("rope.freq_base", 10000.0)),
@@ -133,6 +140,7 @@ class ModelConfig:
             orig_ctx_len=int(g("rope.scaling.original_context_length", 0)),
             attn_factor=float(g("rope.scaling.attn_factor", 1.0)),
             yarn_log_mul=float(g("rope.scaling.yarn_log_multiplier", 0.0)),
+            sections=tuple(int(s) for s in sections) if sections is not None else (),
         )
         n_vocab = g("vocab_size")
         if n_vocab is None:
@@ -177,6 +185,8 @@ class ModelConfig:
             ssm_d_state=int(g("ssm.state_size", 0) or 0),
             ssm_dt_rank=int(g("ssm.time_step_rank", 0) or 0),
             ssm_dt_b_c_rms=bool(g("ssm.dt_b_c_rms", False)),
+            wkv_head_size=int(g("wkv.head_size", 0) or 0),
+            rescale_every_n=int(g("rescale_every_n_layers", 0) or 0),
             metadata=md,
         )
         _apply_arch_defaults(cfg)

@@ -195,6 +195,10 @@ def forward(
     return_hidden: bool = False,
     input_embd: jnp.ndarray | None = None,  # [B, T, E] pre-computed embeddings
     # (multimodal image chunks; llama_batch.embd path)
+    rope_override: tuple | None = None,  # (cos, sin) [..., T, dim/2]: M-RoPE
+    # tables built by the caller (mtmd image chunks, ggml_rope_multi path)
+    write_mask: jnp.ndarray | None = None,  # [B] bool: rows whose K/V land
+    # in the cache (prefill of one row must not clamp-write the others)
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (logits [B, T, V] f32, updated cache); with return_hidden,
     the first element is the final-norm hidden state [B, T, E] instead
@@ -240,10 +244,13 @@ def forward(
     # rope tables shared by all layers (computed once per step)
     from ..ops.rope import apply_rope_tables, rope_tables
 
-    rtab = rope_tables(positions, cfg.rope, Dk, freq_factors) if cfg.rope.enabled else None
+    if rope_override is not None:
+        rtab = rope_override
+    else:
+        rtab = rope_tables(positions, cfg.rope, Dk, freq_factors) if cfg.rope.enabled else None
     rtab_swa = (
         rope_tables(positions, cfg.rope_swa, Dk, freq_factors)
-        if cfg.rope.enabled and cfg.rope_freq_base_swa > 0.0
+        if cfg.rope.enabled and cfg.rope_freq_base_swa > 0.0 and rope_override is None
         else rtab
     )
     rdim = cfg.rope.dim or Dk
@@ -386,7 +393,8 @@ def forward(
         if "cvec" in params:  # control vector (build_cvec, llama-adapter.cpp:21)
             x = x + params["cvec"][il].astype(x.dtype)
 
-    cache = cache.write_all(jnp.stack(new_ks), jnp.stack(new_vs), write_pos)
+    cache = cache.write_all(jnp.stack(new_ks), jnp.stack(new_vs), write_pos,
+                            active=write_mask)
     if cfg.norm_type == "layer":
         x = layer_norm(x, params["output_norm"], params.get("output_norm_b"), cfg.norm_eps)
     else:

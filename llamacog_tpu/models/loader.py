@@ -164,9 +164,7 @@ def load_model(
 ) -> Model:
     reader = GGUFModelReader(path)
     cfg = ModelConfig.from_metadata(reader.metadata)
-    if cfg.arch in ("t5", "t5encoder"):
-        from .t5 import load_t5_params
-
+    if cfg.arch in ("t5", "t5encoder", "rwkv6", "rwkv7"):
         def lt(name, optional=False):
             if name not in reader.tensors:
                 if optional:
@@ -174,8 +172,15 @@ def load_model(
                 raise KeyError(name)
             return _load_tensor(reader, name, mode, dtype)
 
-        params = load_t5_params(reader, cfg, lt)
-        params["layers"] = []  # keep the pytree shape loaders expect
+        if cfg.arch in ("rwkv6", "rwkv7"):
+            from .rwkv import load_rwkv_params
+
+            params = load_rwkv_params(reader, cfg, lt)
+        else:
+            from .t5 import load_t5_params
+
+            params = load_t5_params(reader, cfg, lt)
+            params["layers"] = []  # keep the pytree shape loaders expect
         vocab = tokenizer = None
         if with_tokenizer and "tokenizer.ggml.tokens" in reader.metadata:
             vocab = Vocab.from_metadata(reader.metadata)

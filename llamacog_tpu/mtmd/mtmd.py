@@ -19,6 +19,7 @@ class MtmdChunk:
     kind: str  # "text" | "image"
     tokens: list[int] = field(default_factory=list)  # text chunks
     embd: np.ndarray | None = None  # image chunks: [n_tokens, n_embd]
+    grid: tuple[int, int] | None = None  # merged (gh, gw) for M-RoPE models
 
     @property
     def n_tokens(self) -> int:
@@ -50,7 +51,10 @@ class MtmdContext:
             if i < len(images):
                 pixels = self.vision.preprocess(images[i])
                 embd = self.vision.encode(pixels)
-                chunks.append(MtmdChunk("image", embd=np.asarray(embd)))
+                grid = None
+                if hasattr(self.vision, "last_grid"):  # qwen2vl tower
+                    grid = self.vision.last_grid
+                chunks.append(MtmdChunk("image", embd=np.asarray(embd), grid=grid))
         return chunks
 
     def eval_chunks(self, engine, chunks: list[MtmdChunk], row: int = 0) -> np.ndarray:
@@ -61,5 +65,5 @@ class MtmdContext:
             if chunk.kind == "text":
                 logits = engine.prefill(chunk.tokens, row=row)
             else:
-                logits = engine.prefill_embd(chunk.embd, row=row)
+                logits = engine.prefill_embd(chunk.embd, row=row, grid=chunk.grid)
         return logits

@@ -101,6 +101,9 @@ class Qwen2VLVisionModel:
         out = _encode_jit(
             self.params, jnp.asarray(patches), jnp.asarray(pos_hw), static
         )
+        m = self.config.spatial_merge
+        # merged output grid, consumed by the engine's M-RoPE positions
+        self.last_grid = (gh // m, gw // m)
         return np.asarray(out)
 
 

@@ -85,44 +85,65 @@ class Engine:
         if self._shard_cache_fn is not None:
             self.cache = self._shard_cache_fn(self.cache)
         self.seq_len = np.zeros(batch_size, dtype=np.int32)  # host-side lengths
+        # rope position minus cache slot: nonzero only after M-RoPE image
+        # chunks, where a whole image is ONE temporal position
+        # (mtmd_image_tokens_get_n_pos, tools/mtmd/mtmd.cpp:1022)
+        self.pos_offset = np.zeros(batch_size, dtype=np.int32)
 
         @functools.partial(jax.jit, static_argnames=("t",))
-        def step(params, cache, tokens, write_pos, seq_len, t):
-            positions = write_pos[:, None] + jnp.arange(t)[None, :]
+        def step(params, cache, tokens, write_pos, seq_len, t, pos_off=None,
+                 wmask=None):
+            base = write_pos if pos_off is None else write_pos + pos_off
+            positions = base[:, None] + jnp.arange(t)[None, :]
             logits, cache = forward(
-                params, config, tokens, positions, cache, write_pos, dtype=dtype
+                params, config, tokens, positions, cache, write_pos, dtype=dtype,
+                write_mask=wmask,
             )
             return logits, cache
 
         self._step = step
 
         @functools.partial(jax.jit, static_argnames=("t",))
-        def embed_step(params, cache, tokens, write_pos, seq_len, t):
+        def embed_step(params, cache, tokens, write_pos, seq_len, t, wmask=None):
             positions = write_pos[:, None] + jnp.arange(t)[None, :]
             hidden, cache = forward(
                 params, config, tokens, positions, cache, write_pos,
-                dtype=dtype, return_hidden=True,
+                dtype=dtype, return_hidden=True, write_mask=wmask,
             )
             return hidden, cache
 
         self._embed_step = embed_step
 
         @functools.partial(jax.jit, static_argnames=("t",))
-        def embd_input_step(params, cache, embd, write_pos, t):
+        def embd_input_step(params, cache, embd, write_pos, t, wmask=None):
             """Prefill with precomputed embeddings (multimodal image chunks —
             the llama_batch.embd path)."""
             positions = write_pos[:, None] + jnp.arange(t)[None, :]
             tokens = jnp.zeros(embd.shape[:2], jnp.int32)
             logits, cache = forward(
                 params, config, tokens, positions, cache, write_pos, dtype=dtype,
-                input_embd=embd,
+                input_embd=embd, write_mask=wmask,
             )
             return logits, cache
 
         self._embd_input_step = embd_input_step
 
+        @functools.partial(jax.jit, static_argnames=("t",))
+        def embd_mrope_step(params, cache, embd, write_pos, cos, sin, t, wmask=None):
+            """Image-chunk prefill with caller-built M-RoPE tables
+            (ggml_rope_multi path: t constant, h/w vary per patch)."""
+            positions = write_pos[:, None] + jnp.arange(t)[None, :]
+            tokens = jnp.zeros(embd.shape[:2], jnp.int32)
+            logits, cache = forward(
+                params, config, tokens, positions, cache, write_pos, dtype=dtype,
+                input_embd=embd, rope_override=(cos, sin), write_mask=wmask,
+            )
+            return logits, cache
+
+        self._embd_mrope_step = embd_mrope_step
+
         @functools.partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
-        def greedy_loop(params, cache, tok, seq_len, n):
+        def greedy_loop(params, cache, tok, seq_len, pos_off, n):
             """Device-side greedy decode: the token feedback never leaves the
             chip, so N tokens cost one host round-trip (the reference's
             decode loop is host-driven; on TPU the host<->device latency
@@ -133,7 +154,7 @@ class Engine:
             def body(i, state):
                 cache, tok, seq_len, out_toks = state
                 write_pos = seq_len
-                positions = write_pos[:, None]
+                positions = (write_pos + pos_off)[:, None]
                 logits, cache = forward(
                     params, config, tok[:, None], positions, cache, write_pos,
                     dtype=dtype,
@@ -155,7 +176,7 @@ class Engine:
         tok = jnp.asarray(first_tokens, dtype=jnp.int32)
         seq_len = jnp.asarray(self.seq_len)
         self.cache, out, new_len = self._greedy_loop(
-            self.params, self.cache, tok, seq_len, n
+            self.params, self.cache, tok, seq_len, jnp.asarray(self.pos_offset), n
         )
         self.seq_len = np.array(new_len)  # writable host copy
         return np.asarray(out)
@@ -173,6 +194,23 @@ class Engine:
 
         config, dtype = self.config, self.dtype
         self.seq_len = np.zeros(self.batch_size, dtype=np.int32)
+        self.pos_offset = np.zeros(self.batch_size, dtype=np.int32)  # unused
+        if config.wkv_head_size > 0:  # rwkv6/7 (wkv state, not conv/ssm)
+            from ..models.rwkv import forward as rwkv_forward
+            from ..models.rwkv import make_rwkv_cache
+
+            self.cache = make_rwkv_cache(config, self.batch_size)
+
+            @functools.partial(jax.jit, static_argnames=("t", "return_hidden"))
+            def step(params, cache, tokens, active, write_pos, t,
+                     return_hidden=False):
+                return rwkv_forward(
+                    params, config, tokens, cache, active, dtype=dtype,
+                    return_hidden=return_hidden,
+                )
+
+            self._recurrent_step = step
+            return
         hybrid = any(k == "attn" for k in layer_kinds(self.params))
         if hybrid:
             self.cache = make_hybrid_cache(
@@ -219,12 +257,17 @@ class Engine:
         if self.recurrent:
             from ..models.jamba import HybridCache
             from ..models.mamba import RecurrentCache
+            from ..models.rwkv import RwkvCache
 
             c = self.cache
             if isinstance(c, HybridCache):
                 self.cache = HybridCache(
                     c.kv_k, c.kv_v,
                     c.conv.at[:, row].set(0.0), c.ssm.at[:, row].set(0.0),
+                )
+            elif isinstance(c, RwkvCache):
+                self.cache = RwkvCache(
+                    c.shift.at[:, row].set(0.0), c.wkv.at[:, row].set(0.0)
                 )
             else:
                 self.cache = RecurrentCache(
@@ -235,7 +278,7 @@ class Engine:
         """Embed one sequence; pooling in mean|cls|last|none
         (reference pooling types, llama-context.cpp:1077-1124)."""
         n = len(token_ids)
-        t = self._prefill_t(n)
+        t = self._prefill_t(n)  # row 0 was just cleared: wp = 0
         toks = np.zeros((self.batch_size, t), dtype=np.int32)
         toks[0, :n] = token_ids
         self.clear_row(0)
@@ -257,42 +300,88 @@ class Engine:
 
     def reset(self):
         self.seq_len[:] = 0
+        self.pos_offset[:] = 0
 
     def _prefill_t(self, n: int) -> int:
         if n > self.max_seq:
             raise ValueError(f"prompt of {n} tokens exceeds max_seq {self.max_seq}")
         return min(_bucket(n), self.max_seq)
 
+    def _prefill_t_at(self, n: int, wp: int) -> int:
+        """Padded length that fits the target row's tail of the cache —
+        a DUS whose start+size exceeds max_seq would CLAMP the start and
+        overwrite valid history."""
+        t = self._prefill_t(n)
+        if wp + t > self.max_seq:
+            if wp + n > self.max_seq:
+                raise ValueError(
+                    f"context full: {wp}+{n} tokens > max_seq {self.max_seq}"
+                )
+            t = self.max_seq - wp  # exact tail fit, no padding
+        return t
+
+    def _row_mask(self, row: int):
+        m = np.zeros(self.batch_size, dtype=bool)
+        m[row] = True
+        return jnp.asarray(m)
+
     def prefill(self, token_ids: list[int], row: int = 0) -> np.ndarray:
         """Feed a prompt into one row; returns logits of the last real token."""
         if self.recurrent:
             return self._recurrent_prefill(token_ids, row)
         n = len(token_ids)
-        t = self._prefill_t(n)
+        t = self._prefill_t_at(n, int(self.seq_len[row]))
         toks = np.zeros((self.batch_size, t), dtype=np.int32)
         toks[row, :n] = token_ids
         write_pos = jnp.asarray(self.seq_len)
         new_len = self.seq_len.copy()
         new_len[row] += n
         logits, self.cache = self._step(
-            self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t
+            self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t,
+            pos_off=jnp.asarray(self.pos_offset), wmask=self._row_mask(row),
         )
         self.seq_len = new_len
         return np.asarray(logits[row, n - 1])
 
-    def prefill_embd(self, embd: np.ndarray, row: int = 0) -> np.ndarray:
+    def prefill_embd(self, embd: np.ndarray, row: int = 0,
+                     grid: tuple[int, int] | None = None) -> np.ndarray:
         """Prefill one row with precomputed embeddings [n, E] (image chunks);
-        returns the last position's logits."""
+        returns the last position's logits.
+
+        With `grid` = (gh, gw) on an M-RoPE model (qwen2vl), patch (y, x)
+        gets positions (t=p0, h=p0+y, w=p0+x) and the whole image advances
+        the position counter by ONE (mtmd-helper set_position_mrope_2d +
+        mtmd_image_tokens_get_n_pos)."""
         n = embd.shape[0]
-        t = self._prefill_t(n)
+        t = self._prefill_t_at(n, int(self.seq_len[row]))
         buf = np.zeros((self.batch_size, t, embd.shape[1]), dtype=np.float32)
         buf[row, :n] = embd
         write_pos = jnp.asarray(self.seq_len)
         new_len = self.seq_len.copy()
         new_len[row] += n
-        logits, self.cache = self._embd_input_step(
-            self.params, self.cache, jnp.asarray(buf), write_pos, t
-        )
+        sections = self.config.rope.sections
+        if grid is not None and sections:
+            from ..mtmd.qwen2vl import mrope_tables
+
+            gh, gw = grid
+            p0 = int(self.seq_len[row] + self.pos_offset[row])
+            idx = np.arange(t)
+            y, x = idx // max(gw, 1), idx % max(gw, 1)
+            pos = np.stack([np.full(t, p0), p0 + y, p0 + x], 0).astype(np.int32)
+            cos, sin = mrope_tables(
+                jnp.asarray(pos), tuple(sections), self.config.head_dim_k,
+                self.config.rope.freq_base,
+            )
+            logits, self.cache = self._embd_mrope_step(
+                self.params, self.cache, jnp.asarray(buf), write_pos, cos, sin, t,
+                wmask=self._row_mask(row),
+            )
+            self.pos_offset[row] -= n - 1  # image = 1 temporal position
+        else:
+            logits, self.cache = self._embd_input_step(
+                self.params, self.cache, jnp.asarray(buf), write_pos, t,
+                wmask=self._row_mask(row),
+            )
         self.seq_len = new_len
         return np.asarray(logits[row, n - 1])
 
@@ -303,14 +392,15 @@ class Engine:
         if self.recurrent:
             return self._recurrent_prefill(token_ids, row, all_logits=True)
         n = len(token_ids)
-        t = self._prefill_t(n)
+        t = self._prefill_t_at(n, int(self.seq_len[row]))
         toks = np.zeros((self.batch_size, t), dtype=np.int32)
         toks[row, :n] = token_ids
         write_pos = jnp.asarray(self.seq_len)
         new_len = self.seq_len.copy()
         new_len[row] += n
         logits, self.cache = self._step(
-            self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t
+            self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t,
+            pos_off=jnp.asarray(self.pos_offset), wmask=self._row_mask(row),
         )
         self.seq_len = new_len
         return np.asarray(logits[row, :n])
@@ -341,13 +431,15 @@ class Engine:
             return np.asarray(logits[:, 0])
         write_pos = jnp.asarray(self.seq_len)
         logits, self.cache = self._step(
-            self.params, self.cache, toks, write_pos, jnp.asarray(new_len), 1
+            self.params, self.cache, toks, write_pos, jnp.asarray(new_len), 1,
+            pos_off=jnp.asarray(self.pos_offset),
         )
         self.seq_len = new_len
         return np.asarray(logits[:, 0])
 
     def clear_row(self, row: int) -> None:
         self.seq_len[row] = 0
+        self.pos_offset[row] = 0
         if self.recurrent:
             self.clear_row_state(row)
 
@@ -356,6 +448,7 @@ class Engine:
         (prompt shared across parallel continuations without re-prefilling)."""
         if src == dst:
             return
+        self.pos_offset[dst] = self.pos_offset[src]
         if self.recurrent:
             from ..models.mamba import RecurrentCache
 

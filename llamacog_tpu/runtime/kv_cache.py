@@ -55,23 +55,31 @@ class KVCache:
         """(k, v) [B, S, Hkv, D] for one layer (old contents only)."""
         return self.k[layer], self.v[layer]
 
-    def write_all(self, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray):
+    def write_all(self, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray,
+                  active: jnp.ndarray | None = None):
         """Deferred bulk write: [L, B, T, Hkv, D] for ALL layers in two
         dynamic-update-slices per batch row (one DUS per step instead of two
-        per layer — per-layer .at[il].set copies dominated decode time)."""
+        per layer — per-layer .at[il].set copies dominated decode time).
 
-        def write_row(k_col, v_col, kn, vn, pos):
+        `active` [B] bool gates which rows are written. Needed by prefill:
+        a padded block written at an inactive row whose write_pos is within
+        T of max_seq would CLAMP the DUS start and overwrite that row's
+        valid history (jax DUS clamps out-of-range starts)."""
+
+        def write_row(k_col, v_col, kn, vn, pos, act):
             # k_col [L, S, H, D], kn [L, T, H, D]
-            k_col = jax.lax.dynamic_update_slice(
+            k2 = jax.lax.dynamic_update_slice(
                 k_col, kn.astype(k_col.dtype), (0, pos, 0, 0)
             )
-            v_col = jax.lax.dynamic_update_slice(
+            v2 = jax.lax.dynamic_update_slice(
                 v_col, vn.astype(v_col.dtype), (0, pos, 0, 0)
             )
-            return k_col, v_col
+            return jnp.where(act, k2, k_col), jnp.where(act, v2, v_col)
 
-        k, v = jax.vmap(write_row, in_axes=(1, 1, 1, 1, 0), out_axes=(1, 1))(
-            self.k, self.v, k_new, v_new, write_pos
+        if active is None:
+            active = jnp.ones(write_pos.shape, bool)
+        k, v = jax.vmap(write_row, in_axes=(1, 1, 1, 1, 0, 0), out_axes=(1, 1))(
+            self.k, self.v, k_new, v_new, write_pos, active
         )
         return KVCache(k, v)
 
@@ -165,22 +173,32 @@ class QuantKVCache:
         v = self._dequant(self.v_q[layer], self.v_s[layer], jnp.bfloat16)
         return k, v
 
-    def write_all(self, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray):
+    def write_all(self, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray,
+                  active: jnp.ndarray | None = None):
         kq_new, ks_new = self._quant(k_new)
         vq_new, vs_new = self._quant(v_new)
 
-        def write_row(planes, news, pos):
+        def write_row(planes, news, pos, act):
             return tuple(
-                jax.lax.dynamic_update_slice(
-                    c, n.astype(c.dtype), (0, pos) + (0,) * (c.ndim - 2)
+                jnp.where(
+                    act,
+                    jax.lax.dynamic_update_slice(
+                        c, n.astype(c.dtype), (0, pos) + (0,) * (c.ndim - 2)
+                    ),
+                    c,
                 )
                 for c, n in zip(planes, news)
             )
 
+        if active is None:
+            active = jnp.ones(write_pos.shape, bool)
         kq, ks, vq, vs = jax.vmap(
-            lambda a, b, c, d, na, nb, nc, nd, p: write_row((a, b, c, d), (na, nb, nc, nd), p),
-            in_axes=(1,) * 8 + (0,), out_axes=(1, 1, 1, 1),
-        )(self.k_q, self.k_s, self.v_q, self.v_s, kq_new, ks_new, vq_new, vs_new, write_pos)
+            lambda a, b, c, d, na, nb, nc, nd, p, m: write_row(
+                (a, b, c, d), (na, nb, nc, nd), p, m
+            ),
+            in_axes=(1,) * 8 + (0, 0), out_axes=(1, 1, 1, 1),
+        )(self.k_q, self.k_s, self.v_q, self.v_s, kq_new, ks_new, vq_new, vs_new,
+          write_pos, active)
         return QuantKVCache(kq, ks, vq, vs)
 
 

@@ -154,7 +154,7 @@ class ServerContext:
                     if chunk.kind == "text":
                         logits = self.engine.prefill(chunk.tokens, row=slot.id)
                     else:
-                        logits = self.engine.prefill_embd(chunk.embd, row=slot.id)
+                        logits = self.engine.prefill_embd(chunk.embd, row=slot.id, grid=chunk.grid)
                     self.metrics["prompt_tokens_total"] += chunk.n_tokens
                 slot.next_token = slot.sampler.sample(logits)
                 slot.t_first_token = time.time()

@@ -94,3 +94,100 @@ def make_tiny_llama_gguf(
             add_weight(p + "ffn_down.weight", rand(n_embd, n_ff))
     w.write()
     return str(path)
+
+
+def make_tiny_rwkv_gguf(
+    path,
+    version: int = 6,
+    n_vocab: int = 64,
+    n_embd: int = 32,
+    n_layer: int = 2,
+    head_size: int = 8,
+    n_ff: int = 64,
+    seed: int = 0,
+) -> str:
+    """Tiny random-weight rwkv6/rwkv7 GGUF (llama-arch.cpp tensor names)."""
+    rng = np.random.default_rng(seed)
+    H = n_embd // head_size
+    arch = f"rwkv{version}"
+    extra, decay_extra, lora = 8, 8, 8
+
+    w = GGUFWriter(path)
+    w.add("general.architecture", arch)
+    w.add("general.name", "tiny-rwkv-test")
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", 0)
+    w.add(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add(f"{arch}.wkv.head_size", head_size)
+    if version == 6:
+        w.add(f"{arch}.rescale_every_n_layers", 2)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    toks = ["<unk>", "<s>", "</s>"] + [f"<0x{i:02X}>" for i in range(n_vocab - 3)]
+    w.add("tokenizer.ggml.model", "llama")
+    w.add("tokenizer.ggml.tokens", toks)
+    w.add("tokenizer.ggml.scores", np.zeros(n_vocab, dtype=np.float32))
+    w.add("tokenizer.ggml.token_type", np.array([2, 3, 3] + [6] * (n_vocab - 3), np.int32))
+    w.add("tokenizer.ggml.bos_token_id", 1)
+    w.add("tokenizer.ggml.eos_token_id", 2)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * 0.2).astype(np.float32)
+
+    def ones(*shape):
+        return np.ones(shape, dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", rand(n_vocab, n_embd))
+    w.add_tensor("token_embd_norm.weight", ones(n_embd))
+    w.add_tensor("token_embd_norm.bias", rand(n_embd) * 0.1)
+    w.add_tensor("output_norm.weight", ones(n_embd))
+    w.add_tensor("output_norm.bias", rand(n_embd) * 0.1)
+    w.add_tensor("output.weight", rand(n_vocab, n_embd))
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", ones(n_embd))
+        w.add_tensor(p + "attn_norm.bias", rand(n_embd) * 0.1)
+        w.add_tensor(p + "attn_norm_2.weight", ones(n_embd))
+        w.add_tensor(p + "attn_norm_2.bias", rand(n_embd) * 0.1)
+        w.add_tensor(p + "time_mix_ln.weight", ones(n_embd))
+        w.add_tensor(p + "time_mix_ln.bias", rand(n_embd) * 0.1)
+        w.add_tensor(p + "time_mix_key.weight", rand(n_embd, n_embd))
+        w.add_tensor(p + "time_mix_value.weight", rand(n_embd, n_embd))
+        w.add_tensor(p + "time_mix_receptance.weight", rand(n_embd, n_embd))
+        w.add_tensor(p + "time_mix_output.weight", rand(n_embd, n_embd))
+        w.add_tensor(p + "channel_mix_lerp_k.weight", rand(n_embd) * 0.5 + 0.5)
+        w.add_tensor(p + "channel_mix_key.weight", rand(n_ff, n_embd))
+        w.add_tensor(p + "channel_mix_value.weight", rand(n_embd, n_ff))
+        if version == 6:
+            w.add_tensor(p + "time_mix_w1.weight", rand(5 * extra, n_embd))
+            w.add_tensor(p + "time_mix_w2.weight", rand(5, n_embd, extra))
+            w.add_tensor(p + "time_mix_lerp_x.weight", rand(n_embd) * 0.5 + 0.5)
+            w.add_tensor(p + "time_mix_lerp_fused.weight", rand(5, 1, n_embd) * 0.5)
+            w.add_tensor(p + "time_mix_first.weight", rand(H, head_size))
+            w.add_tensor(p + "time_mix_decay.weight", rand(n_embd) - 4.0)
+            w.add_tensor(p + "time_mix_decay_w1.weight", rand(decay_extra, n_embd))
+            w.add_tensor(p + "time_mix_decay_w2.weight", rand(n_embd, decay_extra))
+            w.add_tensor(p + "time_mix_gate.weight", rand(n_embd, n_embd))
+            w.add_tensor(p + "channel_mix_lerp_r.weight", rand(n_embd) * 0.5 + 0.5)
+            w.add_tensor(p + "channel_mix_receptance.weight", rand(n_embd, n_embd))
+        else:
+            w.add_tensor(p + "time_mix_lerp_fused.weight", rand(6, 1, n_embd) * 0.5)
+            w.add_tensor(p + "time_mix_w0.weight", rand(n_embd) - 4.0)
+            w.add_tensor(p + "time_mix_w1.weight", rand(lora, n_embd))
+            w.add_tensor(p + "time_mix_w2.weight", rand(n_embd, lora))
+            w.add_tensor(p + "time_mix_a0.weight", rand(n_embd))
+            w.add_tensor(p + "time_mix_a1.weight", rand(lora, n_embd))
+            w.add_tensor(p + "time_mix_a2.weight", rand(n_embd, lora))
+            if il > 0:
+                w.add_tensor(p + "time_mix_v0.weight", rand(n_embd))
+                w.add_tensor(p + "time_mix_v1.weight", rand(lora, n_embd))
+                w.add_tensor(p + "time_mix_v2.weight", rand(n_embd, lora))
+            w.add_tensor(p + "time_mix_g1.weight", rand(lora, n_embd))
+            w.add_tensor(p + "time_mix_g2.weight", rand(n_embd, lora))
+            w.add_tensor(p + "time_mix_k_k.weight", rand(n_embd) * 0.5 + 0.8)
+            w.add_tensor(p + "time_mix_k_a.weight", rand(n_embd) * 0.5 + 0.8)
+            w.add_tensor(p + "time_mix_r_k.weight", rand(n_embd))
+    w.write()
+    return str(path)
