@@ -199,6 +199,8 @@ def forward(
     # tables built by the caller (mtmd image chunks, ggml_rope_multi path)
     write_mask: jnp.ndarray | None = None,  # [B] bool: rows whose K/V land
     # in the cache (prefill of one row must not clamp-write the others)
+    n_new: jnp.ndarray | None = None,  # [B] real (unpadded) tokens in this
+    # block; SWA ring writes must not let pads wrap over live slots
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (logits [B, T, V] f32, updated cache); with return_hidden,
     the first element is the final-norm hidden state [B, T, E] instead
@@ -225,6 +227,13 @@ def forward(
         (mask, intra), (swa_mask, intra_swa) = _build_masks(
             cfg, write_pos, T, int(cache.max_seq)
         )
+        from ..runtime.kv_cache import SwaKVCache, build_swa_ring_mask
+
+        if isinstance(cache, SwaKVCache):
+            # SWA layers read a window-sized ring, not the full store
+            swa_mask = build_swa_ring_mask(
+                write_pos, T, cache.window, cfg.sliding_window
+            )
     new_ks, new_vs = [], []
 
     if input_embd is not None:
@@ -394,7 +403,7 @@ def forward(
             x = x + params["cvec"][il].astype(x.dtype)
 
     cache = cache.write_all(jnp.stack(new_ks), jnp.stack(new_vs), write_pos,
-                            active=write_mask)
+                            active=write_mask, n_new=n_new)
     if cfg.norm_type == "layer":
         x = layer_norm(x, params["output_norm"], params.get("output_norm_b"), cfg.norm_eps)
     else:

@@ -72,16 +72,29 @@ class Engine:
         if self.recurrent:
             self._init_recurrent()
             return
-        self.cache = make_cache(
-            kv_type,
-            config.n_layer,
-            batch_size,
-            max_seq,
-            config.n_head_kv,
-            config.head_dim_k,
-            config.head_dim_v,
-            dtype=dtype,
-        )
+        if (kv_type == "dense" and mesh is None and config.sliding_window > 0
+                and config.swa_pattern > 1 and config.sliding_window < max_seq):
+            # iswa cache: SWA layers get a window-sized ring instead of a
+            # full-length store (llama_kv_cache_unified_iswa role)
+            from .kv_cache import SwaKVCache
+
+            self.cache = SwaKVCache.create(
+                tuple(config.is_swa(il) for il in range(config.n_layer)),
+                batch_size, max_seq, config.sliding_window,
+                config.n_head_kv, config.head_dim_k, config.head_dim_v,
+                dtype=dtype,
+            )
+        else:
+            self.cache = make_cache(
+                kv_type,
+                config.n_layer,
+                batch_size,
+                max_seq,
+                config.n_head_kv,
+                config.head_dim_k,
+                config.head_dim_v,
+                dtype=dtype,
+            )
         if self._shard_cache_fn is not None:
             self.cache = self._shard_cache_fn(self.cache)
         self.seq_len = np.zeros(batch_size, dtype=np.int32)  # host-side lengths
@@ -97,7 +110,7 @@ class Engine:
             positions = base[:, None] + jnp.arange(t)[None, :]
             logits, cache = forward(
                 params, config, tokens, positions, cache, write_pos, dtype=dtype,
-                write_mask=wmask,
+                write_mask=wmask, n_new=seq_len - write_pos,
             )
             return logits, cache
 
@@ -109,27 +122,30 @@ class Engine:
             hidden, cache = forward(
                 params, config, tokens, positions, cache, write_pos,
                 dtype=dtype, return_hidden=True, write_mask=wmask,
+                n_new=seq_len - write_pos,
             )
             return hidden, cache
 
         self._embed_step = embed_step
 
         @functools.partial(jax.jit, static_argnames=("t",))
-        def embd_input_step(params, cache, embd, write_pos, t, wmask=None):
+        def embd_input_step(params, cache, embd, write_pos, t, wmask=None,
+                            n_new=None):
             """Prefill with precomputed embeddings (multimodal image chunks —
             the llama_batch.embd path)."""
             positions = write_pos[:, None] + jnp.arange(t)[None, :]
             tokens = jnp.zeros(embd.shape[:2], jnp.int32)
             logits, cache = forward(
                 params, config, tokens, positions, cache, write_pos, dtype=dtype,
-                input_embd=embd, write_mask=wmask,
+                input_embd=embd, write_mask=wmask, n_new=n_new,
             )
             return logits, cache
 
         self._embd_input_step = embd_input_step
 
         @functools.partial(jax.jit, static_argnames=("t",))
-        def embd_mrope_step(params, cache, embd, write_pos, cos, sin, t, wmask=None):
+        def embd_mrope_step(params, cache, embd, write_pos, cos, sin, t, wmask=None,
+                            n_new=None):
             """Image-chunk prefill with caller-built M-RoPE tables
             (ggml_rope_multi path: t constant, h/w vary per patch)."""
             positions = write_pos[:, None] + jnp.arange(t)[None, :]
@@ -137,6 +153,7 @@ class Engine:
             logits, cache = forward(
                 params, config, tokens, positions, cache, write_pos, dtype=dtype,
                 input_embd=embd, rope_override=(cos, sin), write_mask=wmask,
+                n_new=n_new,
             )
             return logits, cache
 
@@ -374,13 +391,13 @@ class Engine:
             )
             logits, self.cache = self._embd_mrope_step(
                 self.params, self.cache, jnp.asarray(buf), write_pos, cos, sin, t,
-                wmask=self._row_mask(row),
+                wmask=self._row_mask(row), n_new=jnp.asarray(new_len) - write_pos,
             )
             self.pos_offset[row] -= n - 1  # image = 1 temporal position
         else:
             logits, self.cache = self._embd_input_step(
                 self.params, self.cache, jnp.asarray(buf), write_pos, t,
-                wmask=self._row_mask(row),
+                wmask=self._row_mask(row), n_new=jnp.asarray(new_len) - write_pos,
             )
         self.seq_len = new_len
         return np.asarray(logits[row, n - 1])
@@ -458,21 +475,10 @@ class Engine:
                 c.ssm.at[:, dst].set(c.ssm[:, src]),
             )
         else:
-            from .kv_cache import QuantKVCache
-
-            c = self.cache
-            if isinstance(c, QuantKVCache):
-                self.cache = QuantKVCache(
-                    c.k_q.at[:, dst].set(c.k_q[:, src]),
-                    c.k_s.at[:, dst].set(c.k_s[:, src]),
-                    c.v_q.at[:, dst].set(c.v_q[:, src]),
-                    c.v_s.at[:, dst].set(c.v_s[:, src]),
-                )
-            else:
-                self.cache = type(c)(
-                    c.k.at[:, dst].set(c.k[:, src]),
-                    c.v.at[:, dst].set(c.v[:, src]),
-                )
+            # every cache pytree keeps batch at axis 1 of each leaf
+            self.cache = jax.tree_util.tree_map(
+                lambda a: a.at[:, dst].set(a[:, src]), self.cache
+            )
         self.seq_len[dst] = self.seq_len[src]
 
     def shift_row(self, row: int, n_keep: int, n_discard: int) -> None:

@@ -56,7 +56,7 @@ class KVCache:
         return self.k[layer], self.v[layer]
 
     def write_all(self, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray,
-                  active: jnp.ndarray | None = None):
+                  active: jnp.ndarray | None = None, n_new=None):
         """Deferred bulk write: [L, B, T, Hkv, D] for ALL layers in two
         dynamic-update-slices per batch row (one DUS per step instead of two
         per layer — per-layer .at[il].set copies dominated decode time).
@@ -64,7 +64,9 @@ class KVCache:
         `active` [B] bool gates which rows are written. Needed by prefill:
         a padded block written at an inactive row whose write_pos is within
         T of max_seq would CLAMP the DUS start and overwrite that row's
-        valid history (jax DUS clamps out-of-range starts)."""
+        valid history (jax DUS clamps out-of-range starts). `n_new` is
+        accepted for interface parity with SwaKVCache (pads beyond the valid
+        length are harmless in a linear store)."""
 
         def write_row(k_col, v_col, kn, vn, pos, act):
             # k_col [L, S, H, D], kn [L, T, H, D]
@@ -174,7 +176,7 @@ class QuantKVCache:
         return k, v
 
     def write_all(self, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray,
-                  active: jnp.ndarray | None = None):
+                  active: jnp.ndarray | None = None, n_new=None):
         kq_new, ks_new = self._quant(k_new)
         vq_new, vs_new = self._quant(v_new)
 
@@ -229,4 +231,116 @@ def build_causal_mask(
         ok = ok & (sj > abs_pos - sliding_window)
     if seq_len is not None:
         ok = ok & (sj < seq_len[:, None, None])
+    return jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SwaKVCache:
+    """Two-store cache, the reference's llama_kv_cache_unified_iswa
+    (src/llama-kv-cache-iswa.h): full-size store for global-attention layers
+    plus a window-sized RING for the SWA layers. The deferred-write design
+    (current block attends to its own K/V explicitly) means the ring only
+    ever needs the last `window` OLD tokens — memory for SWA layers drops
+    from max_seq to window slots.
+
+    Ring slot j of a row with write offset p holds absolute position
+    a(j) = p-1 - ((p-1-j) mod W); build_swa_ring_mask derives validity
+    (a >= 0 and within the window of each query) from that.
+    """
+
+    full: KVCache  # [Lf, B, S, H, D] global-attention layers
+    k_swa: jnp.ndarray  # [Ls, B, W+1, H, Dk] (slot W is a write dump)
+    v_swa: jnp.ndarray  # [Ls, B, W+1, H, Dv]
+    swa_layers: tuple = ()  # static: model layer index -> is-SWA
+
+    def tree_flatten(self):
+        return (self.full, self.k_swa, self.v_swa), self.swa_layers
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, swa_layers=aux)
+
+    @property
+    def max_seq(self) -> int:
+        return self.full.max_seq
+
+    @property
+    def window(self) -> int:
+        return self.k_swa.shape[2] - 1  # last slot is the pad-write dump
+
+    @classmethod
+    def create(cls, swa_layers, batch, max_seq, window, n_head_kv, dk, dv,
+               dtype=jnp.bfloat16):
+        n_swa = sum(swa_layers)
+        n_full = len(swa_layers) - n_swa
+        w = min(window, max_seq)
+        return cls(
+            full=KVCache.create(n_full, batch, max_seq, n_head_kv, dk, dv, dtype=dtype),
+            k_swa=jnp.zeros((n_swa, batch, w + 1, n_head_kv, dk), dtype),
+            v_swa=jnp.zeros((n_swa, batch, w + 1, n_head_kv, dv), dtype),
+            swa_layers=tuple(bool(s) for s in swa_layers),
+        )
+
+    def _index(self, layer: int) -> tuple[bool, int]:
+        is_swa = self.swa_layers[layer]
+        idx = sum(1 for s in self.swa_layers[:layer] if s == is_swa)
+        return is_swa, idx
+
+    def read(self, layer: int):
+        is_swa, i = self._index(layer)
+        if is_swa:
+            return self.k_swa[i, :, :-1], self.v_swa[i, :, :-1]
+        return self.full.read(i)
+
+    def write_all(self, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray,
+                  active: jnp.ndarray | None = None,
+                  n_new: jnp.ndarray | None = None):
+        """n_new [B]: how many of the block's T tokens are real (prefill pads
+        must not wrap into the ring — they would overwrite live slots).
+        Invalid tokens are scattered into the dump slot W instead."""
+        swa_ids = [i for i, s in enumerate(self.swa_layers) if s]
+        full_ids = [i for i, s in enumerate(self.swa_layers) if not s]
+        if active is None:
+            active = jnp.ones(write_pos.shape, bool)
+        full = self.full.write_all(
+            k_new[jnp.asarray(full_ids)], v_new[jnp.asarray(full_ids)],
+            write_pos, active,
+        ) if full_ids else self.full
+        if not swa_ids:
+            return SwaKVCache(full, self.k_swa, self.v_swa, self.swa_layers)
+        kn = k_new[jnp.asarray(swa_ids)]
+        vn = v_new[jnp.asarray(swa_ids)]
+        W = self.window
+        T = kn.shape[2]
+        if n_new is None:
+            n_new = jnp.full(write_pos.shape, T, jnp.int32)
+        i_tok = jnp.arange(T)
+
+        def write_row(kc, vc, kr, vr, pos, act, n_r):
+            # last W real tokens land in the ring; everything else -> dump
+            valid = act & (i_tok < n_r) & (i_tok >= n_r - W)
+            idx = jnp.where(valid, (pos + i_tok) % W, W)
+            k2 = kc.at[:, idx].set(kr.astype(kc.dtype))
+            v2 = vc.at[:, idx].set(vr.astype(vc.dtype))
+            return k2, v2
+
+        k_swa, v_swa = jax.vmap(write_row, in_axes=(1, 1, 1, 1, 0, 0, 0),
+                                out_axes=(1, 1))(
+            self.k_swa, self.v_swa, kn, vn, write_pos, active, n_new
+        )
+        return SwaKVCache(full, k_swa, v_swa, self.swa_layers)
+
+
+def build_swa_ring_mask(write_pos: jnp.ndarray, t: int, ring_w: int,
+                        window: int) -> jnp.ndarray:
+    """Additive mask [B, T, W] over a SWA ring: slot j's absolute position is
+    p-1 - ((p-1-j) mod W); valid iff it exists (>= 0) and lies within the
+    query's sliding window."""
+    B = write_pos.shape[0]
+    j = jnp.arange(ring_w)[None, None, :]
+    p1 = (write_pos - 1)[:, None, None]
+    a = p1 - jnp.mod(p1 - j, ring_w)  # [B,1,W]
+    q = write_pos[:, None, None] + jnp.arange(t)[None, :, None]  # [B,T,1]
+    ok = (a >= 0) & (a > q - window)
     return jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)

@@ -1,0 +1,436 @@
+"""llamacog-convert-hf — convert a HuggingFace checkpoint directory to GGUF.
+
+Role of the reference's convert_hf_to_gguf.py (root, 6,560 LoC with 89
+registered arches): read config.json + safetensors shards, map tensor names
+to the GGUF schema, export the tokenizer, write one GGUF. This covers the
+decoder families the runtime has graph support for (llama/mistral, mixtral
+MoE, qwen2/qwen3, gemma2/gemma3, phi3); safetensors are parsed directly
+(numpy memmap — no torch required), with a torch .bin fallback.
+
+Tokenizers: tokenizer.json (byte-level BPE -> gguf "gpt2" model) or
+tokenizer.model (sentencepiece -> gguf "llama" model; the proto is parsed
+with a minimal wire-format reader so no sentencepiece dependency).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import struct
+import sys
+
+import numpy as np
+
+from ..gguf import GGMLType, GGUFWriter
+from ..quant import quantize_tensor
+
+# ---------------------------------------------------------------------------
+# weight sources
+# ---------------------------------------------------------------------------
+
+_ST_DTYPES = {
+    "F64": np.dtype("<f8"), "F32": np.dtype("<f4"), "F16": np.dtype("<f2"),
+    "BF16": np.dtype("<u2"), "I64": np.dtype("<i8"), "I32": np.dtype("<i4"),
+    "I16": np.dtype("<i2"), "I8": np.dtype("i1"), "U8": np.dtype("u1"),
+    "BOOL": np.dtype("?"),
+}
+
+
+class _STFile:
+    """One safetensors file: 8-byte header length + JSON header + raw data."""
+
+    def __init__(self, path: pathlib.Path):
+        self.mm = np.memmap(path, dtype=np.uint8, mode="r")
+        (hlen,) = struct.unpack("<Q", self.mm[:8].tobytes())
+        self.header = json.loads(self.mm[8 : 8 + hlen].tobytes())
+        self.base = 8 + hlen
+
+    def names(self):
+        return [k for k in self.header if k != "__metadata__"]
+
+    def get(self, name: str) -> np.ndarray:
+        info = self.header[name]
+        a, b = info["data_offsets"]
+        raw = self.mm[self.base + a : self.base + b]
+        arr = raw.view(_ST_DTYPES[info["dtype"]]).reshape(info["shape"])
+        if info["dtype"] == "BF16":  # widen via bit-shift into f32
+            out = np.zeros(arr.shape, np.uint32)
+            out[...] = arr
+            return (out << 16).view(np.float32)
+        if info["dtype"] == "F16":
+            return arr.astype(np.float32)
+        return np.asarray(arr)
+
+
+class StateDict:
+    """Lazy name->f32 array view over safetensors shards (or a torch .bin)."""
+
+    def __init__(self, hf_dir: str):
+        d = pathlib.Path(hf_dir)
+        self._files: dict[str, _STFile] = {}
+        self._where: dict[str, str] = {}
+        idx = d / "model.safetensors.index.json"
+        if idx.exists():
+            wmap = json.loads(idx.read_text())["weight_map"]
+            for name, fname in wmap.items():
+                self._where[name] = fname
+            for fname in set(wmap.values()):
+                self._files[fname] = _STFile(d / fname)
+        elif (d / "model.safetensors").exists():
+            f = _STFile(d / "model.safetensors")
+            self._files["model.safetensors"] = f
+            for name in f.names():
+                self._where[name] = "model.safetensors"
+        elif (d / "pytorch_model.bin").exists():
+            import torch
+
+            sd = torch.load(d / "pytorch_model.bin", map_location="cpu",
+                            weights_only=True)
+            self._torch = {k: v.float().numpy() for k, v in sd.items()}
+            self._where = {k: "" for k in self._torch}
+        else:
+            raise FileNotFoundError(f"no model weights found in {hf_dir}")
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._where
+
+    def names(self):
+        return list(self._where)
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        if hasattr(self, "_torch"):
+            return self._torch[name]
+        return self._files[self._where[name]].get(name)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer export
+# ---------------------------------------------------------------------------
+
+
+def _read_spm_proto(path: pathlib.Path):
+    """Minimal sentencepiece ModelProto reader: field 1 = repeated
+    SentencePiece{1: piece, 2: score, 3: type}."""
+    data = path.read_bytes()
+    pieces = []
+
+    def varint(buf, i):
+        v = s = 0
+        while True:
+            b = buf[i]
+            v |= (b & 0x7F) << s
+            i += 1
+            if not b & 0x80:
+                return v, i
+            s += 7
+
+    i = 0
+    while i < len(data):
+        tag, i = varint(data, i)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:  # SentencePiece message
+            ln, i = varint(data, i)
+            end = i + ln
+            piece, score, ptype = b"", 0.0, 1
+            while i < end:
+                t2, i = varint(data, i)
+                f2, w2 = t2 >> 3, t2 & 7
+                if f2 == 1 and w2 == 2:
+                    ln2, i = varint(data, i)
+                    piece = data[i : i + ln2]
+                    i += ln2
+                elif f2 == 2 and w2 == 5:
+                    (score,) = struct.unpack("<f", data[i : i + 4])
+                    i += 4
+                elif f2 == 3 and w2 == 0:
+                    ptype, i = varint(data, i)
+                elif w2 == 0:
+                    _, i = varint(data, i)
+                elif w2 == 2:
+                    ln2, i = varint(data, i)
+                    i += ln2
+                elif w2 == 5:
+                    i += 4
+                elif w2 == 1:
+                    i += 8
+            pieces.append((piece.decode("utf-8", "replace"), score, ptype))
+        elif wire == 2:
+            ln, i = varint(data, i)
+            i += ln
+        elif wire == 0:
+            _, i = varint(data, i)
+        elif wire == 5:
+            i += 4
+        elif wire == 1:
+            i += 8
+    return pieces
+
+
+# sentencepiece type -> gguf token_type (llama.h llama_token_type)
+_SPM_TYPE = {1: 1, 2: 2, 3: 3, 4: 6, 5: 5, 6: 4}  # normal,unk,control,byte,unused,user
+
+# model-name heuristics -> tokenizer.ggml.pre presets
+_PRE_HINTS = (
+    ("qwen", "qwen2"), ("llama-3", "llama-bpe"), ("llama3", "llama-bpe"),
+    ("smollm", "smollm"), ("phi", "default"), ("gpt2", "gpt-2"),
+    ("deepseek", "deepseek-llm"), ("olmo", "olmo"), ("command", "command-r"),
+)
+
+
+def _export_tokenizer(w: GGUFWriter, d: pathlib.Path, cfg: dict):
+    tj = d / "tokenizer.json"
+    tm = d / "tokenizer.model"
+    tok_cfg = {}
+    if (d / "tokenizer_config.json").exists():
+        tok_cfg = json.loads((d / "tokenizer_config.json").read_text())
+    if tm.exists():
+        pieces = _read_spm_proto(tm)
+        toks = [p for p, _, _ in pieces]
+        w.add("tokenizer.ggml.model", "llama")
+        w.add("tokenizer.ggml.tokens", toks)
+        w.add("tokenizer.ggml.scores", np.asarray([s for _, s, _ in pieces], np.float32))
+        w.add("tokenizer.ggml.token_type",
+              np.asarray([_SPM_TYPE.get(t, 1) for _, _, t in pieces], np.int32))
+        w.add("tokenizer.ggml.add_bos_token", True)
+    elif tj.exists():
+        tok = json.loads(tj.read_text())
+        model = tok.get("model", {})
+        if model.get("type") != "BPE":
+            print(f"warning: unsupported tokenizer model {model.get('type')}; "
+                  "no tokenizer exported", file=sys.stderr)
+            return
+        vocab = model["vocab"]
+        toks = [None] * len(vocab)
+        for t, i in vocab.items():
+            toks[i] = t
+        ttype = np.ones(len(toks), np.int32)
+        for at in tok.get("added_tokens", []):
+            i = at["id"]
+            if i >= len(toks):
+                toks.extend([""] * (i + 1 - len(toks)))
+                ttype = np.pad(ttype, (0, i + 1 - len(ttype)), constant_values=1)
+            toks[i] = at["content"]
+            if at.get("special"):
+                ttype[i] = 3  # control
+        merges = [" ".join(m) if isinstance(m, list) else m
+                  for m in model.get("merges", [])]
+        name = str(cfg.get("_name_or_path", "")) + " " + str(
+            tok_cfg.get("tokenizer_class", "")
+        )
+        pre = "default"
+        for hint, preset in _PRE_HINTS:
+            if hint in name.lower():
+                pre = preset
+                break
+        w.add("tokenizer.ggml.model", "gpt2")
+        w.add("tokenizer.ggml.pre", pre)
+        w.add("tokenizer.ggml.tokens", [t if t is not None else "" for t in toks])
+        w.add("tokenizer.ggml.token_type", ttype)
+        w.add("tokenizer.ggml.merges", merges)
+        w.add("tokenizer.ggml.add_bos_token",
+              bool(tok_cfg.get("add_bos_token", False)))
+    else:
+        print("warning: no tokenizer files found", file=sys.stderr)
+        return
+    for key, gkey in (("bos_token_id", "tokenizer.ggml.bos_token_id"),
+                      ("eos_token_id", "tokenizer.ggml.eos_token_id"),
+                      ("pad_token_id", "tokenizer.ggml.padding_token_id")):
+        v = cfg.get(key)
+        if isinstance(v, list):
+            v = v[0]
+        if v is not None:
+            w.add(gkey, int(v))
+    ct = tok_cfg.get("chat_template")
+    if isinstance(ct, str):
+        w.add("tokenizer.chat_template", ct)
+
+
+# ---------------------------------------------------------------------------
+# architecture mappings
+# ---------------------------------------------------------------------------
+
+_LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "self_attn.qkv_proj.weight": "attn_qkv.weight",  # phi3 fused
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "mlp.gate_up_proj.weight": "ffn_up.weight",  # phi3 fused [gate; up]
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+}
+
+_GEMMA_NORMS = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "post_attention_norm.weight",
+    "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+    "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+}
+
+# HF architectures[0] -> (gguf arch, gemma-style +1 norms)
+_ARCHES = {
+    "LlamaForCausalLM": ("llama", False),
+    "MistralForCausalLM": ("llama", False),
+    "MixtralForCausalLM": ("llama", False),
+    "Qwen2ForCausalLM": ("qwen2", False),
+    "Qwen3ForCausalLM": ("qwen3", False),
+    "Gemma2ForCausalLM": ("gemma2", True),
+    "Gemma3ForCausalLM": ("gemma3", True),
+    "Gemma3ForConditionalGeneration": ("gemma3", True),
+    "Phi3ForCausalLM": ("phi3", False),
+    "Olmo2ForCausalLM": ("olmo2", False),
+    "CohereForCausalLM": ("command-r", False),
+    "Starcoder2ForCausalLM": ("starcoder2", False),
+}
+
+
+def _cast(arr: np.ndarray, outtype: str, name: str, w: GGUFWriter):
+    if arr.ndim < 2 or "norm" in name or outtype == "f32":
+        w.add_tensor(name, arr.astype(np.float32))
+    elif outtype == "f16":
+        w.add_tensor(name, arr.astype(np.float16))
+    elif outtype == "bf16":
+        f = arr.astype(np.float32).view(np.uint32)
+        w.add_tensor(name, ((f + 0x7FFF + ((f >> 16) & 1)) >> 16).astype(np.uint16))
+    elif outtype == "q8_0":
+        if arr.shape[-1] % 32:
+            w.add_tensor(name, arr.astype(np.float16))
+        else:
+            raw = quantize_tensor(arr.astype(np.float32), GGMLType.Q8_0)
+            w.add_tensor(name, raw.tobytes(), shape=arr.shape,
+                         ggml_type=GGMLType.Q8_0)
+    else:
+        raise ValueError(f"unknown outtype {outtype}")
+
+
+def convert(hf_dir: str, out_path: str, outtype: str = "f16",
+            progress=None) -> dict:
+    d = pathlib.Path(hf_dir)
+    cfg = json.loads((d / "config.json").read_text())
+    if "text_config" in cfg and "architectures" in cfg:  # gemma3 multimodal
+        arch_name = cfg["architectures"][0]
+        if arch_name in _ARCHES and _ARCHES[arch_name][0] == "gemma3":
+            inner = dict(cfg["text_config"])
+            inner["architectures"] = cfg["architectures"]
+            cfg = inner
+    arch_name = cfg["architectures"][0]
+    if arch_name not in _ARCHES:
+        raise NotImplementedError(
+            f"{arch_name} not supported (have: {sorted(_ARCHES)})"
+        )
+    arch, gemma = _ARCHES[arch_name]
+    sd = StateDict(hf_dir)
+    w = GGUFWriter(out_path)
+
+    n_layer = cfg["num_hidden_layers"]
+    n_head = cfg["num_attention_heads"]
+    n_kv = cfg.get("num_key_value_heads", n_head)
+    w.add("general.architecture", arch)
+    w.add("general.name", cfg.get("_name_or_path", d.name) or d.name)
+    w.add(f"{arch}.context_length", cfg.get("max_position_embeddings", 4096))
+    w.add(f"{arch}.embedding_length", cfg["hidden_size"])
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.feed_forward_length", cfg["intermediate_size"])
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+          cfg.get("rms_norm_eps", cfg.get("layer_norm_eps", 1e-6)))
+    w.add(f"{arch}.rope.freq_base", cfg.get("rope_theta", 10000.0))
+    w.add(f"{arch}.vocab_size", cfg["vocab_size"])
+    if cfg.get("head_dim"):
+        w.add(f"{arch}.attention.key_length", cfg["head_dim"])
+        w.add(f"{arch}.attention.value_length", cfg["head_dim"])
+    if cfg.get("sliding_window") and arch in ("gemma2", "gemma3"):
+        w.add(f"{arch}.attention.sliding_window", cfg["sliding_window"])
+    if cfg.get("attn_logit_softcapping"):
+        w.add(f"{arch}.attn_logit_softcapping", cfg["attn_logit_softcapping"])
+    if cfg.get("final_logit_softcapping"):
+        w.add(f"{arch}.final_logit_softcapping", cfg["final_logit_softcapping"])
+    if cfg.get("num_local_experts"):
+        w.add(f"{arch}.expert_count", cfg["num_local_experts"])
+        w.add(f"{arch}.expert_used_count", cfg.get("num_experts_per_tok", 2))
+        # HF Mixtral renormalizes the top-k router weights
+        w.add(f"{arch}.expert_weights_norm", True)
+    rs = cfg.get("rope_scaling") or {}
+    if rs.get("rope_type", rs.get("type")) in ("linear", "yarn"):
+        w.add(f"{arch}.rope.scaling.type", rs.get("rope_type", rs.get("type")))
+        w.add(f"{arch}.rope.scaling.factor", rs.get("factor", 1.0))
+        if rs.get("original_max_position_embeddings"):
+            w.add(f"{arch}.rope.scaling.original_context_length",
+                  rs["original_max_position_embeddings"])
+
+    _export_tokenizer(w, d, cfg)
+
+    def put(gname, arr):
+        _cast(np.asarray(arr), outtype, gname, w)
+        if progress:
+            progress(gname)
+
+    def bump(x):  # gemma stores norms as (1 + w)
+        return x + 1.0
+
+    put("token_embd.weight", sd["model.embed_tokens.weight"])
+    onorm = np.asarray(sd["model.norm.weight"], np.float32)
+    put("output_norm.weight", bump(onorm) if gemma else onorm)
+    if "lm_head.weight" in sd and not cfg.get("tie_word_embeddings", False):
+        put("output.weight", sd["lm_head.weight"])
+
+    lmap = dict(_LAYER_MAP)
+    if gemma:
+        lmap.update(_GEMMA_NORMS)
+    count = 0
+    for il in range(n_layer):
+        pre = f"model.layers.{il}"
+        for hf_name, gname in lmap.items():
+            key = f"{pre}.{hf_name}"
+            if key not in sd:
+                continue
+            t = np.asarray(sd[key], np.float32)
+            if gemma and gname.endswith("norm.weight"):
+                t = bump(t)
+            put(f"blk.{il}.{gname}", t)
+            count += 1
+        gate_inp = f"{pre}.block_sparse_moe.gate.weight"
+        if gate_inp in sd:  # mixtral MoE experts
+            put(f"blk.{il}.ffn_gate_inp.weight", sd[gate_inp])
+            n_exp = cfg["num_local_experts"]
+            for gname, hf_w in (("ffn_gate_exps", "w1"), ("ffn_down_exps", "w2"),
+                                ("ffn_up_exps", "w3")):
+                stacked = np.stack([
+                    np.asarray(sd[f"{pre}.block_sparse_moe.experts.{e}.{hf_w}.weight"],
+                               np.float32)
+                    for e in range(n_exp)
+                ])
+                put(f"blk.{il}.{gname}.weight", stacked)
+    w.write()
+    return {"arch": arch, "layers": n_layer, "tensors": count, "output": out_path}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="llamacog-convert-hf")
+    p.add_argument("hf_dir")
+    p.add_argument("output")
+    p.add_argument("--outtype", choices=("f32", "f16", "bf16", "q8_0"),
+                   default="f16")
+    args = p.parse_args(argv)
+
+    def progress(name):
+        print(f"  {name}", file=sys.stderr)
+
+    stats = convert(args.hf_dir, args.output, outtype=args.outtype,
+                    progress=progress)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

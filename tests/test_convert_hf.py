@@ -1,0 +1,157 @@
+"""llamacog-convert-hf end-to-end: tiny HF checkpoints saved with
+save_pretrained (safetensors) -> GGUF -> our engine, logits vs the HF model
+(the role of convert_hf_to_gguf.py + its CI parity runs)."""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from llamacog_tpu.models.loader import load_model
+from llamacog_tpu.runtime.engine import Engine
+from llamacog_tpu.tools.convert_hf import convert
+
+TOKENS = [3, 17, 9, 41, 5, 88]
+
+
+def _tokenizer_json(n_vocab: int) -> dict:
+    """Minimal byte-level BPE tokenizer.json (never actually tokenized in
+    these tests; exercises the vocab/merges export path)."""
+    vocab = {f"t{i}": i for i in range(n_vocab)}
+    return {
+        "model": {"type": "BPE", "vocab": vocab, "merges": []},
+        "added_tokens": [{"id": 0, "content": "t0", "special": True}],
+    }
+
+
+def _save(model, tmp_path, name):
+    d = tmp_path / name
+    model.save_pretrained(d, safe_serialization=True)
+    (d / "tokenizer.json").write_text(
+        json.dumps(_tokenizer_json(model.config.vocab_size))
+    )
+    return str(d)
+
+
+def _hf_logits(model):
+    with torch.no_grad():
+        out = model(torch.tensor([TOKENS]))
+    return out.logits[0].float().numpy()
+
+
+def _our_logits(path):
+    m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+    eng = Engine(m.params, m.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    return eng.prefill_logits(TOKENS)
+
+
+def _assert_close(ours, ref):
+    # f16 storage keeps this a conversion test, not a precision test
+    corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.9999, f"logit corr {corr}"
+    np.testing.assert_allclose(
+        ours.argmax(-1), ref.argmax(-1), err_msg="argmax mismatch"
+    )
+
+
+def test_convert_llama(tmp_path):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "llama")
+    stats = convert(d, str(tmp_path / "llama.gguf"), outtype="f32")
+    assert stats["arch"] == "llama"
+    _assert_close(_our_logits(str(tmp_path / "llama.gguf")), _hf_logits(model))
+
+
+def test_convert_qwen2_f16(tmp_path):
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    cfg = Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = Qwen2ForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "qwen2")
+    convert(d, str(tmp_path / "qwen2.gguf"), outtype="f16")
+    _assert_close(_our_logits(str(tmp_path / "qwen2.gguf")), _hf_logits(model))
+
+
+def test_convert_gemma2(tmp_path):
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    cfg = Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=256, sliding_window=8, query_pre_attn_scalar=16,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+    )
+    torch.manual_seed(2)
+    model = Gemma2ForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "gemma2")
+    stats = convert(d, str(tmp_path / "gemma2.gguf"), outtype="f32")
+    assert stats["arch"] == "gemma2"
+    _assert_close(_our_logits(str(tmp_path / "gemma2.gguf")), _hf_logits(model))
+
+
+def test_convert_mixtral_moe(tmp_path):
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg = MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        num_local_experts=4, num_experts_per_tok=2, tie_word_embeddings=False,
+    )
+    torch.manual_seed(5)
+    model = MixtralForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "mixtral")
+    convert(d, str(tmp_path / "mixtral.gguf"), outtype="f32")
+    _assert_close(_our_logits(str(tmp_path / "mixtral.gguf")), _hf_logits(model))
+
+
+def test_convert_q8_outtype(tmp_path):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(6)
+    model = LlamaForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "llamaq8")
+    convert(d, str(tmp_path / "l8.gguf"), outtype="q8_0")
+    ours = _our_logits(str(tmp_path / "l8.gguf"))
+    ref = _hf_logits(model)
+    corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_spm_proto_reader(tmp_path):
+    """Wire-format parse of a hand-encoded sentencepiece ModelProto."""
+    from llamacog_tpu.tools.convert_hf import _read_spm_proto
+    import struct
+
+    def piece(text, score, ptype):
+        body = b"\x0a" + bytes([len(text)]) + text.encode()
+        body += b"\x15" + struct.pack("<f", score)
+        body += b"\x18" + bytes([ptype])
+        return b"\x0a" + bytes([len(body)]) + body
+
+    blob = piece("<unk>", 0.0, 2) + piece("hello", -1.5, 1) + piece("<0x41>", 0.0, 6)
+    f = tmp_path / "tokenizer.model"
+    f.write_bytes(blob)
+    pieces = _read_spm_proto(f)
+    assert pieces == [("<unk>", 0.0, 2), ("hello", -1.5, 1), ("<0x41>", 0.0, 6)]
