@@ -164,7 +164,7 @@ def load_model(
 ) -> Model:
     reader = GGUFModelReader(path)
     cfg = ModelConfig.from_metadata(reader.metadata)
-    if cfg.arch in ("t5", "t5encoder", "rwkv6", "rwkv7"):
+    if cfg.arch in ("t5", "t5encoder", "rwkv6", "rwkv7", "rwkv6qwen2", "arwkv7"):
         def lt(name, optional=False):
             if name not in reader.tensors:
                 if optional:
@@ -172,7 +172,7 @@ def load_model(
                 raise KeyError(name)
             return _load_tensor(reader, name, mode, dtype)
 
-        if cfg.arch in ("rwkv6", "rwkv7"):
+        if cfg.arch.startswith(("rwkv", "arwkv")):
             from .rwkv import load_rwkv_params
 
             params = load_rwkv_params(reader, cfg, lt)

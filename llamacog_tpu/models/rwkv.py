@@ -9,7 +9,10 @@ token-shift pair (att, ffn) plus the [H, D, D] wkv matrix — the reference's
 llama_memory_recurrent slots.
 
 Tensor names per llama-arch.cpp LLM_ARCH_RWKV6 (:1362) / LLM_ARCH_RWKV7
-(:1424). Not yet covered: the qwen2-hybrid variants (rwkv6qwen2, arwkv7).
+(:1424). The qwen2-hybrid variants are covered too: rwkv6qwen2
+(llm_build_rwkv6qwen2 :12187 — RMS norms, single token shift, qwen2 FFN,
+no time_mix_first -> gated linear attention) and arwkv7
+(llm_build_arwkv7 :12540 — rwkv7 time mix inside a qwen2 layer).
 """
 
 from __future__ import annotations
@@ -20,10 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.linear import qmatmul
-from ..ops.norms import layer_norm
-from ..ops.wkv import wkv6, wkv7
+from ..ops.norms import layer_norm, rms_norm
+from ..ops.wkv import gated_linear_attn, wkv6, wkv7
 from .config import ModelConfig
-from .llama import embed_tokens
+from .llama import _ffn, embed_tokens
 
 GROUP_NORM_EPS = 64e-5  # ggml_norm eps in build_rwkv*_time_mix (:12073)
 
@@ -64,6 +67,15 @@ def _group_norm(x, ln_w, ln_b, H):
     return xh.reshape(B, T, E) * ln_w + ln_b
 
 
+def _repeat_kv(t, n_embd):
+    """QRWKV k/v projections may have fewer heads; repeat to n_embd
+    (build_rwkv6_time_mix :12015-12022)."""
+    if t.shape[-1] == n_embd:
+        return t
+    rep = n_embd // t.shape[-1]
+    return jnp.repeat(t, rep, axis=-1).reshape(*t.shape[:-1], n_embd)
+
+
 def _x_prev(x, shift_row):
     """[B, T, E] shifted right by one token, position 0 fed by the stored
     shift state (build_rwkv_token_shift_load + concat, :12108-12121)."""
@@ -92,6 +104,7 @@ def _time_mix_v6(layer, cfg, x, x_prev, wkv_state):
         xs.append(xf + sx * (m + lerp))
     xw, xk, xv, xr, xg = (t.astype(x.dtype) for t in xs)
 
+    is_qrwkv = "time_mix_first" not in layer  # rwkv6qwen2 (:11934)
     r = qmatmul(xr, layer["time_mix_receptance"])
     k = qmatmul(xk, layer["time_mix_key"])
     v = qmatmul(xv, layer["time_mix_value"])
@@ -101,7 +114,9 @@ def _time_mix_v6(layer, cfg, x, x_prev, wkv_state):
         k = k + layer["time_mix_key_b"]
     if "time_mix_value_b" in layer:
         v = v + layer["time_mix_value_b"]
-    g = jax.nn.silu(qmatmul(xg, layer["time_mix_gate"]).astype(jnp.float32))
+    gate = qmatmul(xg, layer["time_mix_gate"]).astype(jnp.float32)
+    g = jax.nn.sigmoid(gate) if is_qrwkv else jax.nn.silu(gate)
+    k, v = (_repeat_kv(t, E) for t in (k, v))  # QRWKV GQA-style kv heads
 
     w = qmatmul(
         jnp.tanh(qmatmul(xw, layer["time_mix_decay_w1"])).astype(x.dtype),
@@ -111,12 +126,20 @@ def _time_mix_v6(layer, cfg, x, x_prev, wkv_state):
     w = jnp.exp(-jnp.exp(w))
 
     shp = (B, T, H, D)
-    out, new_state = wkv6(
-        k.reshape(shp), v.reshape(shp), r.reshape(shp),
-        layer["time_mix_first"].reshape(H, D), w.reshape(shp), wkv_state,
-    )
-    out = _group_norm(out.reshape(B, T, E), layer["time_mix_ln"],
-                      layer["time_mix_ln_b"], H)
+    if is_qrwkv:
+        k = (k.astype(jnp.float32) - k.astype(jnp.float32) * w)  # k *= 1-w
+        out, new_state = gated_linear_attn(
+            k.reshape(shp), v.reshape(shp), r.reshape(shp), w.reshape(shp),
+            wkv_state, D ** -0.5,
+        )
+        out = out.reshape(B, T, E)
+    else:
+        out, new_state = wkv6(
+            k.reshape(shp), v.reshape(shp), r.reshape(shp),
+            layer["time_mix_first"].reshape(H, D), w.reshape(shp), wkv_state,
+        )
+        out = _group_norm(out.reshape(B, T, E), layer["time_mix_ln"],
+                          layer["time_mix_ln_b"], H)
     out = out * g
     return qmatmul(out.astype(x.dtype), layer["time_mix_output"]), new_state
 
@@ -212,16 +235,21 @@ def forward(
     dtype=jnp.float32,
     return_hidden: bool = False,
 ):
-    v7 = cfg.arch == "rwkv7"
+    v7 = cfg.arch in ("rwkv7", "arwkv7")
+    qwen = cfg.arch in ("rwkv6qwen2", "arwkv7")  # qwen2-style layer shell
     eps = cfg.norm_eps
     x = embed_tokens(params, tokens, dtype=dtype)
-    x = layer_norm(x, params["tok_norm"], params["tok_norm_b"], eps)
+    if not qwen:
+        x = layer_norm(x, params["tok_norm"], params["tok_norm_b"], eps)
     new_shift, new_wkv = [], []
     v_first = None
     for il, layer in enumerate(params["layers"]):
         att_shift = cache.shift[il, :, 0]
         ffn_shift = cache.shift[il, :, 1]
-        att_norm = layer_norm(x, layer["attn_norm"], layer["attn_norm_b"], eps)
+        if qwen:
+            att_norm = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        else:
+            att_norm = layer_norm(x, layer["attn_norm"], layer["attn_norm_b"], eps)
         x_prev = _x_prev(att_norm, att_shift)
         if v7:
             cur, wkv_l, v_first = _time_mix_v7(
@@ -230,14 +258,22 @@ def forward(
         else:
             cur, wkv_l = _time_mix_v6(layer, cfg, att_norm, x_prev, cache.wkv[il])
         ffn_inp = x + cur.astype(dtype)
-        ffn_norm = layer_norm(ffn_inp, layer["attn_norm_2"], layer["attn_norm_2_b"], eps)
-        x_prev_f = _x_prev(ffn_norm, ffn_shift)
-        cur = _channel_mix(layer, cfg, ffn_norm, x_prev_f, v7)
+        if qwen:
+            # standard qwen2 FFN shell, no second token shift
+            h = rms_norm(ffn_inp, layer["ffn_norm"], cfg.rms_norm_eps)
+            cur = _ffn(layer, h, cfg)
+            ffn_last = att_norm[:, -1]
+        else:
+            ffn_norm = layer_norm(ffn_inp, layer["attn_norm_2"],
+                                  layer["attn_norm_2_b"], eps)
+            x_prev_f = _x_prev(ffn_norm, ffn_shift)
+            cur = _channel_mix(layer, cfg, ffn_norm, x_prev_f, v7)
+            ffn_last = ffn_norm[:, -1]
         x = ffn_inp + cur.astype(dtype)
         if cfg.rescale_every_n and (il + 1) % cfg.rescale_every_n == 0:
             x = x * jnp.asarray(0.5, dtype)
         shift_l = jnp.stack(
-            [att_norm[:, -1].astype(jnp.float32), ffn_norm[:, -1].astype(jnp.float32)],
+            [att_norm[:, -1].astype(jnp.float32), ffn_last.astype(jnp.float32)],
             axis=1,
         )
         keep2 = active[:, None, None]
@@ -245,7 +281,10 @@ def forward(
         keep4 = active[:, None, None, None]
         new_wkv.append(jnp.where(keep4, wkv_l, cache.wkv[il]))
     cache = RwkvCache(jnp.stack(new_shift), jnp.stack(new_wkv))
-    x = layer_norm(x, params["output_norm"], params["output_norm_b"], eps)
+    if qwen:
+        x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps)
+    else:
+        x = layer_norm(x, params["output_norm"], params["output_norm_b"], eps)
     if return_hidden:
         return x.astype(jnp.float32), cache
     out_w = params.get("output", params["tok_embd"])
@@ -277,19 +316,25 @@ _V7_LAYER = (
     "time_mix_receptance", "time_mix_ln", "time_mix_ln_b", "time_mix_output",
     "channel_mix_lerp_k", "channel_mix_key", "channel_mix_value",
 )
+_QWEN_EXTRA = ("ffn_norm", "ffn_gate", "ffn_up", "ffn_down",
+               "time_mix_key_b", "time_mix_value_b", "time_mix_receptance_b")
 
 
 def load_rwkv_params(reader, cfg: ModelConfig, load_tensor) -> dict:
     """Collect rwkv6/rwkv7 tensors (llama-arch.cpp names)."""
     params: dict = {"layers": []}
     params["tok_embd"] = load_tensor("token_embd.weight")
-    params["tok_norm"] = load_tensor("token_embd_norm.weight")
-    params["tok_norm_b"] = load_tensor("token_embd_norm.bias")
+    if (w := load_tensor("token_embd_norm.weight", optional=True)) is not None:
+        params["tok_norm"] = w
+        params["tok_norm_b"] = load_tensor("token_embd_norm.bias")
     params["output_norm"] = load_tensor("output_norm.weight")
-    params["output_norm_b"] = load_tensor("output_norm.bias")
+    if (w := load_tensor("output_norm.bias", optional=True)) is not None:
+        params["output_norm_b"] = w
     if (w := load_tensor("output.weight", optional=True)) is not None:
         params["output"] = w
-    names = _V7_LAYER if cfg.arch == "rwkv7" else _V6_LAYER
+    names = _V7_LAYER if cfg.arch in ("rwkv7", "arwkv7") else _V6_LAYER
+    if cfg.arch in ("rwkv6qwen2", "arwkv7"):
+        names = names + _QWEN_EXTRA
     for il in range(cfg.n_layer):
         layer = {}
         for nm in names:

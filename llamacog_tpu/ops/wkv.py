@@ -74,3 +74,25 @@ def wkv7(r, w, k, v, a, b, state):
 
     S, outs = jax.lax.scan(step, state.astype(jnp.float32), (rT, wT, kT, vT, aT, bT))
     return jnp.moveaxis(outs, 0, 1), S
+
+
+def gated_linear_attn(k, v, q, g, state, scale: float):
+    """Gated linear attention (rwkv6qwen2's time mix; ggml_gated_linear_attn,
+    ops.cpp ggml_compute_forward_gla_f32 :8343).
+
+    k, v, q, g: [B, T, H, D]; state: [B, H, D, D] (i = key dim, j = value
+    dim). Per token:
+        S_ij  = S_ij * g_i + k_i * v_j
+        out_j = scale * sum_i q_i * S_ij      (reads the NEW state)
+    """
+    kT, vT, qT, gT = (jnp.moveaxis(t.astype(jnp.float32), 1, 0) for t in (k, v, q, g))
+    sc = jnp.float32(scale)
+
+    def step(S, inp):
+        k_t, v_t, q_t, g_t = inp  # [B, H, D]
+        S = S * g_t[..., :, None] + k_t[..., :, None] * v_t[..., None, :]
+        out = jnp.einsum("bhi,bhij->bhj", q_t * sc, S)
+        return S, out
+
+    S, outs = jax.lax.scan(step, state.astype(jnp.float32), (kT, vT, qT, gT))
+    return jnp.moveaxis(outs, 0, 1), S

@@ -98,7 +98,7 @@ def make_tiny_llama_gguf(
 
 def make_tiny_rwkv_gguf(
     path,
-    version: int = 6,
+    version="6",
     n_vocab: int = 64,
     n_embd: int = 32,
     n_layer: int = 2,
@@ -106,10 +106,14 @@ def make_tiny_rwkv_gguf(
     n_ff: int = 64,
     seed: int = 0,
 ) -> str:
-    """Tiny random-weight rwkv6/rwkv7 GGUF (llama-arch.cpp tensor names)."""
+    """Tiny random-weight rwkv GGUF (llama-arch.cpp tensor names).
+    version: 6 | 7 | "6q" (rwkv6qwen2) | "7a" (arwkv7)."""
     rng = np.random.default_rng(seed)
     H = n_embd // head_size
-    arch = f"rwkv{version}"
+    version = str(version)
+    arch = {"6": "rwkv6", "7": "rwkv7", "6q": "rwkv6qwen2", "7a": "arwkv7"}[version]
+    qwen = version in ("6q", "7a")
+    v7 = version in ("7", "7a")
     extra, decay_extra, lora = 8, 8, 8
 
     w = GGUFWriter(path)
@@ -122,7 +126,7 @@ def make_tiny_rwkv_gguf(
     w.add(f"{arch}.attention.head_count", 0)
     w.add(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     w.add(f"{arch}.wkv.head_size", head_size)
-    if version == 6:
+    if version == "6":
         w.add(f"{arch}.rescale_every_n_layers", 2)
     w.add(f"{arch}.vocab_size", n_vocab)
     toks = ["<unk>", "<s>", "</s>"] + [f"<0x{i:02X}>" for i in range(n_vocab - 3)]
@@ -140,38 +144,53 @@ def make_tiny_rwkv_gguf(
         return np.ones(shape, dtype=np.float32)
 
     w.add_tensor("token_embd.weight", rand(n_vocab, n_embd))
-    w.add_tensor("token_embd_norm.weight", ones(n_embd))
-    w.add_tensor("token_embd_norm.bias", rand(n_embd) * 0.1)
+    if not qwen:
+        w.add_tensor("token_embd_norm.weight", ones(n_embd))
+        w.add_tensor("token_embd_norm.bias", rand(n_embd) * 0.1)
     w.add_tensor("output_norm.weight", ones(n_embd))
-    w.add_tensor("output_norm.bias", rand(n_embd) * 0.1)
+    if not qwen:
+        w.add_tensor("output_norm.bias", rand(n_embd) * 0.1)
     w.add_tensor("output.weight", rand(n_vocab, n_embd))
     for il in range(n_layer):
         p = f"blk.{il}."
         w.add_tensor(p + "attn_norm.weight", ones(n_embd))
-        w.add_tensor(p + "attn_norm.bias", rand(n_embd) * 0.1)
-        w.add_tensor(p + "attn_norm_2.weight", ones(n_embd))
-        w.add_tensor(p + "attn_norm_2.bias", rand(n_embd) * 0.1)
-        w.add_tensor(p + "time_mix_ln.weight", ones(n_embd))
-        w.add_tensor(p + "time_mix_ln.bias", rand(n_embd) * 0.1)
+        if qwen:
+            w.add_tensor(p + "ffn_norm.weight", ones(n_embd))
+            w.add_tensor(p + "ffn_gate.weight", rand(n_ff, n_embd))
+            w.add_tensor(p + "ffn_up.weight", rand(n_ff, n_embd))
+            w.add_tensor(p + "ffn_down.weight", rand(n_embd, n_ff))
+        else:
+            w.add_tensor(p + "attn_norm.bias", rand(n_embd) * 0.1)
+            w.add_tensor(p + "attn_norm_2.weight", ones(n_embd))
+            w.add_tensor(p + "attn_norm_2.bias", rand(n_embd) * 0.1)
+            w.add_tensor(p + "channel_mix_lerp_k.weight", rand(n_embd) * 0.5 + 0.5)
+            w.add_tensor(p + "channel_mix_key.weight", rand(n_ff, n_embd))
+            w.add_tensor(p + "channel_mix_value.weight", rand(n_embd, n_ff))
+        if not (version == "6q"):
+            w.add_tensor(p + "time_mix_ln.weight", ones(n_embd))
+            w.add_tensor(p + "time_mix_ln.bias", rand(n_embd) * 0.1)
         w.add_tensor(p + "time_mix_key.weight", rand(n_embd, n_embd))
         w.add_tensor(p + "time_mix_value.weight", rand(n_embd, n_embd))
         w.add_tensor(p + "time_mix_receptance.weight", rand(n_embd, n_embd))
         w.add_tensor(p + "time_mix_output.weight", rand(n_embd, n_embd))
-        w.add_tensor(p + "channel_mix_lerp_k.weight", rand(n_embd) * 0.5 + 0.5)
-        w.add_tensor(p + "channel_mix_key.weight", rand(n_ff, n_embd))
-        w.add_tensor(p + "channel_mix_value.weight", rand(n_embd, n_ff))
-        if version == 6:
+        if version == "6q":
+            w.add_tensor(p + "time_mix_key.bias", rand(n_embd) * 0.1)
+            w.add_tensor(p + "time_mix_value.bias", rand(n_embd) * 0.1)
+            w.add_tensor(p + "time_mix_receptance.bias", rand(n_embd) * 0.1)
+        if not v7:
             w.add_tensor(p + "time_mix_w1.weight", rand(5 * extra, n_embd))
             w.add_tensor(p + "time_mix_w2.weight", rand(5, n_embd, extra))
             w.add_tensor(p + "time_mix_lerp_x.weight", rand(n_embd) * 0.5 + 0.5)
             w.add_tensor(p + "time_mix_lerp_fused.weight", rand(5, 1, n_embd) * 0.5)
-            w.add_tensor(p + "time_mix_first.weight", rand(H, head_size))
+            if version == "6":
+                w.add_tensor(p + "time_mix_first.weight", rand(H, head_size))
             w.add_tensor(p + "time_mix_decay.weight", rand(n_embd) - 4.0)
             w.add_tensor(p + "time_mix_decay_w1.weight", rand(decay_extra, n_embd))
             w.add_tensor(p + "time_mix_decay_w2.weight", rand(n_embd, decay_extra))
             w.add_tensor(p + "time_mix_gate.weight", rand(n_embd, n_embd))
-            w.add_tensor(p + "channel_mix_lerp_r.weight", rand(n_embd) * 0.5 + 0.5)
-            w.add_tensor(p + "channel_mix_receptance.weight", rand(n_embd, n_embd))
+            if version == "6":
+                w.add_tensor(p + "channel_mix_lerp_r.weight", rand(n_embd) * 0.5 + 0.5)
+                w.add_tensor(p + "channel_mix_receptance.weight", rand(n_embd, n_embd))
         else:
             w.add_tensor(p + "time_mix_lerp_fused.weight", rand(6, 1, n_embd) * 0.5)
             w.add_tensor(p + "time_mix_w0.weight", rand(n_embd) - 4.0)
@@ -189,5 +208,78 @@ def make_tiny_rwkv_gguf(
             w.add_tensor(p + "time_mix_k_k.weight", rand(n_embd) * 0.5 + 0.8)
             w.add_tensor(p + "time_mix_k_a.weight", rand(n_embd) * 0.5 + 0.8)
             w.add_tensor(p + "time_mix_r_k.weight", rand(n_embd))
+    w.write()
+    return str(path)
+
+
+def make_tiny_wavtokenizer_gguf(
+    path,
+    n_vocab: int = 128,
+    n_feat: int = 16,
+    n_embd: int = 32,
+    n_ff: int = 48,
+    n_embd_out: int = 18,  # n_fft/2+1 mags + phases for a tiny n_fft=16
+    n_convnext: int = 2,
+    seed: int = 0,
+) -> str:
+    """Tiny random wavtokenizer-dec GGUF (llama-arch.cpp:1549 tensor names)."""
+    rng = np.random.default_rng(seed)
+    arch = "wavtokenizer-dec"
+    w = GGUFWriter(path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    w.add(f"{arch}.features_length", n_feat)
+    w.add(f"{arch}.embedding_length", n_embd_out)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.posnet.embedding_length", n_embd)
+    w.add(f"{arch}.posnet.block_count", 6)
+    w.add(f"{arch}.convnext.embedding_length", n_embd)
+    w.add(f"{arch}.convnext.block_count", n_convnext)
+    w.add(f"{arch}.attention.group_norm_groups", 4)
+    w.add(f"{arch}.attention.group_norm_epsilon", 1e-6)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand(n_vocab, n_feat))
+    w.add_tensor("conv1d.weight", rand(n_embd, n_feat, 7))
+    w.add_tensor("conv1d.bias", rand(n_embd))
+    w.add_tensor("token_embd_norm.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("token_embd_norm.bias", rand(n_embd))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("output_norm.bias", rand(n_embd))
+    w.add_tensor("output.weight", rand(n_embd_out, n_embd))
+    w.add_tensor("output.bias", rand(n_embd_out))
+    for i in range(6):
+        p2 = f"posnet.{i}."
+        if i in (0, 1, 3, 4):
+            w.add_tensor(p2 + "norm1.weight", np.ones(n_embd, np.float32))
+            w.add_tensor(p2 + "norm1.bias", rand(n_embd))
+            w.add_tensor(p2 + "conv1.weight", rand(n_embd, n_embd, 3))
+            w.add_tensor(p2 + "conv1.bias", rand(n_embd))
+            w.add_tensor(p2 + "norm2.weight", np.ones(n_embd, np.float32))
+            w.add_tensor(p2 + "norm2.bias", rand(n_embd))
+            w.add_tensor(p2 + "conv2.weight", rand(n_embd, n_embd, 3))
+            w.add_tensor(p2 + "conv2.bias", rand(n_embd))
+        elif i == 2:
+            w.add_tensor(p2 + "attn_norm.weight", np.ones(n_embd, np.float32))
+            w.add_tensor(p2 + "attn_norm.bias", rand(n_embd))
+            for nm in ("attn_q", "attn_k", "attn_v", "attn_output"):
+                w.add_tensor(p2 + nm + ".weight", rand(n_embd, n_embd, 1))
+                w.add_tensor(p2 + nm + ".bias", rand(n_embd))
+        else:
+            w.add_tensor(p2 + "norm.weight", np.ones(n_embd, np.float32))
+            w.add_tensor(p2 + "norm.bias", rand(n_embd))
+    for i in range(n_convnext):
+        p2 = f"convnext.{i}."
+        w.add_tensor(p2 + "dw.weight", rand(n_embd, 1, 7))
+        w.add_tensor(p2 + "dw.bias", rand(n_embd))
+        w.add_tensor(p2 + "norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p2 + "norm.bias", rand(n_embd))
+        w.add_tensor(p2 + "pw1.weight", rand(n_ff, n_embd))
+        w.add_tensor(p2 + "pw1.bias", rand(n_ff))
+        w.add_tensor(p2 + "pw2.weight", rand(n_embd, n_ff))
+        w.add_tensor(p2 + "pw2.bias", rand(n_embd))
+        w.add_tensor(p2 + "gamma.weight", rand(n_embd))
     w.write()
     return str(path)

@@ -24,6 +24,18 @@ def np_wkv6(k, v, r, u, w, state):
     return out, S
 
 
+def np_gla(k, v, q, g, state, scale):
+    B, T, H, D = k.shape
+    S = state.copy()
+    out = np.zeros((B, T, H, D), np.float32)
+    for b in range(B):
+        for t in range(T):
+            for h in range(H):
+                S[b, h] = S[b, h] * g[b, t, h][:, None] + np.outer(k[b, t, h], v[b, t, h])
+                out[b, t, h] = scale * (q[b, t, h] @ S[b, h])
+    return out, S
+
+
 def np_wkv7(r, w, k, v, a, b_, state):
     B, T, H, D = k.shape
     S = state.copy()
@@ -72,7 +84,7 @@ def test_wkv7_matches_numpy():
     np.testing.assert_allclose(np.asarray(got_s), ref_s, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("version", [6, 7])
+@pytest.mark.parametrize("version", [6, 7, "6q", "7a"])
 def test_prefill_equals_stepwise(tmp_path, version):
     """T tokens at once must produce the same logits/state as T single steps
     (the recurrence has no other ground truth without pretrained weights)."""
@@ -107,7 +119,20 @@ def test_prefill_equals_stepwise(tmp_path, version):
     )
 
 
-@pytest.mark.parametrize("version", [6, 7])
+def test_gla_matches_numpy():
+    from llamacog_tpu.ops.wkv import gated_linear_attn
+
+    B, T, H, D = 2, 5, 3, 4
+    k, v, q = _rand((B, T, H, D), 0), _rand((B, T, H, D), 1), _rand((B, T, H, D), 2)
+    g = np.exp(-np.abs(_rand((B, T, H, D), 3)))
+    s0 = _rand((B, H, D, D), 4)
+    ref_o, ref_s = np_gla(k, v, q, g, s0, 0.5)
+    got_o, got_s = gated_linear_attn(*map(jnp.asarray, (k, v, q, g, s0)), 0.5)
+    np.testing.assert_allclose(np.asarray(got_o), ref_o, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_s), ref_s, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("version", [6, 7, "6q", "7a"])
 def test_engine_decode(tmp_path, version):
     from llamacog_tpu.models.loader import load_model
     from llamacog_tpu.runtime.engine import Engine
