@@ -22,12 +22,22 @@ def main(argv=None) -> int:
     p.add_argument("--control-vector", default=None, help="control vector GGUF")
     p.add_argument("--control-vector-scale", type=float, default=1.0)
     p.add_argument("--mmproj", default=None, help="vision mmproj GGUF (multimodal)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator host:port (jax.distributed)")
+    p.add_argument("--num-hosts", type=int, default=None)
+    p.add_argument("--host-id", type=int, default=None)
     args = p.parse_args(argv)
 
     if args.device != "auto":
         import jax
 
         jax.config.update("jax_platforms", args.device)
+    if args.coordinator or args.num_hosts:
+        from ..parallel.distributed import init_distributed
+
+        info = init_distributed(args.coordinator, args.num_hosts, args.host_id)
+        print(f"[distributed] host {info['host_id']}/{info['hosts']}, "
+              f"{info['devices']} devices", flush=True)
     import jax.numpy as jnp
 
     from ..models.loader import load_model
