@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..gguf.constants import GGML_TYPE_TRAITS, QK_K, GGMLType
+from ..gguf.constants import GGML_TYPE_TRAITS, GGMLType
 
 GROUP_MAX_EPS = 1e-15
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..gguf.constants import GGML_TYPE_TRAITS, QK_K, GGMLType
+from ..gguf.constants import GGML_TYPE_TRAITS, GGMLType
 from .decode_np import KVALUES_IQ4NL
 
 # scale-group size per type (elements per scale)

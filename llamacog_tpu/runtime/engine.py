@@ -18,7 +18,6 @@ import numpy as np
 
 from ..models.config import ModelConfig
 from ..models.llama import forward
-from .kv_cache import build_causal_mask
 
 PREFILL_BUCKETS = (32, 128, 512, 2048)
 

@@ -12,8 +12,6 @@ from __future__ import annotations
 import argparse
 import json
 import re
-import struct
-import sys
 import wave
 
 import numpy as np
