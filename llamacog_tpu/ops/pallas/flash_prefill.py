@@ -28,7 +28,9 @@ def _kernel(rep, T, scale, softcap, window, s_tiles,
             q_ref, k_ref, v_ref, kc_ref, vc_ref, len_ref, o_ref):
     Dk = q_ref.shape[-1]
     Dv = v_ref.shape[-1]
-    n = len_ref[0, 0]  # valid old length (= write_pos for every query row)
+    # valid old length (= write_pos) for this batch row; the SMEM block is
+    # the whole [B, 1] array (Mosaic rejects a (1,1) sub-block of it)
+    n = len_ref[pl.program_id(0), 0]
     R = T * rep
 
     q = q_ref[0, 0, :, :].astype(jnp.float32)  # [R, Dk], rows t-major
@@ -136,7 +138,7 @@ def flash_prefill_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, T, Dv), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, h: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, R, Dv), lambda b, h: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from .engine import Engine
-from .kv_cache import KVCache, QuantKVCache
+from .kv_cache import KVCache, QuantKVCache, SwaKVCache
 
 STATE_MAGIC = "LCGS"
 STATE_VERSION = 1
@@ -32,6 +32,21 @@ def save_row_state(engine: Engine, path: str, row: int = 0, tokens: list[int] | 
         arrays["k_s"] = np.asarray(c.k_s[:, row, :n])
         arrays["v_q"] = np.asarray(c.v_q[:, row, :n])
         arrays["v_s"] = np.asarray(c.v_s[:, row, :n])
+    elif isinstance(c, SwaKVCache):
+        arrays["kind"] = np.frombuffer(b"iswa", dtype=np.uint8)
+
+        def u16(a):
+            a = np.asarray(a)
+            return a.view(np.uint16) if str(a.dtype) == "bfloat16" else a
+
+        arrays["dtype"] = np.frombuffer(
+            b"bf16" if str(c.full.k.dtype) == "bfloat16"
+            else str(np.asarray(c.full.k[:0]).dtype).encode(), dtype=np.uint8)
+        arrays["k"] = u16(c.full.k[:, row, :n])
+        arrays["v"] = u16(c.full.v[:, row, :n])
+        # ring slots encode position via seq_len; save them whole
+        arrays["k_swa"] = u16(c.k_swa[:, row])
+        arrays["v_swa"] = u16(c.v_swa[:, row])
     else:
         arrays["kind"] = np.frombuffer(b"dense", dtype=np.uint8)
         # bf16 isn't a native numpy dtype (npz round-trips it as void):
@@ -73,6 +88,29 @@ def load_row_state(engine: Engine, path: str, row: int = 0) -> list[int]:
             c.k_s.at[:, row, :n].set(jnp.asarray(z["k_s"])),
             c.v_q.at[:, row, :n].set(jnp.asarray(z["v_q"])),
             c.v_s.at[:, row, :n].set(jnp.asarray(z["v_s"])),
+        )
+    elif kind == "iswa":
+        if not isinstance(c, SwaKVCache):
+            raise ValueError("state is iswa but engine cache is not")
+
+        def undo(a):
+            if "dtype" in z and bytes(z["dtype"]).decode() == "bf16":
+                import ml_dtypes
+
+                return a.view(ml_dtypes.bfloat16)
+            return a
+
+        full = KVCache(
+            c.full.k.at[:, row, :n].set(
+                jnp.asarray(undo(z["k"])).astype(c.full.k.dtype)),
+            c.full.v.at[:, row, :n].set(
+                jnp.asarray(undo(z["v"])).astype(c.full.v.dtype)),
+        )
+        engine.cache = SwaKVCache(
+            full,
+            c.k_swa.at[:, row].set(jnp.asarray(undo(z["k_swa"])).astype(c.k_swa.dtype)),
+            c.v_swa.at[:, row].set(jnp.asarray(undo(z["v_swa"])).astype(c.v_swa.dtype)),
+            c.swa_layers,
         )
     else:
         if not isinstance(c, KVCache):

@@ -33,8 +33,13 @@ def run_grid(model_path: str, n_pp: list[int], n_tg: list[int], n_pl: list[int],
             for tg in n_tg:
                 if pp + tg + 1 > ctx_size:
                     continue
+                # warmup pass with identical shapes: exclude XLA compilation
+                # from the timings (llama-bench also warms up)
                 engine.reset()
                 prompt = list(range(2, 2 + pp))
+                engine.prefill(prompt, row=0)
+                engine.decode_greedy_tokens(np.full(pl, 5, dtype=np.int32), tg)
+                engine.reset()
                 t0 = time.time()
                 for row in range(pl):
                     engine.prefill(prompt, row=row)

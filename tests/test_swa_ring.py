@@ -90,3 +90,22 @@ def test_copy_row_with_ring(model):
     ring.copy_row(0, 1)
     l0 = ring.decode_one(np.array([5, 5]))
     np.testing.assert_allclose(l0[0], l0[1], rtol=1e-6, atol=1e-6)
+
+
+def test_state_save_restore_with_ring(model, tmp_path):
+    from llamacog_tpu.runtime.state import load_row_state, save_row_state
+
+    eng = Engine(model.params, model.config, batch_size=1, max_seq=64,
+                 dtype=jnp.float32)
+    prompt = [3, 9, 17, 4, 25, 11, 7, 2, 13, 40]
+    lg = eng.prefill(prompt)
+    p = str(tmp_path / "row.state")
+    save_row_state(eng, p, row=0, tokens=prompt)
+
+    eng2 = Engine(model.params, model.config, batch_size=1, max_seq=64,
+                  dtype=jnp.float32)
+    toks = load_row_state(eng2, p, row=0)
+    assert toks == prompt
+    l1 = eng.decode_one(np.array([5]))
+    l2 = eng2.decode_one(np.array([5]))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6, atol=1e-6)
