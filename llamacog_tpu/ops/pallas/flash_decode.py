@@ -27,7 +27,8 @@ def _kernel(hkv, rep, scale, softcap, window,
     S = k_ref.shape[1]
     dk = q_ref.shape[-1]
     dv = v_ref.shape[-1]
-    n = len_ref[0, 0]  # valid old length for this row
+    # whole [B,1] SMEM array per step (Mosaic rejects a (1,1) sub-block)
+    n = len_ref[pl.program_id(0), 0]  # valid old length for this row
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     valid = pos < n
     if window > 0:
@@ -90,7 +91,7 @@ def flash_decode_attention(
             pl.BlockSpec((1, S, Hkv, Dv), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hkv, Dk), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hkv, Dv), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, H, Dv), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
