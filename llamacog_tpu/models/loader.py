@@ -150,7 +150,12 @@ def _load_tensor(reader, name, mode, dtype):
         if name.endswith(_ALWAYS_DENSE_SUFFIXES[0]) or name.endswith(".bias"):
             return jnp.asarray(w, dtype=jnp.float32)
         return jnp.asarray(w, dtype=dtype)
-    qt = from_gguf(data, ti.ggml_type, ti.shape)
+    try:
+        qt = from_gguf(data, ti.ggml_type, ti.shape)
+    except NotImplementedError:
+        # formats without a planar kernel layout (e.g. ternary TQ) load dense
+        w = dequantize_tensor(data, ti.ggml_type, ti.shape)
+        return jnp.asarray(w, dtype=dtype)
     qt.planes = {k: jnp.asarray(v) for k, v in qt.planes.items()}
     return qt
 

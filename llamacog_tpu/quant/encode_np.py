@@ -604,6 +604,51 @@ def quant_iq4_xs(x) -> np.ndarray:
     return out.reshape(-1)
 
 
+def _lround(x):
+    """C lroundf: round half away from zero."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int32)
+
+
+def quant_tq1_0(x) -> np.ndarray:
+    """Ternary 1.69-bpw (quantize_row_tq1_0_ref, ggml-quants.c): trits packed
+    5-per-byte base-3 with a ceil-div 256/243 code, plus a 4-trit tail."""
+    x = _group(x, GGMLType.TQ1_0)
+    amax = np.abs(x).max(axis=1)
+    d = amax.astype(np.float32)
+    id_ = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 0.0).astype(np.float32)
+    xi = (_lround(x * id_[:, None]) + 1).astype(np.uint16)  # {-1,0,1} -> {0,1,2}
+
+    def pack5(e):  # e [nb, 5, W]: trit n is most significant first
+        q = e[:, 0]
+        for n in range(1, 5):
+            q = q * 3 + e[:, n]
+        return ((q * 256 + 242) // 243).astype(np.uint8)
+
+    out = np.zeros((x.shape[0], 54), dtype=np.uint8)
+    out[:, 0:32] = pack5(xi[:, :160].reshape(-1, 5, 32))
+    out[:, 32:48] = pack5(xi[:, 160:240].reshape(-1, 5, 16))
+    e = xi[:, 240:].reshape(-1, 4, 4)  # [nb, m, j]: element = 240 + j + m*4
+    q = (((e[:, 0] * 3 + e[:, 1]) * 3 + e[:, 2]) * 3 + e[:, 3]) * 3
+    out[:, 48:52] = ((q * 256 + 242) // 243).astype(np.uint8)
+    out[:, 52:54] = _f16_bytes(d[:, None])
+    return out.reshape(-1)
+
+
+def quant_tq2_0(x) -> np.ndarray:
+    """Ternary 2-bpw (quantize_row_tq2_0_ref): 4 trits per byte, 2 bits each."""
+    x = _group(x, GGMLType.TQ2_0)
+    amax = np.abs(x).max(axis=1)
+    d = amax.astype(np.float32)
+    id_ = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 0.0).astype(np.float32)
+    xi = (_lround(x * id_[:, None]) + 1).astype(np.uint8)
+    e = xi.reshape(-1, 2, 4, 32)  # [nb, 32-byte group, n, m]
+    qs = e[:, :, 0] | (e[:, :, 1] << 2) | (e[:, :, 2] << 4) | (e[:, :, 3] << 6)
+    out = np.zeros((x.shape[0], 66), dtype=np.uint8)
+    out[:, 0:64] = qs.reshape(-1, 64)
+    out[:, 64:66] = _f16_bytes(d[:, None])
+    return out.reshape(-1)
+
+
 QUANT_FNS = {
     GGMLType.F32: quant_f32,
     GGMLType.F16: quant_f16,
@@ -621,6 +666,8 @@ QUANT_FNS = {
     GGMLType.Q6_K: quant_q6_K,
     GGMLType.IQ4_NL: quant_iq4_nl,
     GGMLType.IQ4_XS: quant_iq4_xs,
+    GGMLType.TQ1_0: quant_tq1_0,
+    GGMLType.TQ2_0: quant_tq2_0,
 }
 
 

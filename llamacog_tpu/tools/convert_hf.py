@@ -323,12 +323,14 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
             inner["architectures"] = cfg["architectures"]
             cfg = inner
     arch_name = cfg["architectures"][0]
+    sd = StateDict(hf_dir)
+    if arch_name == "MambaForCausalLM":
+        return _convert_mamba(d, cfg, sd, out_path, outtype, progress)
     if arch_name not in _ARCHES:
         raise NotImplementedError(
-            f"{arch_name} not supported (have: {sorted(_ARCHES)})"
+            f"{arch_name} not supported (have: {sorted(_ARCHES) + ['MambaForCausalLM']})"
         )
     arch, gemma = _ARCHES[arch_name]
-    sd = StateDict(hf_dir)
     w = GGUFWriter(out_path)
 
     n_layer = cfg["num_hidden_layers"]
@@ -411,6 +413,60 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
                     for e in range(n_exp)
                 ])
                 put(f"blk.{il}.{gname}.weight", stacked)
+    w.write()
+    return {"arch": arch, "layers": n_layer, "tensors": count, "output": out_path}
+
+
+def _convert_mamba(d, cfg, sd, out_path, outtype, progress=None) -> dict:
+    """Mamba SSM checkpoints (convert_hf_to_gguf.py MambaModel semantics:
+    A stored as -exp(A_log), conv1d squeezed)."""
+    arch = "mamba"
+    w = GGUFWriter(out_path)
+    n_layer = cfg["num_hidden_layers"]
+    w.add("general.architecture", arch)
+    w.add("general.name", cfg.get("_name_or_path", d.name) or d.name)
+    w.add(f"{arch}.context_length", cfg.get("max_position_embeddings", 2048))
+    w.add(f"{arch}.embedding_length", cfg["hidden_size"])
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.feed_forward_length", 0)
+    w.add(f"{arch}.attention.head_count", 0)
+    w.add(f"{arch}.attention.head_count_kv", 0)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+          cfg.get("layer_norm_epsilon", 1e-5))
+    w.add(f"{arch}.ssm.conv_kernel", cfg["conv_kernel"])
+    w.add(f"{arch}.ssm.inner_size", cfg["intermediate_size"])
+    w.add(f"{arch}.ssm.state_size", cfg["state_size"])
+    tr = cfg.get("time_step_rank", "auto")
+    if tr == "auto":
+        tr = -(-cfg["hidden_size"] // 16)
+    w.add(f"{arch}.ssm.time_step_rank", int(tr))
+    w.add(f"{arch}.vocab_size", cfg["vocab_size"])
+    _export_tokenizer(w, d, cfg)
+
+    def put(gname, arr):
+        _cast(np.asarray(arr), outtype, gname, w)
+        if progress:
+            progress(gname)
+
+    put("token_embd.weight", sd["backbone.embeddings.weight"])
+    put("output_norm.weight", sd["backbone.norm_f.weight"])
+    if "lm_head.weight" in sd and not cfg.get("tie_word_embeddings", False):
+        put("output.weight", sd["lm_head.weight"])
+    count = 0
+    for il in range(n_layer):
+        pre, bl = f"backbone.layers.{il}", f"blk.{il}"
+        put(f"{bl}.attn_norm.weight", sd[f"{pre}.norm.weight"])
+        put(f"{bl}.ssm_in.weight", sd[f"{pre}.mixer.in_proj.weight"])
+        put(f"{bl}.ssm_conv1d.weight",
+            np.squeeze(np.asarray(sd[f"{pre}.mixer.conv1d.weight"]), axis=1))
+        put(f"{bl}.ssm_conv1d.bias", sd[f"{pre}.mixer.conv1d.bias"])
+        put(f"{bl}.ssm_x.weight", sd[f"{pre}.mixer.x_proj.weight"])
+        put(f"{bl}.ssm_dt.weight", sd[f"{pre}.mixer.dt_proj.weight"])
+        put(f"{bl}.ssm_dt.bias", sd[f"{pre}.mixer.dt_proj.bias"])
+        put(f"{bl}.ssm_a", -np.exp(np.asarray(sd[f"{pre}.mixer.A_log"], np.float32)))
+        put(f"{bl}.ssm_d", sd[f"{pre}.mixer.D"])
+        put(f"{bl}.ssm_out.weight", sd[f"{pre}.mixer.out_proj.weight"])
+        count += 10
     w.write()
     return {"arch": arch, "layers": n_layer, "tensors": count, "output": out_path}
 

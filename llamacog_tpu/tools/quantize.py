@@ -53,6 +53,8 @@ FTYPE_BASE = {
     LlamaFtype.MOSTLY_IQ3_M: GGMLType.IQ3_S,
     LlamaFtype.MOSTLY_IQ1_S: GGMLType.IQ1_S,
     LlamaFtype.MOSTLY_IQ1_M: GGMLType.IQ1_M,
+    LlamaFtype.MOSTLY_TQ1_0: GGMLType.TQ1_0,
+    LlamaFtype.MOSTLY_TQ2_0: GGMLType.TQ2_0,
 }
 
 FTYPE_NAMES = {
@@ -72,6 +74,7 @@ FTYPE_NAMES = {
     "IQ3_XXS": LlamaFtype.MOSTLY_IQ3_XXS, "IQ3_XS": LlamaFtype.MOSTLY_IQ3_XS,
     "IQ3_S": LlamaFtype.MOSTLY_IQ3_S, "IQ3_M": LlamaFtype.MOSTLY_IQ3_M,
     "IQ1_S": LlamaFtype.MOSTLY_IQ1_S, "IQ1_M": LlamaFtype.MOSTLY_IQ1_M,
+    "TQ1_0": LlamaFtype.MOSTLY_TQ1_0, "TQ2_0": LlamaFtype.MOSTLY_TQ2_0,
 }
 
 # ftypes built on the 1-3 bpw codebook quants (llama-quant.cpp i-quant gates)
@@ -129,6 +132,8 @@ def tensor_get_type(qs: QuantizeState, base: GGMLType, name: str, shape, ftype: 
             new_type = T.Q2_K
         elif ftype in (F.MOSTLY_IQ2_S, F.MOSTLY_IQ2_M, F.MOSTLY_IQ3_XXS):
             new_type = T.IQ3_S
+        elif ftype in (F.MOSTLY_TQ1_0, F.MOSTLY_TQ2_0):
+            new_type = T.Q4_K  # llama-quant.cpp:241
     elif ftype in _LOWBIT_IQ:
         # 1-2 bpw ftypes: dedicated bump rules (llama-quant.cpp:246-277)
         if "attn_v.weight" in name:

@@ -155,3 +155,21 @@ def test_spm_proto_reader(tmp_path):
     f.write_bytes(blob)
     pieces = _read_spm_proto(f)
     assert pieces == [("<unk>", 0.0, 2), ("hello", -1.5, 1), ("<0x41>", 0.0, 6)]
+
+
+def test_convert_mamba(tmp_path):
+    from transformers import MambaConfig, MambaForCausalLM
+
+    cfg = MambaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        state_size=16, conv_kernel=4, time_step_rank=8,
+    )
+    torch.manual_seed(6)
+    model = MambaForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "mamba")
+    stats = convert(d, str(tmp_path / "mamba.gguf"), outtype="f32")
+    assert stats["arch"] == "mamba"
+    ours = _our_logits(str(tmp_path / "mamba.gguf"))
+    ref = _hf_logits(model)
+    corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999

@@ -68,3 +68,28 @@ def test_roundtrip_rmse_codebook(t, gate):
     y = dequantize_tensor(raw, t, (1, N)).reshape(-1)
     err = _rmse(x, y)
     assert err < gate, f"{t.name}: rmse {err} >= {gate}"
+
+
+def test_tq_encoders_bit_exact_vs_oracle():
+    """TQ1_0/TQ2_0 encoders match quantize_row_tq*_ref byte-for-byte."""
+    from .oracle import get_oracle
+
+    o = get_oracle()
+    if o is None:
+        pytest.skip("oracle unavailable")
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(256 * 8) * 0.5).astype(np.float32)
+    for name, t, bb in (("tq1_0", GGMLType.TQ1_0, 54), ("tq2_0", GGMLType.TQ2_0, 66)):
+        mine = quantize_tensor(x, t)
+        ref = o.quantize_row(name, x, 8 * bb)
+        np.testing.assert_array_equal(np.asarray(mine), ref, err_msg=name)
+
+
+def test_tq_roundtrip_ternary_gate():
+    """MAX_QUANTIZATION_TOTAL_ERROR_TERNARY = 0.01 (test-quantize-fns.cpp:19)."""
+    x = _data()
+    for t in (GGMLType.TQ1_0, GGMLType.TQ2_0):
+        raw = quantize_tensor(x.reshape(1, -1), t)
+        y = dequantize_tensor(raw, t, (1, N)).reshape(-1)
+        err = _rmse(x, y)
+        assert err < 0.01, f"{t.name}: {err}"
