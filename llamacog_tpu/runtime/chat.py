@@ -265,6 +265,87 @@ def _rwkv_world(chat, add_ass):
     return out + ("Assistant:" if add_ass else "")
 
 
+def _chatglm3(chat, add_ass):
+    out = "[gMASK]sop" + "".join(f"<|{m['role']}|>\n {m['content']}" for m in chat)
+    return out + ("<|assistant|>" if add_ass else "")
+
+
+def _glmedge(chat, add_ass):
+    out = "".join(f"<|{m['role']}|>\n{m['content']}" for m in chat)
+    return out + ("<|assistant|>" if add_ass else "")
+
+
+def _minicpm(chat, add_ass):
+    out = ""
+    for m in chat:
+        if m["role"] == "user":
+            out += "<\u7528\u6237>" + _trim(m["content"]) + "<AI>"
+        else:
+            out += _trim(m["content"])
+    return out
+
+
+def _gigachat(chat, add_ass):
+    out = "<s>"
+    rest = chat
+    if chat and chat[0]["role"] == "system":
+        out += chat[0]["content"] + "<|message_sep|>"
+        rest = chat[1:]
+    for m in rest:
+        if m["role"] == "user":
+            out += ("user<|role_sep|>" + m["content"] + "<|message_sep|>"
+                    + "available functions<|role_sep|>[]<|message_sep|>")
+        elif m["role"] == "assistant":
+            out += "assistant<|role_sep|>" + m["content"] + "<|message_sep|>"
+    return out + ("assistant<|role_sep|>" if add_ass else "")
+
+
+def _megrez(chat, add_ass):
+    out = "".join(
+        f"<|role_start|>{m['role']}<|role_end|>{m['content']}<|turn_end|>"
+        for m in chat
+    )
+    return out + ("<|role_start|>assistant<|role_end|>" if add_ass else "")
+
+
+def _yandex(chat, add_ass):
+    out = "<s>"
+    for m in chat:
+        if m["role"] == "user":
+            out += " \u041f\u043e\u043b\u044c\u0437\u043e\u0432\u0430\u0442\u0435\u043b\u044c: " + m["content"] + "\n\n"
+        elif m["role"] == "assistant":
+            out += " \u0410\u0441\u0441\u0438\u0441\u0442\u0435\u043d\u0442: " + m["content"] + "\n\n"
+    return out + (" \u0410\u0441\u0441\u0438\u0441\u0442\u0435\u043d\u0442:[SEP]" if add_ass else "")
+
+
+def _bailing(chat, add_ass):
+    out = ""
+    for m in chat:
+        role = "HUMAN" if m["role"] == "user" else m["role"].upper()
+        out += f"<role>{role}</role>{m['content']}"
+    return out + ("<role>ASSISTANT</role>" if add_ass else "")
+
+
+def _llama4(chat, add_ass):
+    out = "".join(
+        f"<|header_start|>{m['role']}<|header_end|>\n\n{_trim(m['content'])}<|eot|>"
+        for m in chat
+    )
+    return out + ("<|header_start|>assistant<|header_end|>\n\n" if add_ass else "")
+
+
+def _smolvlm(chat, add_ass):
+    out = "<|im_start|>"
+    for m in chat:
+        if m["role"] == "system":
+            out += m["content"] + "\n\n"
+        elif m["role"] == "user":
+            out += "User: " + m["content"] + "<end_of_utterance>\n"
+        else:
+            out += "Assistant: " + m["content"] + "<end_of_utterance>\n"
+    return out + ("Assistant:" if add_ass else "")
+
+
 BUILTIN_TEMPLATES = {
     "chatml": _chatml,
     "llama2": lambda c, a: _llama2(c, a, support_system=False),
@@ -292,6 +373,15 @@ BUILTIN_TEMPLATES = {
     "command-r": _command_r,
     "llama3": _llama3,
     "chatglm4": _chatglm4,
+    "chatglm3": _chatglm3,
+    "glmedge": _glmedge,
+    "minicpm": _minicpm,
+    "gigachat": _gigachat,
+    "megrez": _megrez,
+    "yandex": _yandex,
+    "bailing": _bailing,
+    "llama4": _llama4,
+    "smolvlm": _smolvlm,
     "exaone3": _exaone3,
     "granite": _granite,
     "rwkv-world": _rwkv_world,
@@ -356,6 +446,25 @@ def detect_template(tmpl: str) -> str | None:
         return "rwkv-world"
     if has("<|start_of_role|>"):
         return "granite"
+    # llm_chat_detect_template additions (src/llama-chat.cpp:160-190)
+    if has("[gMASK]sop"):
+        return "chatglm3"
+    if has("<\u7528\u6237>"):  # MiniCPM <用户>
+        return "minicpm"
+    if has("message['role'] + additional_special_tokens[0]") or (
+        has("<|role_sep|>") and has("<|message_sep|>")
+    ):
+        return "gigachat"
+    if has("<|role_start|>"):
+        return "megrez"
+    if has("\u0410\u0441\u0441\u0438\u0441\u0442\u0435\u043d\u0442:[SEP]") or has(" \u041f\u043e\u043b\u044c\u0437\u043e\u0432\u0430\u0442\u0435\u043b\u044c:"):
+        return "yandex"
+    if has("<role>ASSISTANT</role>") or has("<role>HUMAN</role>"):
+        return "bailing"
+    if has("<|header_start|>") and has("<|header_end|>"):
+        return "llama4"
+    if has("<end_of_utterance>"):
+        return "smolvlm"
     return None
 
 

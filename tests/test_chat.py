@@ -163,3 +163,33 @@ def test_parse_tool_calls_none():
     msg = parse_tool_calls("just some text")
     assert msg.tool_calls == []
     assert msg.content == "just some text"
+
+
+def test_new_builtin_templates():
+    """The 9 templates added for full parity with llama-chat.cpp's ~40."""
+    from llamacog_tpu.runtime.chat import apply_builtin_template, detect_template
+
+    chat = [{"role": "system", "content": "s"}, {"role": "user", "content": "u"}]
+    expect = {
+        "chatglm3": "[gMASK]sop<|system|>\n s<|user|>\n u<|assistant|>",
+        "glmedge": "<|system|>\ns<|user|>\nu<|assistant|>",
+        "minicpm": "s<用户>u<AI>",
+        "megrez": ("<|role_start|>system<|role_end|>s<|turn_end|>"
+                   "<|role_start|>user<|role_end|>u<|turn_end|>"
+                   "<|role_start|>assistant<|role_end|>"),
+        "bailing": "<role>SYSTEM</role>s<role>HUMAN</role>u<role>ASSISTANT</role>",
+        "llama4": ("<|header_start|>system<|header_end|>\n\ns<|eot|>"
+                   "<|header_start|>user<|header_end|>\n\nu<|eot|>"
+                   "<|header_start|>assistant<|header_end|>\n\n"),
+        "smolvlm": "<|im_start|>s\n\nUser: u<end_of_utterance>\nAssistant:",
+        "gigachat": ("<s>s<|message_sep|>user<|role_sep|>u<|message_sep|>"
+                     "available functions<|role_sep|>[]<|message_sep|>"
+                     "assistant<|role_sep|>"),
+    }
+    for name, want in expect.items():
+        got = apply_builtin_template(name, chat)
+        assert got == want, f"{name}: {got!r}"
+    assert detect_template("x<|header_start|>y<|header_end|>") == "llama4"
+    assert detect_template("[gMASK]sop ...") == "chatglm3"
+    assert detect_template("a<end_of_utterance>b") == "smolvlm"
+    assert detect_template("<role>HUMAN</role>") == "bailing"
