@@ -201,6 +201,18 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
     import math
 
     a = cfg.arch
+    if a == "falcon":
+        # llm_build_falcon (:5421): LayerNorm, fused QKV, parallel residual,
+        # plain-GELU FFN; 40B's per-branch norms keyed on attn_norm_2
+        cfg.norm_type = "layer"
+        cfg.ffn_act = "gelu"
+        cfg.parallel_residual = True
+    if a == "gptneox":
+        cfg.norm_type = "layer"
+        cfg.ffn_act = "gelu"
+        cfg.parallel_residual = bool(
+            cfg.metadata.get(f"{a}.use_parallel_residual", True)
+        )
     if a in ("granite", "granitemoe"):
         # granite scales (llm_build_granite): logits are DIVIDED by
         # logit_scale, unlike command-r's multiply

@@ -266,6 +266,16 @@ def forward(
     for il, layer in enumerate(params["layers"]):
         # olmo2: post-norm design — attention reads the raw residual stream
         h = x if cfg.post_norm_only else _norm(x, layer, "attn_norm", cfg)
+        par_ffn_h = h  # parallel residual: FFN input (phi2/falcon-7b share h)
+        if cfg.parallel_residual:
+            if "attn_norm_2" in layer:
+                # falcon-40B: attention gets its own norm, FFN keeps attn_norm
+                # (llm_build_falcon :5443-5450)
+                par_ffn_h = h
+                h = _norm(x, layer, "attn_norm_2", cfg)
+            elif "ffn_norm" in layer:
+                # gptneox use_parallel_residual: x + attn(ln1 x) + ffn(ln2 x)
+                par_ffn_h = _norm(x, layer, "ffn_norm", cfg)
         if "attn_kv_a_mqa" in layer:
             # deepseek2 MLA, decompressed-MHA form (llm_build_deepseek2
             # non-MLA branch, src/llama-model.cpp:10630-10745)
@@ -380,7 +390,7 @@ def forward(
             attn = attn * jnp.asarray(cfg.residual_scale, attn.dtype)
         if cfg.parallel_residual:
             # phi2-style: FFN reads the same attn_norm output, one residual add
-            ffn = _ffn(layer, h, cfg)
+            ffn = _ffn(layer, par_ffn_h, cfg)
             x = x + attn + ffn
             if "cvec" in params:
                 x = x + params["cvec"][il].astype(x.dtype)

@@ -30,6 +30,8 @@ _ALWAYS_DENSE_SUFFIXES = (
 _LAYER_TENSORS = {
     "attn_norm": "attn_norm.weight",
     "attn_norm_b": "attn_norm.bias",
+    "attn_norm_2": "attn_norm_2.weight",  # falcon-40B parallel branches
+    "attn_norm_2_b": "attn_norm_2.bias",
     "attn_qkv": "attn_qkv.weight",  # pre-fused QKV (phi3, gpt2, ...)
     "attn_qkv_b": "attn_qkv.bias",
     "attn_q": "attn_q.weight",

@@ -751,3 +751,131 @@ def test_granite_parity(tmp_path):
         },
     )
     _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
+
+
+def _convert_gptneox(model, path):
+    cfg = model.config
+    sd = model.state_dict()
+    n_head = cfg.num_attention_heads
+    n_embd = cfg.hidden_size
+    hd = n_embd // n_head
+    w = GGUFWriter(path)
+    arch = "gptneox"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.block_count", cfg.num_hidden_layers)
+    w.add(f"{arch}.feed_forward_length", cfg.intermediate_size)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.layer_norm_epsilon", cfg.layer_norm_eps)
+    w.add(f"{arch}.rope.dimension_count", int(cfg.rotary_pct * hd))
+    w.add(f"{arch}.rope.freq_base", getattr(cfg, "rotary_emb_base", 10000.0))
+    w.add(f"{arch}.use_parallel_residual", cfg.use_parallel_residual)
+    w.add(f"{arch}.vocab_size", cfg.vocab_size)
+    w.add_tensor("token_embd.weight", sd["gpt_neox.embed_in.weight"].float().numpy())
+    w.add_tensor("output_norm.weight", sd["gpt_neox.final_layer_norm.weight"].float().numpy())
+    w.add_tensor("output_norm.bias", sd["gpt_neox.final_layer_norm.bias"].float().numpy())
+    w.add_tensor("output.weight", sd["embed_out.weight"].float().numpy())
+    for il in range(cfg.num_hidden_layers):
+        pre, bl = f"gpt_neox.layers.{il}", f"blk.{il}"
+        for hf, gg in (("input_layernorm", "attn_norm"),
+                       ("post_attention_layernorm", "ffn_norm")):
+            w.add_tensor(f"{bl}.{gg}.weight", sd[f"{pre}.{hf}.weight"].float().numpy())
+            w.add_tensor(f"{bl}.{gg}.bias", sd[f"{pre}.{hf}.bias"].float().numpy())
+        # interleaved (head, qkv, dim) -> [Q; K; V] (convert_hf GPTNeoXModel)
+        qkv = sd[f"{pre}.attention.query_key_value.weight"].float()
+        qkv = qkv.reshape(n_head, 3, hd, n_embd)
+        w.add_tensor(f"{bl}.attn_qkv.weight", torch.cat(
+            [qkv[:, i].reshape(-1, n_embd) for i in range(3)], dim=0).numpy())
+        qkvb = sd[f"{pre}.attention.query_key_value.bias"].float().reshape(n_head, 3, hd)
+        w.add_tensor(f"{bl}.attn_qkv.bias", torch.cat(
+            [qkvb[:, i].reshape(-1) for i in range(3)], dim=0).numpy())
+        w.add_tensor(f"{bl}.attn_output.weight", sd[f"{pre}.attention.dense.weight"].float().numpy())
+        w.add_tensor(f"{bl}.attn_output.bias", sd[f"{pre}.attention.dense.bias"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_up.weight", sd[f"{pre}.mlp.dense_h_to_4h.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_up.bias", sd[f"{pre}.mlp.dense_h_to_4h.bias"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_down.weight", sd[f"{pre}.mlp.dense_4h_to_h.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_down.bias", sd[f"{pre}.mlp.dense_4h_to_h.bias"].float().numpy())
+    w.write()
+    return path
+
+
+@pytest.mark.parametrize("par_res", [True, False])
+def test_gptneox_parity(tmp_path, par_res):
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    cfg = GPTNeoXConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, rotary_pct=0.5, use_parallel_residual=par_res,
+        max_position_embeddings=256,
+    )
+    torch.manual_seed(11)
+    model = GPTNeoXForCausalLM(cfg).eval()
+    path = _convert_gptneox(model, str(tmp_path / f"neox{par_res}.gguf"))
+    _assert_close(_our_logits(path), _hf_logits(model))
+
+
+def _convert_falcon(model, path):
+    cfg = model.config
+    sd = model.state_dict()
+    n_head = cfg.num_attention_heads
+    n_embd = cfg.hidden_size
+    hd = n_embd // n_head
+    n_kv = cfg.num_kv_heads if cfg.new_decoder_architecture else (
+        cfg.num_kv_heads if getattr(cfg, "multi_query", True) is False else 1)
+    w = GGUFWriter(path)
+    arch = "falcon"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.block_count", cfg.num_hidden_layers)
+    w.add(f"{arch}.feed_forward_length", 4 * n_embd)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
+    w.add(f"{arch}.attention.layer_norm_epsilon", cfg.layer_norm_epsilon)
+    w.add(f"{arch}.rope.freq_base", getattr(cfg, "rope_theta", 10000.0))
+    w.add(f"{arch}.vocab_size", cfg.vocab_size)
+    w.add_tensor("token_embd.weight", sd["transformer.word_embeddings.weight"].float().numpy())
+    w.add_tensor("output_norm.weight", sd["transformer.ln_f.weight"].float().numpy())
+    w.add_tensor("output_norm.bias", sd["transformer.ln_f.bias"].float().numpy())
+    w.add_tensor("output.weight", sd["lm_head.weight"].float().numpy())
+    for il in range(cfg.num_hidden_layers):
+        pre, bl = f"transformer.h.{il}", f"blk.{il}"
+        if cfg.new_decoder_architecture:  # 40B: ln_attn + ln_mlp
+            w.add_tensor(f"{bl}.attn_norm.weight", sd[f"{pre}.ln_mlp.weight"].float().numpy())
+            w.add_tensor(f"{bl}.attn_norm.bias", sd[f"{pre}.ln_mlp.bias"].float().numpy())
+            w.add_tensor(f"{bl}.attn_norm_2.weight", sd[f"{pre}.ln_attn.weight"].float().numpy())
+            w.add_tensor(f"{bl}.attn_norm_2.bias", sd[f"{pre}.ln_attn.bias"].float().numpy())
+        else:
+            w.add_tensor(f"{bl}.attn_norm.weight", sd[f"{pre}.input_layernorm.weight"].float().numpy())
+            w.add_tensor(f"{bl}.attn_norm.bias", sd[f"{pre}.input_layernorm.bias"].float().numpy())
+        # kv-group-interleaved qkv -> [Q; K; V] (convert_hf FalconModel)
+        qkv = sd[f"{pre}.self_attention.query_key_value.weight"].float()
+        qkv = qkv.view(n_kv, n_head // n_kv + 2, hd, n_embd)
+        q = qkv[:, :-2].reshape(n_head * hd, n_embd)
+        k = qkv[:, [-2]].reshape(n_kv * hd, n_embd)
+        v = qkv[:, [-1]].reshape(n_kv * hd, n_embd)
+        w.add_tensor(f"{bl}.attn_qkv.weight", torch.cat([q, k, v], dim=0).numpy())
+        w.add_tensor(f"{bl}.attn_output.weight", sd[f"{pre}.self_attention.dense.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_up.weight", sd[f"{pre}.mlp.dense_h_to_4h.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_down.weight", sd[f"{pre}.mlp.dense_4h_to_h.weight"].float().numpy())
+    w.write()
+    return path
+
+
+@pytest.mark.parametrize("new_arch", [False, True])
+def test_falcon_parity(tmp_path, new_arch):
+    from transformers import FalconConfig, FalconForCausalLM
+
+    cfg = FalconConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_kv_heads=2 if new_arch else 4,
+        new_decoder_architecture=new_arch, multi_query=False,
+        parallel_attn=True, bias=False, max_position_embeddings=256,
+        layer_norm_epsilon=1e-5, alibi=False,
+    )
+    torch.manual_seed(12)
+    model = FalconForCausalLM(cfg).eval()
+    path = _convert_falcon(model, str(tmp_path / f"falcon{new_arch}.gguf"))
+    _assert_close(_our_logits(path), _hf_logits(model))
