@@ -332,12 +332,16 @@ Codec codec_for(int t) {
 
 extern "C" {
 
-// returns 0 on success, -1 for unsupported type / bad n
-int lcg_dequantize(int ggml_type, const uint8_t * data, float * out,
-                   int64_t n, int nthreads) {
+// returns 0 on success, -1 for unsupported type / bad n / short buffer.
+// data_len is the payload byte length: the C side re-checks that all
+// nb blocks fit before spawning decode threads (a mismatched n must fail
+// cleanly here, like the numpy path, not read past the buffer).
+int lcg_dequantize(int ggml_type, const uint8_t * data, int64_t data_len,
+                   float * out, int64_t n, int nthreads) {
     Codec c = codec_for(ggml_type);
     if (!c.fn || n % c.block_size) return -1;
     const int64_t nb = n / c.block_size;
+    if (data_len >= 0 && nb * (int64_t)c.type_size > data_len) return -1;
     if (nthreads < 1) nthreads = 1;
     if (nthreads > (int)nb) nthreads = (int)(nb > 0 ? nb : 1);
     std::atomic<int64_t> next(0);

@@ -284,7 +284,7 @@ def forward(
             if "attn_q_a" in layer:
                 qa = rms_norm(qmatmul(h, layer["attn_q_a"]), layer["attn_q_a_norm"],
                               cfg.rms_norm_eps)
-                q = qmatmul(qa, layer["attn_q_b"])
+                q = qmatmul(qa, layer["attn_q_b_proj"])
             else:
                 q = qmatmul(h, layer["attn_q"])
             q = q.reshape(B, T, H, Dk)

@@ -44,10 +44,13 @@ _LAYER_TENSORS = {
     "attn_output_b": "attn_output.bias",
     "attn_q_norm": "attn_q_norm.weight",
     "attn_k_norm": "attn_k_norm.weight",
-    # deepseek2 MLA projections (LLM_TENSOR names src/llama-arch.cpp)
+    # deepseek2 MLA projections (LLM_TENSOR names src/llama-arch.cpp).
+    # NOTE: the MLA q_b *projection* key must not collide with the
+    # attn_q.bias key above ("attn_q_b") — a duplicate dict key silently
+    # dropped Q biases for every bias-carrying arch (qwen2 et al.)
     "attn_q_a": "attn_q_a.weight",
     "attn_q_a_norm": "attn_q_a_norm.weight",
-    "attn_q_b": "attn_q_b.weight",
+    "attn_q_b_proj": "attn_q_b.weight",
     "attn_kv_a_mqa": "attn_kv_a_mqa.weight",
     "attn_kv_a_norm": "attn_kv_a_norm.weight",
     "attn_kv_b": "attn_kv_b.weight",

@@ -9,6 +9,7 @@ back to the numpy reference decoders transparently.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import pathlib
 import subprocess
@@ -18,9 +19,17 @@ import numpy as np
 from ..gguf.constants import GGML_TYPE_TRAITS, GGMLType
 
 _CSRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc"
-_LIB_PATH = _CSRC / "liblcg_codecs.so"
 _lib = None
 _checked = False
+
+
+def _lib_path() -> pathlib.Path:
+    """Build output keyed by source-content hash — git does not preserve
+    mtimes, so an mtime staleness check would keep loading a stale binary;
+    a content hash cannot."""
+    src = _CSRC / "lcg_codecs.cpp"
+    h = hashlib.sha256(src.read_bytes()).hexdigest()[:12]
+    return _CSRC / f"liblcg_codecs-{h}.so"
 
 # types the native decoder implements (codec_for in lcg_codecs.cpp)
 NATIVE_DECODE_TYPES = {
@@ -31,22 +40,21 @@ NATIVE_DECODE_TYPES = {
 }
 
 
-def _build() -> bool:
-    if _LIB_PATH.is_file():
-        src = _CSRC / "lcg_codecs.cpp"
-        if _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
-            return True
+def _build(lib_path: pathlib.Path) -> bool:
+    if lib_path.is_file():
+        return True
     try:
         subprocess.run(
-            ["make", "-C", str(_CSRC)], check=True, capture_output=True, timeout=300
+            ["make", "-C", str(_CSRC), f"LIB={lib_path.name}"],
+            check=True, capture_output=True, timeout=300,
         )
-        return _LIB_PATH.is_file()
+        return lib_path.is_file()
     except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
         return False
 
 
 def get_lib():
-    """Load (building if needed) the native library, or None."""
+    """Load (building from source if needed) the native library, or None."""
     global _lib, _checked
     if _checked:
         return _lib or None
@@ -54,14 +62,15 @@ def get_lib():
     if os.environ.get("LLAMACOG_NO_NATIVE"):
         _lib = False
         return None
-    if not _build():
+    lib_path = _lib_path()
+    if not _build(lib_path):
         _lib = False
         return None
     try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib = ctypes.CDLL(str(lib_path))
         lib.lcg_dequantize.argtypes = [
-            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int,
         ]
         lib.lcg_dequantize.restype = ctypes.c_int
         lib.lcg_quantize_q8_0.argtypes = [
@@ -93,7 +102,7 @@ def dequantize(data: np.ndarray, ggml_type: GGMLType, n: int,
     out = np.empty(n, dtype=np.float32)
     nth = nthreads or min(os.cpu_count() or 1, 16)
     rc = lib.lcg_dequantize(
-        int(ggml_type), data.ctypes.data, out.ctypes.data, n, nth
+        int(ggml_type), data.ctypes.data, data.size, out.ctypes.data, n, nth
     )
     return out if rc == 0 else None
 

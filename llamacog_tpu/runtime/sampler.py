@@ -42,6 +42,9 @@ class SamplerParams:
     dry_allowed_length: int = 2
     dry_penalty_last_n: int = -1  # -1 = whole window
     dry_sequence_breakers: tuple = ()  # token ids that reset repetition
+    # breaker *strings* tokenized at chain construction (reference defaults
+    # '\n', ':', '"', '*' — common/common.h default_sampling dry_sequence_breakers)
+    dry_sequence_breaker_strings: tuple = ("\n", ":", '"', "*")
     seed: int = -1
     logit_bias: dict[int, float] = field(default_factory=dict)
     min_keep: int = 1
@@ -54,7 +57,8 @@ def _softmax(x: np.ndarray) -> np.ndarray:
 
 
 class SamplerChain:
-    def __init__(self, params: SamplerParams, n_vocab: int, grammar=None):
+    def __init__(self, params: SamplerParams, n_vocab: int, grammar=None,
+                 tokenizer=None):
         self.p = params
         self.n_vocab = n_vocab
         self.grammar = grammar
@@ -62,6 +66,18 @@ class SamplerChain:
         self.rng = np.random.default_rng(seed)
         self.prev: deque[int] = deque(maxlen=max(params.penalty_last_n, 1))
         self.mu = 2.0 * params.mirostat_tau  # mirostat state
+        # DRY restart set: explicit token ids plus tokenized breaker strings
+        # (server.cpp passes strings; llama_sampler_dry preprocesses them
+        # against the vocab). Without a tokenizer only explicit ids apply.
+        self.dry_breakers: set[int] = set(params.dry_sequence_breakers)
+        if tokenizer is not None and params.dry_multiplier > 0.0:
+            for s in params.dry_sequence_breaker_strings:
+                try:
+                    self.dry_breakers.update(
+                        tokenizer.tokenize(s, add_special=False)
+                    )
+                except Exception:
+                    pass
 
     # -- individual transforms (operate on a logits copy) -------------------
     def _apply_penalties(self, logits: np.ndarray) -> None:
@@ -96,7 +112,7 @@ class SamplerChain:
         # restart sequences bound the usable suffix length
         rep_limit = n
         for i, t in enumerate(reversed(toks)):
-            if t in p.dry_sequence_breakers:
+            if t in self.dry_breakers:
                 rep_limit = i
                 break
         if rep_limit < p.dry_allowed_length:
@@ -136,7 +152,7 @@ class SamplerChain:
             return
         max_exp = 88.7228391 / np.log(p.dry_base) if p.dry_base > 1.000001 else 0
         for tok, rl in max_repeat.items():
-            if tok in p.dry_sequence_breakers:
+            if tok in self.dry_breakers:
                 continue
             e = rl - p.dry_allowed_length
             if max_exp > 0:

@@ -136,7 +136,8 @@ class ServerContext:
                     slot.task = None
                     continue
             slot.sampler = SamplerChain(
-                task.params, n_vocab=self.model.config.n_vocab, grammar=grammar
+                task.params, n_vocab=self.model.config.n_vocab, grammar=grammar,
+                tokenizer=self.model.tokenizer,
             )
 
     def _prefill_one(self) -> None:
@@ -162,7 +163,12 @@ class ServerContext:
                 return
             ids = task.prompt_ids
             if len(ids) >= self.ctx_size:
-                ids = ids[-(self.ctx_size - max(task.n_predict, 16)) :]
+                # keep a positive prompt tail even when n_predict >= ctx_size
+                # (the reference clamps n_predict to the remaining context,
+                # server.cpp slot.n_predict clamp, instead of failing)
+                keep = max(self.ctx_size - max(task.n_predict, 16), 16)
+                ids = ids[-keep:]
+            task.n_predict = max(min(task.n_predict, self.ctx_size - len(ids)), 1)
             # prompt prefix-cache reuse (reference server.cpp:3191-3260):
             # keep the common prefix already in this row's KV, prefill only
             # the new suffix (at least one token, so we get logits)
@@ -529,6 +535,9 @@ class ServerContext:
             dry_base=float(body.get("dry_base", 1.75)),
             dry_allowed_length=int(body.get("dry_allowed_length", 2)),
             dry_penalty_last_n=int(body.get("dry_penalty_last_n", -1)),
+            dry_sequence_breaker_strings=tuple(
+                body.get("dry_sequence_breakers", ["\n", ":", '"', "*"])
+            ),
             seed=int(body.get("seed", -1)),
         )
         stops = body.get("stop", []) or []

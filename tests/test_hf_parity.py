@@ -133,6 +133,18 @@ def _assert_close(ours, ref, atol=2e-3):
     np.testing.assert_allclose(ours, ref, atol=atol, rtol=1e-3)
 
 
+def _randomize_biases(model, seed=7):
+    """HF zero-initializes Linear biases in random models, which lets a
+    dropped-bias loader bug pass parity silently. Fill every bias with
+    nonzero values so the comparison actually exercises them."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if name.endswith(".bias"):
+                p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+    return model
+
+
 def test_qwen2_parity(tmp_path):
     from transformers import Qwen2Config, Qwen2ForCausalLM
 
@@ -142,7 +154,7 @@ def test_qwen2_parity(tmp_path):
         tie_word_embeddings=False,
     )
     torch.manual_seed(0)
-    model = Qwen2ForCausalLM(cfg).eval()
+    model = _randomize_biases(Qwen2ForCausalLM(cfg).eval())
     path = _convert(model, "qwen2", str(tmp_path / "qwen2.gguf"))
     _assert_close(_our_logits(path), _hf_logits(model))
 
