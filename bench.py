@@ -1,12 +1,15 @@
-"""Benchmark: single-stream decode tokens/s on a llama-shaped quantized model.
+"""Benchmark: single-stream decode tokens/s on the north-star config.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline is the fraction of the HBM-bandwidth roofline achieved
 (decode is weight-bandwidth-bound: roofline t/s = HBM_BW / weight_bytes),
-which is also the driver's north-star framing ("≥80% of roofline decode
-t/s/chip"). Model: synthetic random-weight llama (cached in /tmp) — sizable
-enough that weight streaming dominates.
+the driver's north-star framing ("≥80% of roofline decode t/s/chip").
+
+Presets (LLAMACOG_BENCH_PRESET):
+  8b — Llama-3-8B-shaped Q4_K_M mixed-quant model (BASELINE config 2),
+       planes synthesized on device (utils/synthetic.py). Default on TPU.
+  1b — llama-1B-shaped Q4_0 GGUF generated once into /tmp (CPU-runnable).
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ import time
 BENCH_DIR = os.environ.get("LLAMACOG_BENCH_DIR", "/tmp/llamacog_bench")
 
 # "llama-1B"-shaped config (scaled for quick generation on 1 CPU core)
-SHAPE = dict(
+SHAPE_1B = dict(
     n_vocab=32000,
     n_embd=2048,
     n_layer=16,
@@ -45,9 +48,28 @@ def get_model_path() -> str:
         from llamacog_tpu.utils.testing import make_tiny_llama_gguf
 
         t0 = time.time()
-        make_tiny_llama_gguf(path, quant_type=getattr(GGMLType, QUANT), **SHAPE)
+        make_tiny_llama_gguf(path, quant_type=getattr(GGMLType, QUANT), **SHAPE_1B)
         print(f"[bench] generated {path} in {time.time()-t0:.1f}s", file=sys.stderr)
     return path
+
+
+def tensor_bytes(t):
+    from llamacog_tpu.quant.planar import QuantTensor
+
+    if isinstance(t, QuantTensor):
+        return t.nbytes
+    return t.size * t.dtype.itemsize
+
+
+def streamed_bytes(params) -> int:
+    """Weight bytes read from HBM per decode step (embedding is a row
+    gather, not a stream)."""
+    wbytes = 0
+    if "output" in params:
+        wbytes += tensor_bytes(params["output"])
+    for layer in params["layers"]:
+        wbytes += sum(tensor_bytes(w) for w in layer.values())
+    return wbytes
 
 
 def main() -> None:
@@ -56,33 +78,34 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    from llamacog_tpu.models.loader import load_model
-    from llamacog_tpu.quant.planar import QuantTensor
     from llamacog_tpu.runtime.engine import Engine
 
-    path = get_model_path()
+    preset = os.environ.get(
+        "LLAMACOG_BENCH_PRESET", "8b" if jax.default_backend() == "tpu" else "1b"
+    )
     t0 = time.time()
-    model = load_model(path, mode="quantized", dtype=jnp.bfloat16)
-    print(f"[bench] load {time.time()-t0:.1f}s on {jax.default_backend()}", file=sys.stderr)
+    if preset == "8b":
+        from llamacog_tpu.utils.synthetic import llama3_8b_config, make_synthetic_params
 
-    # weight bytes actually streamed per token (all layer weights + lm head)
-    def tensor_bytes(t):
-        if isinstance(t, QuantTensor):
-            return t.nbytes
-        return t.size * t.dtype.itemsize
+        config = llama3_8b_config()
+        params = make_synthetic_params(config)
+        jax.block_until_ready(params["layers"][0]["attn_q"].planes["qs"])
+        metric = "decode_tokens_per_s_q4_k_m_8b_single_stream"
+    else:
+        from llamacog_tpu.models.loader import load_model
 
-    wbytes = tensor_bytes(model.params["tok_embd"]) * 0  # gather, not streamed
-    if "output" in model.params:
-        wbytes += tensor_bytes(model.params["output"])
-    for layer in model.params["layers"]:
-        wbytes += sum(tensor_bytes(w) for w in layer.values())
+        model = load_model(get_model_path(), mode="quantized", dtype=jnp.bfloat16)
+        config, params = model.config, model.params
+        metric = f"decode_tokens_per_s_{QUANT.lower()}_1b_single_stream"
+    print(f"[bench] {preset} build {time.time()-t0:.1f}s on {jax.default_backend()}",
+          file=sys.stderr)
 
-    engine = Engine(model.params, model.config, batch_size=1, max_seq=1024)
+    wbytes = streamed_bytes(params)
+    engine = Engine(params, config, batch_size=1, max_seq=1024)
     prompt = list(range(2, 130))
     engine.prefill(prompt)
 
-    hbm_bw = HBM_BW
-    # TTFT / prefill throughput (pp512-style, reported on stderr)
+    # TTFT / prefill throughput (pp128-style, reported on stderr)
     engine.reset()
     t0 = time.time()
     engine.prefill(prompt)
@@ -99,13 +122,15 @@ def main() -> None:
     assert toks.shape == (1, N_DECODE)
     tps = N_DECODE / dt
 
-    roofline = hbm_bw / wbytes
+    roofline = HBM_BW / wbytes
     result = {
-        "metric": f"decode_tokens_per_s_{QUANT.lower()}_1b_single_stream",
+        "metric": metric,
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / roofline, 4),
     }
+    print(f"[bench] weights {wbytes/1e9:.2f} GB streamed/step; "
+          f"roofline {roofline:.1f} t/s", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -93,17 +93,10 @@ def _ffn(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     return _linear(h, layer, "ffn_down")
 
 
-def _ffn_moe(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
-    """Dense MoE: evaluate all experts, combine top-k by router weight.
-
-    TPU-first choice: expert weights are stacked [n_expert, F, E]; a dense
-    einsum over all experts maps onto the MXU with static shapes (the
-    mul_mat_id gather is replaced by a weighted combine). Expert-parallel
-    sharding splits the expert axis over the mesh.
-    """
-    B, T, E = x.shape
-    n_exp, k = cfg.n_expert, cfg.n_expert_used
-    logits = qmatmul(x, layer["ffn_gate_inp"]).astype(jnp.float32)  # [B,T,n_exp]
+def _moe_router(layer: dict, x: jnp.ndarray, cfg: ModelConfig):
+    """Top-k routing (build_moe_ffn, src/llama-graph.cpp:642-760): softmax or
+    sigmoid gating, optional DeepSeek-V3 selection bias, weight norm/scale."""
+    logits = qmatmul(x, layer["ffn_gate_inp"]).astype(jnp.float32)  # [..,n_exp]
     if cfg.expert_gating_func == "sigmoid":
         probs = jax.nn.sigmoid(logits)
     else:
@@ -112,31 +105,111 @@ def _ffn_moe(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
         sel = probs + layer["exp_probs_b"].astype(jnp.float32)
     else:
         sel = probs
-    top_w, top_i = jax.lax.top_k(sel, k)  # [B,T,k]
-    gate_w = jnp.take_along_axis(probs, top_i, axis=-1)  # weights from pre-bias probs
+    _, top_i = jax.lax.top_k(sel, cfg.n_expert_used)
+    gate_w = jnp.take_along_axis(probs, top_i, axis=-1)  # pre-bias probs
     if cfg.expert_weights_norm:
         gate_w = gate_w / (gate_w.sum(axis=-1, keepdims=True) + 1e-20)
-    gate_w = gate_w * cfg.expert_weights_scale
+    return top_i, gate_w * cfg.expert_weights_scale
 
-    # dense evaluation of all experts
-    wg = layer["ffn_gate_exps"]
-    wu = layer["ffn_up_exps"]
-    wd = layer["ffn_down_exps"]
-    if isinstance(wg, QuantTensor):
-        wg = decode(wg, dtype=x.dtype)
-    if isinstance(wu, QuantTensor):
-        wu = decode(wu, dtype=x.dtype)
-    if isinstance(wd, QuantTensor):
-        wd = decode(wd, dtype=x.dtype)
-    # wg/wu: [n_exp, F, E], wd: [n_exp, E, F]
-    gate = jnp.einsum("bte,nfe->btnf", x, wg)
-    up = jnp.einsum("bte,nfe->btnf", x, wu)
-    act = _act(gate, cfg.ffn_act).astype(x.dtype) * up
-    expert_out = jnp.einsum("btnf,nef->btne", act, wd)  # [B,T,n_exp,E]
-    # combine selected experts
-    onehot = jax.nn.one_hot(top_i, n_exp, dtype=gate_w.dtype) * gate_w[..., None]  # [B,T,k,n]
-    comb = onehot.sum(axis=2)  # [B,T,n_exp]
-    out = jnp.einsum("btne,btn->bte", expert_out.astype(jnp.float32), comb)
+
+def _matmul_id(rows: jnp.ndarray, ids: jnp.ndarray, qt) -> jnp.ndarray:
+    """[S,K] rows x per-row expert -> [S,N]; streams only selected experts."""
+    from ..ops.pallas import qmm_id as qid
+
+    if qid.supports(qt.kind) and jax.default_backend() == "tpu":
+        return qid.qmm_gather(rows, ids, qt)
+    return qid.qmm_gather_xla(rows, ids, qt, dtype=rows.dtype)
+
+
+def _matmul_ragged(xs: jnp.ndarray, tile_expert: jnp.ndarray, qt, tt: int):
+    from ..ops.pallas import qmm_id as qid
+
+    if qid.supports(qt.kind) and jax.default_backend() == "tpu":
+        return qid.qmm_ragged(xs, tile_expert, qt, tt)
+    ids_rows = jnp.repeat(tile_expert, tt, total_repeat_length=xs.shape[0])
+    return qid.qmm_gather_xla(xs, ids_rows, qt, dtype=xs.dtype)
+
+
+# decode-vs-prefill crossover and prefill token-tile size for the sparse
+# MoE paths (row counts are static under jit, so this is a trace-time choice)
+_MOE_GATHER_MAX = 32
+_MOE_TILE = 64
+
+
+def _ffn_moe_sparse(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Sparse MoE over stacked *quantized* experts: only the top-k experts'
+    weight bytes are streamed (reference mul_mat_id semantics, ggml.h:460).
+
+    Decode (few rows): per-(token,slot) expert-gathered matvecs via the
+    scalar-prefetch qmm_gather kernel. Prefill: tokens sorted by expert and
+    padded to _MOE_TILE multiples, then grouped-GEMM via qmm_ragged — each
+    used expert's weights are read once.
+    """
+    B, T, E = x.shape
+    n_exp, k = cfg.n_expert, cfg.n_expert_used
+    S = B * T
+    xf = x.reshape(S, E)
+    top_i, gate_w = _moe_router(layer, xf, cfg)  # [S,k]
+    wg, wu, wd = layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"]
+    Sp = S * k
+    ids = top_i.reshape(Sp)
+    rows = jnp.repeat(xf, k, axis=0)  # [(s,slot)] pair rows
+    if Sp <= _MOE_GATHER_MAX:
+        gate = _matmul_id(rows, ids, wg)
+        up = _matmul_id(rows, ids, wu)
+        h = (_act(gate, cfg.ffn_act) * up).astype(x.dtype)  # [Sp, F]
+        down = _matmul_id(h, ids, wd)  # [Sp, E] f32
+    else:
+        tt = _MOE_TILE
+        order = jnp.argsort(ids, stable=True)
+        sids = ids[order]
+        counts = jnp.bincount(ids, length=n_exp)
+        padded = ((counts + tt - 1) // tt) * tt
+        offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+        starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+        rank = jnp.arange(Sp, dtype=jnp.int32) - starts[sids]
+        dest = offs[sids] + rank  # position in the padded-sorted buffer
+        s_pad = ((Sp + n_exp * (tt - 1)) + tt - 1) // tt * tt  # static bound
+        xs = jnp.zeros((s_pad, E), x.dtype).at[dest].set(rows[order])
+        ends = (offs + padded).astype(jnp.int32)
+        tile_start = jnp.arange(s_pad // tt, dtype=jnp.int32) * tt
+        tile_expert = jnp.clip(
+            jnp.searchsorted(ends, tile_start, side="right"), 0, n_exp - 1
+        ).astype(jnp.int32)
+        gate = _matmul_ragged(xs, tile_expert, wg, tt)
+        up = _matmul_ragged(xs, tile_expert, wu, tt)
+        h = (_act(gate, cfg.ffn_act) * up).astype(x.dtype)  # [s_pad, F]
+        down_pad = _matmul_ragged(h, tile_expert, wd, tt)  # [s_pad, E]
+        inv = jnp.argsort(order, stable=True)
+        down = down_pad[dest][inv]  # back to (s,slot) pair order
+    out = (down.reshape(S, k, E) * gate_w[..., None]).sum(axis=1)
+    return out.reshape(B, T, E)
+
+
+def _ffn_moe(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """MoE FFN. Quantized experts take the sparse top-k path (only selected
+    experts' bytes stream); dense (bf16/f32) experts keep the all-expert
+    einsum, whose dense matmuls map well onto the MXU and EP-shard cleanly."""
+    B, T, E = x.shape
+    n_exp, k = cfg.n_expert, cfg.n_expert_used
+    if isinstance(layer["ffn_gate_exps"], QuantTensor):
+        out = _ffn_moe_sparse(layer, x, cfg).astype(jnp.float32)
+    else:
+        top_i, gate_w = _moe_router(layer, x, cfg)  # [B,T,k]
+        wg = layer["ffn_gate_exps"]
+        wu = layer["ffn_up_exps"]
+        wd = layer["ffn_down_exps"]
+        # wg/wu: [n_exp, F, E], wd: [n_exp, E, F]
+        gate = jnp.einsum("bte,nfe->btnf", x, wg)
+        up = jnp.einsum("bte,nfe->btnf", x, wu)
+        act = _act(gate, cfg.ffn_act).astype(x.dtype) * up
+        expert_out = jnp.einsum("btnf,nef->btne", act, wd)  # [B,T,n_exp,E]
+        # combine selected experts
+        onehot = jax.nn.one_hot(top_i, n_exp, dtype=gate_w.dtype) * gate_w[..., None]
+        comb = onehot.sum(axis=2)  # [B,T,n_exp]
+        out = jnp.einsum("btne,btn->bte", expert_out.astype(jnp.float32), comb)
     if "ffn_up_shexp" in layer:  # shared expert branch
         shexp = {
             "ffn_gate": layer["ffn_gate_shexp"],

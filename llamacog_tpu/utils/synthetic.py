@@ -1,0 +1,93 @@
+"""Synthetic random-weight models built directly as planar QuantTensors.
+
+Benchmarking the north-star config (Llama-3-8B Q4_K_M, BASELINE.md) needs
+8B-scale weights; generating a real 4.9 GB GGUF through the numpy encoders
+on one CPU core takes hours. Decode throughput depends only on plane shapes
+and dtypes, never on values, so this builds the post-load planar form
+(quant/planar.py) directly on device with random bytes.
+
+Per-tensor quant policy mirrors llama_tensor_get_type for Q4_K_M
+(/root/reference/src/llama-quant.cpp:178-467): attn_v and output are Q6_K,
+ffn_down is Q6_K on the use_more_bits layers (i < n/8, i >= 7n/8,
+(i - n/8) % 3 == 2), everything else Q4_K. Like a real mixed-type load,
+q/k/v stay unfused (loader._fuse_rows only fuses same-kind tensors) while
+ffn gate+up fuse.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig, RopeConfig
+from ..quant.planar import QuantTensor
+
+# plane shapes per kind for a logical [N, K] tensor (quant/planar.from_gguf)
+_PLANES = {
+    "Q4_K": (("qs", 2, jnp.uint8), ("scales", 32, jnp.float32), ("mins", 32, jnp.float32)),
+    "Q6_K": (("qs", 2, jnp.uint8), ("qh", 4, jnp.uint8), ("scales", 16, jnp.float32)),
+    "Q4_0": (("qs", 2, jnp.uint8), ("d", 32, jnp.float32)),
+    "Q8_0": (("qs", 1, jnp.int8), ("d", 32, jnp.float32)),
+}
+
+
+def _rand_qt(key, kind: str, n: int, k: int) -> QuantTensor:
+    planes = {}
+    for i, (name, div, dt) in enumerate(_PLANES[kind]):
+        sub = jax.random.fold_in(key, i)
+        shape = (n, k // div)
+        if dt in (jnp.uint8, jnp.int8):
+            hi = 127 if dt == jnp.int8 else 255
+            planes[name] = jax.random.randint(sub, shape, 0, hi, dtype=jnp.int32).astype(dt)
+        else:
+            # small positive scales keep logits finite through 32 layers
+            planes[name] = jax.random.uniform(sub, shape, jnp.float32, 1e-4, 1e-3)
+    return QuantTensor(kind, (n, k), planes)
+
+
+def _use_more_bits(i: int, n: int) -> bool:
+    return i < n // 8 or i >= 7 * n // 8 or (i - n // 8) % 3 == 2
+
+
+def llama3_8b_config() -> ModelConfig:
+    return ModelConfig(
+        arch="llama", n_vocab=128256, n_ctx_train=8192, n_embd=4096,
+        n_layer=32, n_head=32, n_head_kv=8, n_ff=14336,
+        head_dim_k=128, head_dim_v=128,
+        rope=RopeConfig(dim=128, freq_base=500000.0),
+    )
+
+
+def make_synthetic_params(cfg: ModelConfig, seed: int = 0) -> dict:
+    """Random planar params for the generalized llama forward, Q4_K_M mix.
+
+    The whole pytree is built inside one jit so a tunneled chip pays one
+    dispatch round-trip, not one per plane."""
+    return jax.jit(lambda s: _make_synthetic_params(cfg, s))(seed)
+
+
+def _make_synthetic_params(cfg: ModelConfig, seed) -> dict:
+    key = jax.random.PRNGKey(seed)
+    E, F = cfg.n_embd, cfg.n_ff
+    kv = cfg.n_head_kv * cfg.head_dim_k
+    params: dict = {"layers": []}
+    k0 = jax.random.fold_in(key, 10_000)
+    params["tok_embd"] = _rand_qt(jax.random.fold_in(k0, 0), "Q4_K", cfg.n_vocab, E)
+    params["output"] = _rand_qt(jax.random.fold_in(k0, 1), "Q6_K", cfg.n_vocab, E)
+    params["output_norm"] = jnp.ones((E,), jnp.float32)
+    for il in range(cfg.n_layer):
+        lk = jax.random.fold_in(key, il)
+        down_kind = "Q6_K" if _use_more_bits(il, cfg.n_layer) else "Q4_K"
+        layer = {
+            "attn_norm": jnp.ones((E,), jnp.float32),
+            "ffn_norm": jnp.ones((E,), jnp.float32),
+            "attn_q": _rand_qt(jax.random.fold_in(lk, 0), "Q4_K", cfg.n_head * cfg.head_dim_k, E),
+            "attn_k": _rand_qt(jax.random.fold_in(lk, 1), "Q4_K", kv, E),
+            "attn_v": _rand_qt(jax.random.fold_in(lk, 2), "Q6_K", kv, E),
+            "attn_output": _rand_qt(jax.random.fold_in(lk, 3), "Q4_K", E, cfg.n_head * cfg.head_dim_v),
+            "ffn_gate_up": _rand_qt(jax.random.fold_in(lk, 4), "Q4_K", 2 * F, E),
+            "ffn_down": _rand_qt(jax.random.fold_in(lk, 5), down_kind, E, F),
+        }
+        params["layers"].append(layer)
+    return params
