@@ -116,6 +116,31 @@ class Engine:
         self._step = step
 
         @functools.partial(jax.jit, static_argnames=("t",))
+        def step_row(params, cache, tokens, row, write_pos_row, n_new_row, t,
+                     pos_off_row):
+            """Prefill ONE row at B=1: the full-batch step pays batch_size x
+            the prompt's FLOPs to prefill a single row (every row recomputes
+            the block); here the row's cache is sliced out (batch axis 1 on
+            every cache leaf), the forward runs at B=1, and the updated row
+            is scattered back — all inside one jit. `row` is traced, so one
+            compile per t-bucket serves every slot."""
+            sub = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, row, 1, axis=1), cache
+            )
+            positions = (write_pos_row + pos_off_row)[:, None] + jnp.arange(t)[None, :]
+            logits, sub = forward(
+                params, config, tokens, positions, sub, write_pos_row,
+                dtype=dtype, n_new=n_new_row,
+            )
+            cache = jax.tree_util.tree_map(
+                lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, row, axis=1),
+                cache, sub,
+            )
+            return logits, cache
+
+        self._step_row = step_row
+
+        @functools.partial(jax.jit, static_argnames=("t",))
         def embed_step(params, cache, tokens, write_pos, seq_len, t, wmask=None):
             positions = write_pos[:, None] + jnp.arange(t)[None, :]
             hidden, cache = forward(
@@ -341,23 +366,40 @@ class Engine:
         m[row] = True
         return jnp.asarray(m)
 
-    def prefill(self, token_ids: list[int], row: int = 0) -> np.ndarray:
-        """Feed a prompt into one row; returns logits of the last real token."""
-        if self.recurrent:
-            return self._recurrent_prefill(token_ids, row)
+    def _prefill_row_logits(self, token_ids, row: int) -> "jnp.ndarray":
+        """Shared single-row prefill; returns the row's [t, V] logits."""
         n = len(token_ids)
         t = self._prefill_t_at(n, int(self.seq_len[row]))
+        new_len = self.seq_len.copy()
+        new_len[row] += n
+        if self.batch_size > 1:
+            # B=1 sliced-row step: one prompt costs its own FLOPs, not
+            # batch_size x (reference chunked-prefill goal, server.cpp:3191)
+            toks = np.zeros((1, t), dtype=np.int32)
+            toks[0, :n] = token_ids
+            logits, self.cache = self._step_row(
+                self.params, self.cache, jnp.asarray(toks), jnp.int32(row),
+                jnp.asarray(self.seq_len[row : row + 1]), jnp.asarray([n], np.int32),
+                t, jnp.asarray(self.pos_offset[row : row + 1]),
+            )
+            self.seq_len = new_len
+            return logits[0]
         toks = np.zeros((self.batch_size, t), dtype=np.int32)
         toks[row, :n] = token_ids
         write_pos = jnp.asarray(self.seq_len)
-        new_len = self.seq_len.copy()
-        new_len[row] += n
         logits, self.cache = self._step(
             self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t,
             pos_off=jnp.asarray(self.pos_offset), wmask=self._row_mask(row),
         )
         self.seq_len = new_len
-        return np.asarray(logits[row, n - 1])
+        return logits[row]
+
+    def prefill(self, token_ids: list[int], row: int = 0) -> np.ndarray:
+        """Feed a prompt into one row; returns logits of the last real token."""
+        if self.recurrent:
+            return self._recurrent_prefill(token_ids, row)
+        logits = self._prefill_row_logits(token_ids, row)
+        return np.asarray(logits[len(token_ids) - 1])
 
     def prefill_embd(self, embd: np.ndarray, row: int = 0,
                      grid: tuple[int, int] | None = None) -> np.ndarray:
@@ -407,19 +449,8 @@ class Engine:
         batch.logits)."""
         if self.recurrent:
             return self._recurrent_prefill(token_ids, row, all_logits=True)
-        n = len(token_ids)
-        t = self._prefill_t_at(n, int(self.seq_len[row]))
-        toks = np.zeros((self.batch_size, t), dtype=np.int32)
-        toks[row, :n] = token_ids
-        write_pos = jnp.asarray(self.seq_len)
-        new_len = self.seq_len.copy()
-        new_len[row] += n
-        logits, self.cache = self._step(
-            self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t,
-            pos_off=jnp.asarray(self.pos_offset), wmask=self._row_mask(row),
-        )
-        self.seq_len = new_len
-        return np.asarray(logits[row, :n])
+        logits = self._prefill_row_logits(token_ids, row)
+        return np.asarray(logits[: len(token_ids)])
 
     def decode_one(self, token_ids: np.ndarray, active=None) -> np.ndarray:
         """One decode step for all rows. token_ids: [B] -> logits [B, V].
@@ -483,46 +514,60 @@ class Engine:
     def shift_row(self, row: int, n_keep: int, n_discard: int) -> None:
         """Context shift: drop tokens [n_keep, n_keep+n_discard) of a row and
         slide the rest down, re-rotating the moved K by -n_discard (the
-        reference's lazy K-shift graph, llama-kv-cache-unified.h:193)."""
+        reference's lazy K-shift graph, llama-kv-cache-unified.h:193).
+
+        Runs as ONE jitted gather + delta-rope over the full row: positions
+        below n_keep map to themselves with delta 0 (exact identity), so the
+        shapes are static and a single compile serves every (row, n_keep,
+        n_discard) combination — no host round-trip of the cache."""
+        s = int(self.seq_len[row])
+        if n_discard <= 0 or s - (n_keep + n_discard) < 0:
+            return
+        self.cache = self._shift_fn()(
+            self.cache, jnp.int32(row), jnp.int32(n_keep), jnp.int32(n_discard)
+        )
+        self.seq_len[row] = s - n_discard
+
+    def _shift_fn(self):
+        if getattr(self, "_shift_jit", None) is not None:
+            return self._shift_jit
+        from ..models.llama import _rope_factors
         from ..ops.rope import apply_rope
         from .kv_cache import QuantKVCache
 
-        s = int(self.seq_len[row])
-        src0, src1 = n_keep + n_discard, s
-        length = src1 - src0
-        if length < 0 or n_discard <= 0:
-            return
-        if isinstance(self.cache, QuantKVCache):
-            c = self.cache
-            k = np.asarray(c._dequant(c.k_q[:, row], c.k_s[:, row], jnp.float32)).copy()
-            v = np.asarray(c._dequant(c.v_q[:, row], c.v_s[:, row], jnp.float32)).copy()
-            moved_k = jnp.asarray(k[:, src0:src1])
-            if length > 0:
-                delta = jnp.full((moved_k.shape[0], length), -n_discard, dtype=jnp.int32)
-                moved_k = np.asarray(apply_rope(moved_k, delta, self.config.rope))
-            k[:, n_keep : n_keep + length] = moved_k
-            v[:, n_keep : n_keep + length] = v[:, src0:src1]
-            kq, ks = c._quant(jnp.asarray(k))
-            vq, vs = c._quant(jnp.asarray(v))
-            self.cache = QuantKVCache(
-                c.k_q.at[:, row].set(kq), c.k_s.at[:, row].set(ks),
-                c.v_q.at[:, row].set(vq), c.v_s.at[:, row].set(vs),
+        config = self.config
+        ff = _rope_factors(self.params, config, self.max_seq)
+
+        @jax.jit
+        def shift_fn(cache, row, n_keep, n_discard):
+            S = int(cache.max_seq)
+            idx = jnp.arange(S)
+            src = jnp.clip(jnp.where(idx < n_keep, idx, idx + n_discard), 0, S - 1)
+            delta = jnp.where(idx < n_keep, 0, -n_discard).astype(jnp.int32)
+            quant = isinstance(cache, QuantKVCache)
+            if quant:
+                k = cache._dequant(cache.k_q[:, row], cache.k_s[:, row], jnp.float32)
+                v = cache._dequant(cache.v_q[:, row], cache.v_s[:, row], jnp.float32)
+            else:
+                k, v = cache.k[:, row], cache.v[:, row]  # [L, S, Hkv, Dk]
+            k = jnp.take(k, src, axis=1)
+            v = jnp.take(v, src, axis=1)
+            d2 = jnp.broadcast_to(delta[None, :], (k.shape[0], S))
+            k = apply_rope(k, d2, config.rope, ff)
+            if quant:
+                kq, ks = cache._quant(k)
+                vq, vs = cache._quant(v)
+                return QuantKVCache(
+                    cache.k_q.at[:, row].set(kq), cache.k_s.at[:, row].set(ks),
+                    cache.v_q.at[:, row].set(vq), cache.v_s.at[:, row].set(vs),
+                )
+            return type(cache)(
+                cache.k.at[:, row].set(k.astype(cache.k.dtype)),
+                cache.v.at[:, row].set(v),
             )
-            self.seq_len[row] = n_keep + length
-            return
-        k = np.asarray(self.cache.k[:, row]).copy()  # [L, S, Hkv, Dk]
-        v = np.asarray(self.cache.v[:, row]).copy()
-        moved_k = jnp.asarray(k[:, src0:src1])  # [L, length, Hkv, Dk]
-        if length > 0:
-            delta = jnp.full((moved_k.shape[0], length), -n_discard, dtype=jnp.int32)
-            moved_k = np.asarray(apply_rope(moved_k, delta, self.config.rope))
-        k[:, n_keep : n_keep + length] = moved_k
-        v[:, n_keep : n_keep + length] = v[:, src0:src1]
-        self.cache = type(self.cache)(
-            self.cache.k.at[:, row].set(jnp.asarray(k)),
-            self.cache.v.at[:, row].set(jnp.asarray(v)),
-        )
-        self.seq_len[row] = n_keep + length
+
+        self._shift_jit = shift_fn
+        return shift_fn
 
     def generate_greedy(
         self, prompt_tokens: list[int], max_new_tokens: int, eog_ids=(),

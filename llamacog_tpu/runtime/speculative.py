@@ -34,12 +34,16 @@ class SpeculativeDecoder:
         self.draft = draft
         self.p = params or SpeculativeParams()
 
-    def _draft_tokens(self, last_token: int) -> list[int]:
+    def _draft_tokens(self, last_token: int, row: int = 0) -> list[int]:
         """Greedy draft until confidence drops (speculative.cpp:243-274)."""
         out: list[int] = []
         tok = last_token
+        active = np.zeros(self.draft.batch_size, dtype=bool)
+        active[row] = True
         for _ in range(self.p.n_draft):
-            logits = self.draft.decode_one(np.array([tok] * self.draft.batch_size))[0]
+            toks = np.zeros(self.draft.batch_size, dtype=np.int32)
+            toks[row] = tok
+            logits = self.draft.decode_one(toks, active=active)[row]
             probs = _softmax(logits.astype(np.float64))
             nxt = int(probs.argmax())
             if probs[nxt] < self.p.p_min and len(out) >= self.p.n_min:
@@ -47,6 +51,56 @@ class SpeculativeDecoder:
             out.append(nxt)
             tok = nxt
         return out
+
+    def step_slot(self, row: int, last_token: int, pick, max_accept: int,
+                  stats: dict | None = None) -> tuple[list[int], int]:
+        """One speculative round for one slot (server.cpp:3559-3584 role).
+
+        Drafts a continuation of `last_token` on the draft engine's `row`,
+        verifies the whole draft in ONE target prefill_logits call, rolls
+        both caches back to the accepted prefix, and returns
+        (accepted_draft_tokens, next_token). `pick(logits) -> token` is the
+        slot's sampler; rejected sampling restarts from the target's choice.
+        """
+        save_len = int(self.target.seq_len[row])
+        draft_save = int(self.draft.seq_len[row])  # lockstep with target
+        draft = self._draft_tokens(last_token, row=row)
+        if not draft:
+            toks = np.zeros(self.target.batch_size, dtype=np.int32)
+            toks[row] = last_token
+            active = np.zeros(self.target.batch_size, dtype=bool)
+            active[row] = True
+            logits = self.target.decode_one(toks, active=active)[row]
+            return [], pick(logits)
+        batch = [last_token] + draft
+        logits_all = self.target.prefill_logits(batch, row=row)
+        n_acc = 0
+        next_tok = None
+        for i, d in enumerate(draft):
+            t_choice = pick(logits_all[i])
+            if t_choice == d and n_acc < max_accept:
+                n_acc += 1
+            else:
+                next_tok = t_choice
+                break
+        if next_tok is None:
+            next_tok = pick(logits_all[len(draft)])
+        if stats is not None:
+            stats["drafted"] = stats.get("drafted", 0) + len(draft)
+            stats["accepted"] = stats.get("accepted", 0) + n_acc
+            stats["rounds"] = stats.get("rounds", 0) + 1
+        accepted = draft[:n_acc]
+        # KV rollback to the accepted prefix (llama-context.cpp:1014-1035)
+        self.target.seq_len[row] = save_len + 1 + n_acc
+        # resync draft: rewind past the speculation and replay accepted
+        self.draft.seq_len[row] = draft_save
+        active = np.zeros(self.draft.batch_size, dtype=bool)
+        active[row] = True
+        for t in [last_token] + accepted:
+            toks = np.zeros(self.draft.batch_size, dtype=np.int32)
+            toks[row] = t
+            self.draft.decode_one(toks, active=active)
+        return accepted, next_tok
 
     def generate(
         self,

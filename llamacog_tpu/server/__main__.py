@@ -22,6 +22,10 @@ def main(argv=None) -> int:
     p.add_argument("--control-vector", default=None, help="control vector GGUF")
     p.add_argument("--control-vector-scale", type=float, default=1.0)
     p.add_argument("--mmproj", default=None, help="vision mmproj GGUF (multimodal)")
+    p.add_argument("-md", "--model-draft", default=None,
+                   help="draft model GGUF for per-slot speculative decoding")
+    p.add_argument("--no-context-shift", action="store_true",
+                   help="finish a slot when its context fills instead of shifting")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator host:port (jax.distributed)")
     p.add_argument("--num-hosts", type=int, default=None)
@@ -68,9 +72,13 @@ def main(argv=None) -> int:
         from ..mtmd import load_mmproj
 
         vision = load_mmproj(args.mmproj)
+    draft_model = None
+    if args.model_draft:
+        draft_model = load_model(args.model_draft, mode=args.mode, dtype=dtype)
     ctx, httpd = serve(
         model, host=args.host, port=args.port, n_slots=args.n_slots,
         ctx_size=args.ctx_size, dtype=dtype, loras=loras, mesh=mesh, vision=vision,
+        draft_model=draft_model, ctx_shift=not args.no_context_shift,
     )
     print(f"llamacog-server listening on http://{args.host}:{args.port} "
           f"({args.n_slots} slots, ctx {args.ctx_size})", file=sys.stderr)

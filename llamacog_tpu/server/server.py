@@ -34,6 +34,10 @@ from ..runtime.sampler import SamplerChain, SamplerParams
 
 IDLE, PROMPT, GENERATING = 0, 1, 2
 
+# max prompt tokens prefilled per update_slots iteration (the reference's
+# n_ubatch chunking, server.cpp:3320) so decode interleaves with long prompts
+PREFILL_CHUNK = int(os.environ.get("LLAMACOG_PREFILL_CHUNK", "512"))
+
 
 @dataclass
 class Task:
@@ -49,6 +53,8 @@ class Task:
     cache_prompt: bool = True  # prefix-cache reuse (server.cpp cache_prompt)
     chunks: list | None = None  # multimodal chunks (text tokens + image embd)
     cancelled: bool = False
+    n_keep: int = 0  # context-shift keep prefix (-1 = whole prompt)
+    spec: dict | None = None  # per-request speculative overrides (n_max/n_min/p_min)
 
 
 class Slot:
@@ -64,12 +70,18 @@ class Slot:
         self.next_token: int | None = None
         self.cache_tokens: list[int] = []  # tokens currently in this row's KV
         self.n_sent = 0  # chars of self.text already streamed out
+        self.prompt_ids: list[int] | None = None  # truncated prompt (set on
+        # first prefill chunk)
+        self.prompt_pos = 0  # tokens of prompt_ids already prefilled
+        self.finished = False  # set by _emit_token when the slot is done
+        self.spec_stats: dict = {}  # per-slot speculative accept stats
 
 
 class ServerContext:
     def __init__(
         self, model: Model, n_slots: int = 4, ctx_size: int = 2048, dtype=None,
-        loras=None, mesh=None, vision=None,
+        loras=None, mesh=None, vision=None, draft_model: Model | None = None,
+        ctx_shift: bool = True,
     ):
         import jax.numpy as jnp
 
@@ -90,6 +102,21 @@ class ServerContext:
             max_seq=ctx_size, dtype=dtype or jnp.bfloat16, mesh=mesh,
         )
         model.params = self.engine.params  # sharded copies when mesh is set
+        self.ctx_shift = ctx_shift
+        # per-slot speculative decoding (server.cpp:3559-3584): the draft
+        # engine mirrors the target's slot rows and stays in lockstep
+        self.draft_model = draft_model
+        self.spec: "SpeculativeDecoder | None" = None
+        if draft_model is not None:
+            from ..runtime.speculative import SpeculativeDecoder, SpeculativeParams
+
+            self.draft_engine = Engine(
+                draft_model.params, draft_model.config, batch_size=n_slots,
+                max_seq=ctx_size, dtype=dtype or jnp.bfloat16,
+            )
+            self.spec = SpeculativeDecoder(
+                self.engine, self.draft_engine, SpeculativeParams()
+            )
         self.slots = [Slot(i) for i in range(n_slots)]
         self.pending: "queue.Queue[Task]" = queue.Queue()
         self.ctx_size = ctx_size
@@ -125,6 +152,10 @@ class ServerContext:
             slot.n_gen = 0
             slot.text = ""
             slot.n_sent = 0
+            slot.prompt_ids = None
+            slot.prompt_pos = 0
+            slot.finished = False
+            slot.spec_stats = {}
             slot.t_start = time.time()
             grammar = None
             if task.grammar_text:
@@ -161,106 +192,189 @@ class ServerContext:
                 slot.t_first_token = time.time()
                 slot.state = GENERATING
                 return
-            ids = task.prompt_ids
-            if len(ids) >= self.ctx_size:
-                # keep a positive prompt tail even when n_predict >= ctx_size
-                # (the reference clamps n_predict to the remaining context,
-                # server.cpp slot.n_predict clamp, instead of failing)
-                keep = max(self.ctx_size - max(task.n_predict, 16), 16)
-                ids = ids[-keep:]
-            task.n_predict = max(min(task.n_predict, self.ctx_size - len(ids)), 1)
-            # prompt prefix-cache reuse (reference server.cpp:3191-3260):
-            # keep the common prefix already in this row's KV, prefill only
-            # the new suffix (at least one token, so we get logits)
-            n_common = 0
-            if task.cache_prompt and slot.cache_tokens:
-                limit = min(len(slot.cache_tokens), len(ids) - 1)
-                while n_common < limit and slot.cache_tokens[n_common] == ids[n_common]:
-                    n_common += 1
-            if n_common > 0:
-                self.engine.seq_len[slot.id] = n_common
+            if slot.prompt_ids is None:
+                ids = task.prompt_ids
+                if len(ids) >= self.ctx_size:
+                    # keep a positive prompt tail even when n_predict >=
+                    # ctx_size (the reference clamps n_predict to the
+                    # remaining context, server.cpp, instead of failing)
+                    keep = max(self.ctx_size - max(task.n_predict, 16), 16)
+                    ids = ids[-keep:]
+                if not self.ctx_shift:
+                    # without context shift a slot cannot outlive its
+                    # context: clamp n_predict to the remaining room
+                    task.n_predict = max(
+                        min(task.n_predict, self.ctx_size - len(ids)), 1
+                    )
+                # prompt prefix-cache reuse (server.cpp:3191-3260): keep the
+                # common prefix already in this row's KV, prefill only the
+                # new suffix (at least one token, so we get logits)
+                n_common = 0
+                if task.cache_prompt and slot.cache_tokens and self.spec is None:
+                    limit = min(len(slot.cache_tokens), len(ids) - 1)
+                    while n_common < limit and slot.cache_tokens[n_common] == ids[n_common]:
+                        n_common += 1
+                if n_common > 0:
+                    self.engine.seq_len[slot.id] = n_common
+                else:
+                    self.engine.clear_row(slot.id)
+                if self.spec is not None:
+                    self.draft_engine.clear_row(slot.id)
+                slot.prompt_ids = list(ids)
+                slot.prompt_pos = n_common
+                self.metrics["prompt_tokens_cached_total"] = (
+                    self.metrics.get("prompt_tokens_cached_total", 0) + n_common
+                )
+            # chunked prefill: at most PREFILL_CHUNK tokens per loop
+            # iteration so generating slots keep decoding between chunks
+            # (server.cpp:3191-3260 n_ubatch interleave)
+            ids = slot.prompt_ids
+            end = min(slot.prompt_pos + PREFILL_CHUNK, len(ids))
+            chunk = ids[slot.prompt_pos:end]
+            logits = self.engine.prefill(chunk, row=slot.id)
+            if self.spec is not None:
+                self.draft_engine.prefill(chunk, row=slot.id)
+            slot.prompt_pos = end
+            self.metrics["prompt_tokens_total"] += len(chunk)
+            if end == len(ids):
+                slot.cache_tokens = list(ids)
+                slot.next_token = slot.sampler.sample(logits)
+                slot.t_first_token = time.time()
+                slot.state = GENERATING
+            return  # one chunk per loop iteration (prefill/decode interleave)
+
+    def _emit_token(self, slot: Slot, tok: int) -> bool:
+        """Accept + stream one generated token; returns True when the slot
+        finished (and has been released)."""
+        vocab = self.model.vocab
+        slot.sampler.accept(tok)
+        slot.cache_tokens.append(tok)
+        piece = vocab.token_to_piece(tok).decode("utf-8", errors="replace")
+        slot.text += piece
+        slot.n_gen += 1
+        self.metrics["tokens_predicted_total"] += 1
+        task = slot.task
+        finished = (
+            vocab.is_eog(tok)
+            or slot.n_gen >= task.n_predict
+            or (not self.ctx_shift
+                and int(self.engine.seq_len[slot.id]) + 1 >= self.ctx_size)
+            or task.cancelled
+            or any(stop in slot.text for stop in task.stop_strings)
+        )
+        if task.stream and not vocab.is_eog(tok):
+            # hold back any suffix that could become a stop string
+            # (string_find_partial_stop role; runtime/partial.py)
+            hold = 0
+            if task.stop_strings and not finished:
+                from ..runtime.partial import partial_stop_match
+
+                hold = max(
+                    partial_stop_match(slot.text, s) for s in task.stop_strings
+                )
+            emit_to = len(slot.text) - hold
+            if emit_to > slot.n_sent:
+                task.out.put({
+                    "content": slot.text[slot.n_sent:emit_to], "stop": False
+                })
+                slot.n_sent = emit_to
+        if finished:
+            t_now = time.time()
+            # truncate at the stop string (reference server behavior)
+            final_text = slot.text
+            for s in task.stop_strings:
+                idx = final_text.find(s)
+                if idx >= 0:
+                    final_text = final_text[:idx]
+            if task.stream:
+                tail = final_text[slot.n_sent:]
+                content = tail if tail and not vocab.is_eog(tok) else ""
             else:
-                self.engine.clear_row(slot.id)
-            logits = self.engine.prefill(ids[n_common:], row=slot.id)
-            slot.cache_tokens = list(ids)
-            self.metrics["prompt_tokens_total"] += len(ids) - n_common
-            self.metrics["prompt_tokens_cached_total"] = (
-                self.metrics.get("prompt_tokens_cached_total", 0) + n_common
-            )
-            slot.next_token = slot.sampler.sample(logits)
-            slot.t_first_token = time.time()
-            slot.state = GENERATING
-            return  # one prompt per loop iteration (chunked prefill interleave)
+                content = final_text
+            timings = {
+                "prompt_n": len(task.prompt_ids),
+                "predicted_n": slot.n_gen,
+                "predicted_ms": (t_now - slot.t_first_token) * 1000.0,
+            }
+            if slot.spec_stats.get("drafted"):
+                timings["draft_n"] = slot.spec_stats["drafted"]
+                timings["draft_n_accepted"] = slot.spec_stats["accepted"]
+            task.out.put({
+                "content": content,
+                "stop": True,
+                "stop_reason": "eos" if vocab.is_eog(tok) else "limit",
+                "tokens_predicted": slot.n_gen,
+                "timings": timings,
+            })
+            slot.state = IDLE
+            slot.task = None
+            slot.sampler = None
+            slot.finished = True
+        return finished
+
+    def _maybe_context_shift(self, slot: Slot, headroom: int = 1) -> None:
+        """Per-slot context shift (server.cpp:2993-3030): when the row's
+        context cannot fit `headroom` more tokens, discard half of the
+        non-kept tokens and slide the rest down (on-device gather+re-rope,
+        Engine.shift_row)."""
+        if not self.ctx_shift or slot.task is None:
+            return
+        cur = int(self.engine.seq_len[slot.id])
+        if cur + headroom < self.ctx_size:
+            return
+        task = slot.task
+        n_keep = task.n_keep
+        if n_keep < 0:
+            n_keep = len(slot.prompt_ids or task.prompt_ids)
+        n_keep = min(n_keep, self.ctx_size // 2)
+        n_discard = max((cur - n_keep) // 2, headroom)
+        self.engine.shift_row(slot.id, n_keep, n_discard)
+        if self.spec is not None:
+            self.draft_engine.shift_row(slot.id, n_keep, n_discard)
+        del slot.cache_tokens[n_keep:n_keep + n_discard]
+        self.metrics["context_shifts_total"] = (
+            self.metrics.get("context_shifts_total", 0) + 1
+        )
 
     def _decode_step(self) -> None:
         gen = [s for s in self.slots if s.state == GENERATING]
         if not gen:
             return
-        vocab = self.model.vocab
         # emit the token each slot currently holds
         for slot in gen:
-            tok = slot.next_token
-            slot.sampler.accept(tok)
-            slot.cache_tokens.append(tok)
-            piece = vocab.token_to_piece(tok).decode("utf-8", errors="replace")
-            slot.text += piece
-            slot.n_gen += 1
-            self.metrics["tokens_predicted_total"] += 1
-            task = slot.task
-            finished = (
-                vocab.is_eog(tok)
-                or slot.n_gen >= task.n_predict
-                or int(self.engine.seq_len[slot.id]) + 1 >= self.ctx_size
-                or task.cancelled
-                or any(stop in slot.text for stop in task.stop_strings)
-            )
-            if task.stream and not vocab.is_eog(tok):
-                # hold back any suffix that could become a stop string
-                # (string_find_partial_stop role; runtime/partial.py)
-                hold = 0
-                if task.stop_strings and not finished:
-                    from ..runtime.partial import partial_stop_match
-
-                    hold = max(
-                        partial_stop_match(slot.text, s) for s in task.stop_strings
-                    )
-                emit_to = len(slot.text) - hold
-                if emit_to > slot.n_sent:
-                    task.out.put({
-                        "content": slot.text[slot.n_sent:emit_to], "stop": False
-                    })
-                    slot.n_sent = emit_to
-            if finished:
-                t_now = time.time()
-                # truncate at the stop string (reference server behavior)
-                final_text = slot.text
-                for s in task.stop_strings:
-                    idx = final_text.find(s)
-                    if idx >= 0:
-                        final_text = final_text[:idx]
-                if task.stream:
-                    tail = final_text[slot.n_sent:]
-                    content = tail if tail and not vocab.is_eog(tok) else ""
-                else:
-                    content = final_text
-                task.out.put({
-                    "content": content,
-                    "stop": True,
-                    "stop_reason": "eos" if vocab.is_eog(tok) else "limit",
-                    "tokens_predicted": slot.n_gen,
-                    "timings": {
-                        "prompt_n": len(task.prompt_ids),
-                        "predicted_n": slot.n_gen,
-                        "predicted_ms": (t_now - slot.t_first_token) * 1000.0,
-                    },
-                })
-                slot.state = IDLE
-                slot.task = None
-                slot.sampler = None
+            self._emit_token(slot, slot.next_token)
         gen = [s for s in self.slots if s.state == GENERATING]
         if not gen:
             return
+        if self.spec is not None:
+            # per-slot speculative rounds (server.cpp:3559-3584): draft a
+            # continuation, verify in one target call, emit all accepted
+            for slot in gen:
+                old_p = self.spec.p
+                if slot.task.spec:  # per-request overrides (server.cpp:299-305)
+                    from ..runtime.speculative import SpeculativeParams
+
+                    self.spec.p = SpeculativeParams(
+                        n_draft=int(slot.task.spec.get("n_max", old_p.n_draft)),
+                        n_min=int(slot.task.spec.get("n_min", old_p.n_min)),
+                        p_min=float(slot.task.spec.get("p_min", old_p.p_min)),
+                    )
+                self._maybe_context_shift(slot, headroom=self.spec.p.n_draft + 2)
+                max_accept = slot.task.n_predict - slot.n_gen - 1
+                accepted, nxt = self.spec.step_slot(
+                    slot.id, slot.next_token, slot.sampler.sample,
+                    max(max_accept, 0), slot.spec_stats,
+                )
+                self.spec.p = old_p
+                for t in accepted:
+                    if self._emit_token(slot, t):
+                        break
+                if slot.state == GENERATING:
+                    slot.next_token = nxt
+            return
         # batch decode one token for every generating slot
+        for slot in gen:
+            self._maybe_context_shift(slot)
         toks = np.zeros(len(self.slots), dtype=np.int32)
         active = np.zeros(len(self.slots), dtype=bool)
         for slot in gen:
@@ -558,6 +672,9 @@ class ServerContext:
             kind=kind,
             cache_prompt=bool(body.get("cache_prompt", True)),
             chunks=chunks,
+            n_keep=int(body.get("n_keep", 0)),
+            spec=body.get("speculative") if isinstance(body.get("speculative"), dict)
+            else None,
         )
         self.metrics["requests_total"] += 1
         return task
@@ -914,10 +1031,11 @@ def make_handler(ctx: ServerContext):
 
 def serve(
     model: Model, host="127.0.0.1", port=8080, n_slots=4, ctx_size=2048, dtype=None,
-    loras=None, mesh=None, vision=None,
+    loras=None, mesh=None, vision=None, draft_model=None, ctx_shift=True,
 ):
     ctx = ServerContext(model, n_slots=n_slots, ctx_size=ctx_size, dtype=dtype,
-                        loras=loras, mesh=mesh, vision=vision)
+                        loras=loras, mesh=mesh, vision=vision,
+                        draft_model=draft_model, ctx_shift=ctx_shift)
     ctx.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(ctx))
     return ctx, httpd

@@ -108,9 +108,10 @@ def qmm_var(x, qt, variant, tn):
     )(x, qt.planes["qs"], qt.planes["scales"], qt.planes["mins"])
 
 
-def timeit(fn, x, reps=50):
+def timeit(fn, x, reps=400):
     """On-device chained loop: each rep's input depends on the previous
-    output, so no dispatch-level caching/dedup can elide work."""
+    output, so no dispatch-level caching/dedup can elide work. The ~30ms
+    tunnel round-trip is measured with a null loop and subtracted."""
     K = x.shape[1]
 
     @jax.jit
@@ -122,10 +123,18 @@ def timeit(fn, x, reps=50):
 
         return jax.lax.fori_loop(0, reps, body, x0)
 
+    @jax.jit
+    def null_loop(x0):
+        return jax.lax.fori_loop(0, reps, lambda _, xc: xc * 1.0000001, x0)
+
+    null_loop(x).block_until_ready()
+    t0 = time.time()
+    null_loop(x).block_until_ready()
+    base = time.time() - t0
     loop(x).block_until_ready()
     t0 = time.time()
     loop(x).block_until_ready()
-    return (time.time() - t0) / reps
+    return max(time.time() - t0 - base, 1e-9) / reps
 
 
 def main():

@@ -265,3 +265,73 @@ def test_stream_stop_string_holdback(server):
                 chunks.append(json.loads(line[6:]))
     text = "".join(c.get("content", "") for c in chunks)
     assert "@@" not in text
+
+
+def test_context_shift_generation(tmp_path):
+    """A generation that exceeds ctx_size must keep going via per-slot
+    context shift (server.cpp:2993-3030), not stop at the limit."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.server.server import ServerContext
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / "shift.gguf")
+    make_tiny_llama_gguf(path)
+    model = load_model(path, mode="quantized", dtype=jnp.float32)
+    ctx = ServerContext(model, n_slots=1, ctx_size=48, dtype=jnp.float32)
+    ctx.start()
+    try:
+        task = ctx.make_task({"prompt": "hello world", "n_predict": 80,
+                              "temperature": 0.0}, kind="completion")
+        ctx.pending.put(task)
+        res = task.out.get(timeout=300)
+        assert "error" not in res, res
+        # n_predict was clamped to the remaining context at admission, but
+        # generation must run past the point the context first filled
+        assert res["tokens_predicted"] > 20
+        assert ctx.metrics.get("context_shifts_total", 0) >= 1
+    finally:
+        ctx.stop()
+
+
+def test_server_speculative_decode(tmp_path):
+    """Per-slot speculative decoding with the model as its own draft:
+    greedy output must match plain decoding and acceptance must be ~100%."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.server.server import ServerContext
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / "spec.gguf")
+    make_tiny_llama_gguf(path)
+    model = load_model(path, mode="quantized", dtype=jnp.float32)
+    draft = load_model(path, mode="quantized", dtype=jnp.float32)
+
+    plain = ServerContext(model, n_slots=1, ctx_size=128, dtype=jnp.float32)
+    plain.start()
+    task = plain.make_task({"prompt": "once upon", "n_predict": 12,
+                            "temperature": 0.0}, kind="completion")
+    plain.pending.put(task)
+    ref = task.out.get(timeout=300)
+    plain.stop()
+    assert "error" not in ref, ref
+
+    ctx = ServerContext(model, n_slots=1, ctx_size=128, dtype=jnp.float32,
+                        draft_model=draft)
+    ctx.start()
+    try:
+        task = ctx.make_task({"prompt": "once upon", "n_predict": 12,
+                              "temperature": 0.0,
+                              "speculative": {"n_max": 4, "p_min": 0.0}}, kind="completion")
+        ctx.pending.put(task)
+        res = task.out.get(timeout=300)
+        assert "error" not in res, res
+        assert res["content"] == ref["content"]
+        t = res["timings"]
+        assert t.get("draft_n", 0) > 0
+        # same weights draft: every drafted token the target samples agrees
+        assert t["draft_n_accepted"] >= t["draft_n"] * 0.5
+    finally:
+        ctx.stop()
