@@ -285,16 +285,19 @@ def forward(
     H, Hkv = cfg.n_head, cfg.n_head_kv
     Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
     scale = cfg.kq_scale
-    from ..ops.pallas import flash_decode, flash_prefill
+    from ..ops.pallas import flash_decode, flash_prefill, flash_q8
 
+    use_flash_q8 = flash_q8.decode_supported(cfg, cache, T)
+    use_flash_q8_prefill = not use_flash_q8 and flash_q8.prefill_supported(
+        cfg, cache, T, int(cache.max_seq)
+    )
     use_flash = flash_decode.supported(cfg, cache, T)
     use_flash_prefill = not use_flash and flash_prefill.supported(
         cfg, cache, T, int(cache.max_seq)
     )
-    if use_flash or use_flash_prefill:
+    any_flash = use_flash or use_flash_prefill or use_flash_q8 or use_flash_q8_prefill
+    if any_flash:
         mask = intra = swa_mask = intra_swa = None
-        import jax
-
         _interp = jax.default_backend() != "tpu"
     else:
         (mask, intra), (swa_mask, intra_swa) = _build_masks(
@@ -307,6 +310,42 @@ def forward(
             swa_mask = build_swa_ring_mask(
                 write_pos, T, cache.window, cfg.sliding_window
             )
+
+    def _attend(q, k, v, il, is_swa):
+        """Attention over row `il`'s cache + the current block, picking the
+        best kernel: flash reading quantized KV planes directly (never
+        materializing a dequantized cache), dense flash, or the XLA masked
+        fallback."""
+        win = cfg.sliding_window if is_swa else 0
+        if use_flash_q8:
+            return flash_q8.flash_decode_q8(
+                q[:, 0], cache.k_q[il], cache.k_s[il], cache.v_q[il],
+                cache.v_s[il], k[:, 0], v[:, 0], write_pos, scale,
+                softcap=cfg.attn_logit_softcap, window=win, interpret=_interp,
+            )[:, None]
+        if use_flash_q8_prefill:
+            return flash_q8.flash_prefill_q8(
+                q, cache.k_q[il], cache.k_s[il], cache.v_q[il], cache.v_s[il],
+                k, v, write_pos, scale, softcap=cfg.attn_logit_softcap,
+                window=win, interpret=_interp,
+            )
+        k_old, v_old = cache.read(il)
+        if use_flash:
+            return flash_decode.flash_decode_attention(
+                q[:, 0], k_old, v_old, k[:, 0], v[:, 0], write_pos, scale,
+                softcap=cfg.attn_logit_softcap, window=win, interpret=_interp,
+            )[:, None]
+        if use_flash_prefill:
+            return flash_prefill.flash_prefill_attention(
+                q, k_old, v_old, k, v, write_pos, scale,
+                softcap=cfg.attn_logit_softcap, window=win, interpret=_interp,
+            )
+        m, im = (swa_mask, intra_swa) if is_swa else (mask, intra)
+        return masked_attention(
+            q, k_old, v_old, m, scale, logit_softcap=cfg.attn_logit_softcap,
+            k_cur=k, v_cur=v, intra_mask=im,
+        )
+
     new_ks, new_vs = [], []
 
     if input_embd is not None:
@@ -381,20 +420,7 @@ def forward(
             )
             new_ks.append(k)
             new_vs.append(v)
-            k_old, v_old = cache.read(il)
-            if use_flash:
-                attn = flash_decode.flash_decode_attention(
-                    q[:, 0], k_old, v_old, k[:, 0], v[:, 0], write_pos, scale,
-                    softcap=cfg.attn_logit_softcap,
-                    window=cfg.sliding_window if is_swa else 0,
-                    interpret=_interp,
-                )[:, None]
-            else:
-                m, im = (swa_mask, intra_swa) if is_swa else (mask, intra)
-                attn = masked_attention(
-                    q, k_old, v_old, m, scale, logit_softcap=cfg.attn_logit_softcap,
-                    k_cur=k, v_cur=v, intra_mask=im,
-                )
+            attn = _attend(q, k, v, il, is_swa)
             attn = _linear(attn.reshape(B, T, H * Dv), layer, "attn_output")
             if cfg.post_norms and "attn_post_norm" in layer:
                 attn = _norm(attn, layer, "attn_post_norm", cfg)
@@ -435,27 +461,7 @@ def forward(
             k = apply_rope_tables(k, tab, rdim)
         new_ks.append(k)
         new_vs.append(v)
-        k_old, v_old = cache.read(il)
-        if use_flash:
-            attn = flash_decode.flash_decode_attention(
-                q[:, 0], k_old, v_old, k[:, 0], v[:, 0], write_pos, scale,
-                softcap=cfg.attn_logit_softcap,
-                window=cfg.sliding_window if is_swa else 0,
-                interpret=_interp,
-            )[:, None]
-        elif use_flash_prefill:
-            attn = flash_prefill.flash_prefill_attention(
-                q, k_old, v_old, k, v, write_pos, scale,
-                softcap=cfg.attn_logit_softcap,
-                window=cfg.sliding_window if is_swa else 0,
-                interpret=_interp,
-            )
-        else:
-            m, im = (swa_mask, intra_swa) if is_swa else (mask, intra)
-            attn = masked_attention(
-                q, k_old, v_old, m, scale, logit_softcap=cfg.attn_logit_softcap,
-                k_cur=k, v_cur=v, intra_mask=im,
-            )
+        attn = _attend(q, k, v, il, is_swa)
         attn = _linear(attn.reshape(B, T, H * Dv), layer, "attn_output")
         if cfg.post_norms and "attn_post_norm" in layer:
             attn = _norm(attn, layer, "attn_post_norm", cfg)

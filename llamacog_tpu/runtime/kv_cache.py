@@ -128,24 +128,50 @@ class QuantKVCache:
         return cls(kq, ks, vq, vs)
 
     @staticmethod
+    def kv_permute(x: jnp.ndarray) -> jnp.ndarray:
+        """Natural head-dim order -> the cache's strided store order."""
+        D = x.shape[-1]
+        gs = QuantKVCache.group_size(D)
+        G = D // gs
+        return jnp.swapaxes(x.reshape(*x.shape[:-1], G, gs), -1, -2).reshape(x.shape)
+
+    @staticmethod
+    def kv_unpermute(x: jnp.ndarray) -> jnp.ndarray:
+        """Strided store order -> natural head-dim order."""
+        D = x.shape[-1]
+        gs = QuantKVCache.group_size(D)
+        G = D // gs
+        return jnp.swapaxes(x.reshape(*x.shape[:-1], gs, G), -1, -2).reshape(x.shape)
+
+    @staticmethod
     def _quant(x: jnp.ndarray):
-        """[..., D] -> int8 [..., D], scales [..., D/g] (Q8_0 semantics)."""
-        gs = QuantKVCache.group_size(x.shape[-1])
-        g = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, gs)
+        """[..., D] -> int8 [..., D], scales [..., G] (Q8_0 semantics).
+
+        Element order is GROUP-STRIDED like quant/planar.py: stored column
+        c = r*G + g holds source element g*gs + r, so the flash kernels
+        broadcast the scale plane with one pltpu.repeat tile (column c gets
+        scale c mod G). Q/output head-dims are permuted to match outside the
+        kernels (kv_permute/kv_unpermute)."""
+        D = x.shape[-1]
+        gs = QuantKVCache.group_size(D)
+        G = D // gs
+        g = x.astype(jnp.float32).reshape(*x.shape[:-1], G, gs)
         amax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
         d = amax / 127.0
         q = jnp.where(d > 0, jnp.round(g / jnp.where(d > 0, d, 1.0)), 0.0)
-        return (
-            q.astype(jnp.int8).reshape(*x.shape[:-1], -1),
-            d.squeeze(-1),
-        )
+        # [.., G, gs] -> strided store order [.., gs, G] -> [.., D]
+        q = jnp.swapaxes(q, -1, -2).reshape(*x.shape[:-1], D)
+        return q.astype(jnp.int8), d.squeeze(-1)
 
     @staticmethod
     def _dequant(q: jnp.ndarray, s: jnp.ndarray, dtype):
-        gs = q.shape[-1] // s.shape[-1]
-        g = q.reshape(*q.shape[:-1], -1, gs).astype(jnp.float32)
-        out = g * s[..., None]
-        return out.reshape(*q.shape[:-1], -1).astype(dtype)
+        D = q.shape[-1]
+        G = s.shape[-1]
+        gs = D // G
+        g = q.reshape(*q.shape[:-1], gs, G).astype(jnp.float32)
+        out = g * s[..., None, :]
+        out = jnp.swapaxes(out, -1, -2).reshape(*q.shape[:-1], D)
+        return out.astype(dtype)
 
     def update(self, layer: int, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray):
         kq_new, ks_new = self._quant(k_new)

@@ -108,7 +108,7 @@ def qmm_var(x, qt, variant, tn):
     )(x, qt.planes["qs"], qt.planes["scales"], qt.planes["mins"])
 
 
-def timeit(fn, x, reps=400):
+def timeit(fn, x, reps=3000):
     """On-device chained loop: each rep's input depends on the previous
     output, so no dispatch-level caching/dedup can elide work. The ~30ms
     tunnel round-trip is measured with a null loop and subtracted."""
@@ -127,14 +127,17 @@ def timeit(fn, x, reps=400):
     def null_loop(x0):
         return jax.lax.fori_loop(0, reps, lambda _, xc: xc * 1.0000001, x0)
 
-    null_loop(x).block_until_ready()
-    t0 = time.time()
-    null_loop(x).block_until_ready()
-    base = time.time() - t0
-    loop(x).block_until_ready()
-    t0 = time.time()
-    loop(x).block_until_ready()
-    return max(time.time() - t0 - base, 1e-9) / reps
+    def best(f):
+        f(x).block_until_ready()  # warmup/compile
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            f(x).block_until_ready()
+            ts.append(time.time() - t0)
+        return min(ts)  # min-of-3 damps the ~30ms tunnel RTT jitter
+
+    base = best(null_loop)
+    return max(best(loop) - base, 1e-9) / reps
 
 
 def main():
