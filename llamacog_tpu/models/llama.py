@@ -116,6 +116,15 @@ def _matmul_id(rows: jnp.ndarray, ids: jnp.ndarray, qt) -> jnp.ndarray:
     """[S,K] rows x per-row expert -> [S,N]; streams only selected experts."""
     from ..ops.pallas import qmm_id as qid
 
+    if qt.pspec == "expert":
+        from ..parallel.pallas_shard import sharded_qmm_gather
+        from ..parallel.sharding import get_active_mesh
+
+        mesh = get_active_mesh()
+        if mesh is not None:
+            out = sharded_qmm_gather(rows, ids, qt, mesh)
+            if out is not None:
+                return out
     if qid.supports(qt.kind) and jax.default_backend() == "tpu":
         return qid.qmm_gather(rows, ids, qt)
     return qid.qmm_gather_xla(rows, ids, qt, dtype=rows.dtype)
@@ -124,6 +133,15 @@ def _matmul_id(rows: jnp.ndarray, ids: jnp.ndarray, qt) -> jnp.ndarray:
 def _matmul_ragged(xs: jnp.ndarray, tile_expert: jnp.ndarray, qt, tt: int):
     from ..ops.pallas import qmm_id as qid
 
+    if qt.pspec == "expert":
+        from ..parallel.pallas_shard import sharded_qmm_ragged
+        from ..parallel.sharding import get_active_mesh
+
+        mesh = get_active_mesh()
+        if mesh is not None:
+            out = sharded_qmm_ragged(xs, tile_expert, qt, tt, mesh)
+            if out is not None:
+                return out
     if qid.supports(qt.kind) and jax.default_backend() == "tpu":
         return qid.qmm_ragged(xs, tile_expert, qt, tt)
     ids_rows = jnp.repeat(tile_expert, tt, total_repeat_length=xs.shape[0])

@@ -58,7 +58,20 @@ def qmatmul(x: jnp.ndarray, w: Any, compute_dtype=None) -> jnp.ndarray:
             import jax
 
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if backend == "pallas":
+        if w.pspec is not None:
+            # TP-sharded planes: the kernel must run per-shard under
+            # shard_map (a plain pallas_call would force an all-gather);
+            # un-shardable layouts/kinds fall through to the XLA decode
+            # path, which partitions correctly under SPMD
+            from ..parallel.pallas_shard import sharded_qmm
+            from ..parallel.sharding import get_active_mesh
+
+            mesh = get_active_mesh()
+            if mesh is not None and backend == "pallas":
+                out = sharded_qmm(x, w, mesh)
+                if out is not None:
+                    return out.astype(x.dtype)
+        elif backend == "pallas":
             from .pallas.dispatch import pallas_qmatmul, supports
 
             if supports(w.kind):

@@ -99,6 +99,10 @@ def flash_decode_attention(
 
 
 def supported(cfg, cache, t: int) -> bool:
+    from ...parallel.sharding import get_active_mesh
+
+    if get_active_mesh() is not None:
+        return False  # sharded serving: attention runs on the SPMD XLA path
     """Use the fused kernel only on the plain decode shape, and only when
     opted in: measured on v5e, XLA's fused einsum+softmax attention beats
     this kernel's per-head loop at decode shapes (616 vs 556 t/s on the 1B

@@ -149,6 +149,10 @@ def flash_prefill_attention(
 
 
 def supported(cfg, cache, t: int, s: int) -> bool:
+    from ...parallel.sharding import get_active_mesh
+
+    if get_active_mesh() is not None:
+        return False  # sharded serving: attention runs on the SPMD XLA path
     from ...runtime.kv_cache import KVCache
 
     return (

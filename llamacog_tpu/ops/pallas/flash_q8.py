@@ -243,6 +243,10 @@ def flash_prefill_q8(
 
 
 def decode_supported(cfg, cache, t: int) -> bool:
+    from ...parallel.sharding import get_active_mesh
+
+    if get_active_mesh() is not None:
+        return False  # sharded serving: attention runs on the SPMD XLA path
     import os
 
     from ...runtime.kv_cache import QuantKVCache
@@ -259,6 +263,10 @@ def decode_supported(cfg, cache, t: int) -> bool:
 
 
 def prefill_supported(cfg, cache, t: int, s: int) -> bool:
+    from ...parallel.sharding import get_active_mesh
+
+    if get_active_mesh() is not None:
+        return False  # sharded serving: attention runs on the SPMD XLA path
     import os
 
     from ...runtime.kv_cache import QuantKVCache

@@ -73,9 +73,28 @@ def _rep(s, r):
     return pltpu.repeat(s.astype(jnp.float32), r, axis=1)
 
 
+def _rep_to(s, w):
+    """Tile the scale plane to payload-slice width `w`. The repeat factor is
+    derived from shapes (not a per-format constant) so the same decoder
+    works on column-sharded planes, where the payload slice is 1/m of the
+    global width but the scale plane stays full (parallel/sharding._put_quant:
+    shard widths are group-aligned, so `c mod G` still indexes the group)."""
+    return _rep(s, w // s.shape[-1])
+
+
+# trace-time flag (set by _qmm_call, keyed into the jit cache via its static
+# args): at matvec batch sizes the MXU is row-starved, so f32 operands cost
+# no MXU time and skip one bf16-cast VPU pass per weight element
+_MXU_F32 = False
+
+
+def _to_mxu(w):
+    return w if _MXU_F32 else w.astype(jnp.bfloat16)
+
+
 def _wm(v, st):
-    """int levels × f32 scale tile -> bf16 MXU operand."""
-    return (v.astype(jnp.float32) * st).astype(jnp.bfloat16)
+    """int levels × f32 scale tile -> MXU operand (bf16, or f32 at matvec B)."""
+    return _to_mxu(v.astype(jnp.float32) * st)
 
 
 def _lut16(idx):
@@ -97,59 +116,59 @@ def _f32(p):
 
 
 def _dec_q4_0(p):
-    st = _rep(p["d"], 16)
+    st = _rep_to(p["d"], p["qs"].shape[-1])
     return [_wm(v, st) for v in _nib(p["qs"])], 8.0 * _f32(p["d"])
 
 
 def _dec_q4_1(p):
-    st = _rep(p["d"], 16)
+    st = _rep_to(p["d"], p["qs"].shape[-1])
     return [_wm(v, st) for v in _nib(p["qs"])], -_f32(p["m"])
 
 
 def _dec_q5_0(p):
-    st = _rep(p["d"], 16)
+    st = _rep_to(p["d"], p["qs"].shape[-1])
     hb = _bits(p["qh"], 2)
     lo, hi = _nib(p["qs"])
     return [_wm(lo | (hb[0] << 4), st), _wm(hi | (hb[1] << 4), st)], 16.0 * _f32(p["d"])
 
 
 def _dec_q5_1(p):
-    st = _rep(p["d"], 16)
+    st = _rep_to(p["d"], p["qs"].shape[-1])
     hb = _bits(p["qh"], 2)
     lo, hi = _nib(p["qs"])
     return [_wm(lo | (hb[0] << 4), st), _wm(hi | (hb[1] << 4), st)], -_f32(p["m"])
 
 
 def _dec_q8_0(p):
-    return [_wm(p["qs"], _rep(p["d"], 32))], None
+    return [_wm(p["qs"], _rep_to(p["d"], p["qs"].shape[-1]))], None
 
 
 def _dec_q2_K(p):
-    st = _rep(p["scales"], 4)
+    st = _rep_to(p["scales"], p["qs"].shape[-1])
     return [_wm(v, st) for v in _crumbs(p["qs"])], _f32(p["mins"])
 
 
 def _dec_q3_K(p):
-    st = _rep(p["scales"], 4)
+    st = _rep_to(p["scales"], p["qs"].shape[-1])
     hb = _bits(p["hb"], 4)
     q2 = _crumbs(p["qs"])
     return [_wm(q2[i] | (hb[i] << 2), st) for i in range(4)], 4.0 * _f32(p["scales"])
 
 
 def _dec_q4_K(p):
-    st = _rep(p["scales"], 16)
+    st = _rep_to(p["scales"], p["qs"].shape[-1])
     return [_wm(v, st) for v in _nib(p["qs"])], _f32(p["mins"])
 
 
 def _dec_q5_K(p):
-    st = _rep(p["scales"], 16)
+    st = _rep_to(p["scales"], p["qs"].shape[-1])
     hb = _bits(p["qh"], 2)
     lo, hi = _nib(p["qs"])
     return [_wm(lo | (hb[0] << 4), st), _wm(hi | (hb[1] << 4), st)], _f32(p["mins"])
 
 
 def _dec_q6_K(p):
-    st = _rep(p["scales"], 8)
+    st = _rep_to(p["scales"], p["qs"].shape[-1])
     hb = _crumbs(p["qh"])
     lo, hi = _nib(p["qs"])
     parts = [
@@ -160,13 +179,13 @@ def _dec_q6_K(p):
 
 
 def _dec_iq4_nl(p):
-    st = _rep(p["d"], 16)
-    return [(_lut16(v) * st).astype(jnp.bfloat16) for v in _nib(p["qs"])], None
+    st = _rep_to(p["d"], p["qs"].shape[-1])
+    return [_to_mxu(_lut16(v) * st) for v in _nib(p["qs"])], None
 
 
 def _dec_iq4_xs(p):
-    st = _rep(p["scales"], 16)
-    return [(_lut16(v) * st).astype(jnp.bfloat16) for v in _nib(p["qs"])], None
+    st = _rep_to(p["scales"], p["qs"].shape[-1])
+    return [_to_mxu(_lut16(v) * st) for v in _nib(p["qs"])], None
 
 
 def _unpack2(qs):
@@ -182,7 +201,7 @@ def _dec_iq2(R, p):
     c = _unpack2(p["qs"])
     mag = jnp.where(c == 0, 8.0, jnp.where(c == 1, 25.0, 43.0))
     sign = 1.0 - 2.0 * _unpack1(p["sg"]).astype(jnp.float32)
-    return [(mag * sign * _rep(p["scales"], R)).astype(jnp.bfloat16)], None
+    return [_to_mxu(mag * sign * _rep_to(p["scales"], c.shape[-1]))], None
 
 
 def _dec_iq3_xxs(p):
@@ -191,19 +210,19 @@ def _dec_iq3_xxs(p):
     for i, val in enumerate(IQ3XXS_ALPHABET):
         mag = mag + jnp.where(c == i, np.float32(val), 0.0)
     sign = 1.0 - 2.0 * _unpack1(p["sg"]).astype(jnp.float32)
-    return [(mag * sign * _rep(p["scales"], 32)).astype(jnp.bfloat16)], None
+    return [_to_mxu(mag * sign * _rep_to(p["scales"], c.shape[-1]))], None
 
 
 def _dec_iq3_s(p):
     c = _unpack2(p["qs"]) | (_unpack1(p["hb"]) << 2)
     sign = 1.0 - 2.0 * _unpack1(p["sg"]).astype(jnp.float32)
-    w = (2 * c + 1).astype(jnp.float32) * sign * _rep(p["scales"], 32)
-    return [w.astype(jnp.bfloat16)], None
+    w = (2 * c + 1).astype(jnp.float32) * sign * _rep_to(p["scales"], c.shape[-1])
+    return [_to_mxu(w)], None
 
 
 def _dec_iq1(R, p):
     # v = (q - 1)*s - m  ->  q*s with correction plane s + m
-    st = _rep(p["scales"], R // 4)
+    st = _rep_to(p["scales"], p["qs"].shape[-1])
     parts = [_wm(v, st) for v in _crumbs(p["qs"])]
     return parts, _f32(p["scales"]) + _f32(p["mins"])
 
@@ -237,13 +256,16 @@ TILE_DECODERS = {
 # ---------------------------------------------------------------------------
 
 
-def _qmm_kernel(kind, n_planes, G, x_ref, *refs):
+def _qmm_kernel(kind, n_planes, G, permute, x_ref, *refs):
     names = TILE_DECODERS[kind][1]
     planes = {name: refs[i][...] for i, name in enumerate(names)}
     out_ref = refs[n_planes]
     parts, corr = TILE_DECODERS[kind][0](planes)
-    xf = x_ref[...]  # [B, K] f32, strided cols
-    x = xf.astype(jnp.bfloat16)
+    xf = x_ref[...]  # [B, K] strided cols (permuted outside: Mosaic has no
+    # in-kernel shape-cast for the reorder; XLA CSE dedupes the repeated
+    # permutes of one activation across q/k/v/gate_up)
+    del permute
+    x = xf if _MXU_F32 else xf.astype(jnp.bfloat16)
     P = len(parts)
     Kp = x.shape[1] // P
     acc = None
@@ -268,8 +290,11 @@ def _qmm_kernel(kind, n_planes, G, x_ref, *refs):
     out_ref[...] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "shape", "plane_names", "tn", "G", "interpret"))
-def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False):
+@functools.partial(jax.jit, static_argnames=(
+    "kind", "shape", "plane_names", "tn", "G", "interpret", "permute", "mxu_f32"))
+def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
+              permute=False, mxu_f32=False):
+    global _MXU_F32
     N, K = shape
     B = x.shape[0]
     planes = dict(zip(plane_names, plane_vals))
@@ -280,28 +305,32 @@ def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False):
         pl.BlockSpec((tn, planes[name].shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
         for name in plane_names
     ]
-    kernel = functools.partial(_qmm_kernel, kind, len(plane_names), G)
+    kernel = functools.partial(_qmm_kernel, kind, len(plane_names), G, permute)
+    _MXU_F32 = mxu_f32  # trace-time; jit caches on the static arg
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024,
         )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((B, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * N * K,
-            bytes_accessed=sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in plane_vals)
-            + B * K * x.dtype.itemsize + B * N * 4,
-            transcendentals=0,
-        ),
-        **kwargs,
-    )(x, *(planes[n] for n in plane_names))
+    try:
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((B, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * N * K,
+                bytes_accessed=sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in plane_vals)
+                + B * K * x.dtype.itemsize + B * N * 4,
+                transcendentals=0,
+            ),
+            **kwargs,
+        )(x, *(planes[n] for n in plane_names))
+    finally:
+        _MXU_F32 = False
 
 
 _TN_OVERRIDE = int(os.environ.get("LLAMACOG_QMM_TN", "0"))
@@ -346,7 +375,8 @@ def qmm(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False) -> jnp.ndarray
     dec, names, gplane = TILE_DECODERS[qt.kind]
     G = qt.planes[gplane].shape[1]
     plane_vals = tuple(qt.planes[n] for n in names)
-    out = _qmm_call(xp, plane_vals, qt.kind, (N, K), names, tn, G, interpret)
+    out = _qmm_call(xp, plane_vals, qt.kind, (N, K), names, tn, G, interpret,
+                    permute=True, mxu_f32=B <= 8)
     return out.reshape(*lead, N)
 
 

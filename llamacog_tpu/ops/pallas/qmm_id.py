@@ -70,7 +70,7 @@ def _body(kind, G, x, xf, parts, corr, out_ref):
 def _gather_kernel(kind, n_planes, G, ids_ref, x_ref, *refs):
     out_ref = refs[n_planes]
     parts, corr = _decode_block(kind, refs, n_planes)
-    xf = x_ref[...]
+    xf = x_ref[...]  # [*, K] strided cols (permuted outside; see qmm.py)
     _body(kind, G, xf.astype(jnp.bfloat16), xf, parts, corr, out_ref)
 
 
@@ -139,7 +139,7 @@ def qmm_gather(x: jnp.ndarray, ids: jnp.ndarray, qt: QuantTensor,
 def _ragged_kernel(kind, n_planes, G, te_ref, x_ref, *refs):
     out_ref = refs[n_planes]
     parts, corr = _decode_block(kind, refs, n_planes)
-    xf = x_ref[...]
+    xf = x_ref[...]  # [*, K] strided cols (permuted outside; see qmm.py)
     _body(kind, G, xf.astype(jnp.bfloat16), xf, parts, corr, out_ref)
 
 

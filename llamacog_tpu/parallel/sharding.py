@@ -48,17 +48,89 @@ def _fit_spec(shape, spec: P, mesh: Mesh) -> P:
     return P(*out[: len(shape)])
 
 
+# payload planes carry packed codes/signs along K; everything else is a
+# per-group scale/min plane (quant/planar.py layout)
+_PAYLOAD_PLANES = ("qs", "qh", "sg", "hb", "w")
+
+_ACTIVE_MESH: Mesh | None = None
+
+
+def set_active_mesh(mesh: Mesh | None) -> None:
+    """Record the serving mesh so qmatmul can shard_map the Pallas kernels
+    (ops/linear.py consults this; trace-time only, not traced state)."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
+
+
+def _put_quant(x: QuantTensor, mesh: Mesh, spec: P) -> QuantTensor:
+    """Shard a planar QuantTensor and record the realized layout.
+
+    row: every plane shards dim 0 (output rows) — always planar-coherent.
+    col: only payload planes shard dim 1, and only when the local width
+         stays a multiple of the group count G (an unpack slice must start
+         at group 0 for the `c mod G` scale broadcast to hold locally);
+         scale/min planes replicate — the per-shard partial outputs are
+         psummed, which also distributes the correction dot correctly.
+    expert: dim 0 shards whole experts (n_exp divisible by the axis).
+    Anything that doesn't fit falls back to replicated planes with no
+    layout tag, which routes through the XLA decode path under SPMD.
+    """
+    m = mesh.shape["model"]
+    K = x.shape[-1]
+    N = int(np.prod(x.shape[:-1]))
+    G = 0
+    for name, plane in x.planes.items():
+        if name not in _PAYLOAD_PLANES:
+            G = max(G, plane.shape[-1])
+
+    def rep(q):
+        return {n: jax.device_put(
+            p, NamedSharding(mesh, P(*([None] * p.ndim)))
+        ) for n, p in q.planes.items()}
+
+    sharded_dim0 = spec and len(spec) > 0 and spec[0] == "model"
+    sharded_dim1 = spec and len(spec) > 1 and spec[1] == "model" and not sharded_dim0
+    if m == 1 or (not sharded_dim0 and not sharded_dim1):
+        return QuantTensor(x.kind, x.shape, rep(x), None)
+    if sharded_dim0 and len(x.shape) == 3:  # stacked experts
+        if x.shape[0] % m == 0:
+            planes = {n: jax.device_put(p, NamedSharding(mesh, P("model", None)))
+                      for n, p in x.planes.items()}
+            return QuantTensor(x.kind, x.shape, planes, "expert")
+        return QuantTensor(x.kind, x.shape, rep(x), None)
+    if sharded_dim0:
+        if N % m == 0:
+            planes = {n: jax.device_put(p, NamedSharding(mesh, P("model", None)))
+                      for n, p in x.planes.items()}
+            return QuantTensor(x.kind, x.shape, planes, "row")
+        return QuantTensor(x.kind, x.shape, rep(x), None)
+    # col: a column shard must stay planar-coherent — only single-payload
+    # formats qualify (every decoded slice derives from the one `qs` plane,
+    # so shard d owns the d-th fraction of each slice range), and the local
+    # width must stay a multiple of the group count G so `c mod G` still
+    # indexes the group within the shard
+    payload = [n for n in x.planes if n in _PAYLOAD_PLANES]
+    ok = K % m == 0 and G > 0 and payload == ["qs"]
+    if ok:
+        w = x.planes["qs"].shape[-1]
+        if w % m != 0 or (w // m) % G != 0:
+            ok = False
+    if not ok:
+        return QuantTensor(x.kind, x.shape, rep(x), None)
+    planes = {}
+    for name, plane in x.planes.items():
+        ps = P(None, "model") if name == "qs" else P(*([None] * plane.ndim))
+        planes[name] = jax.device_put(plane, NamedSharding(mesh, ps))
+    return QuantTensor(x.kind, x.shape, planes, "col")
+
+
 def _put(x, mesh: Mesh, spec: P):
     if isinstance(x, QuantTensor):
-        planes = {}
-        for name, plane in x.planes.items():
-            pspec = spec
-            # planes are 2-D [N, K/g]; drop trailing spec dims if any
-            if plane.ndim < len(spec):
-                pspec = P(*spec[: plane.ndim])
-            pspec = _fit_spec(plane.shape, pspec, mesh)
-            planes[name] = jax.device_put(plane, NamedSharding(mesh, pspec))
-        return QuantTensor(x.kind, x.shape, planes)
+        return _put_quant(x, mesh, spec)
     return jax.device_put(x, NamedSharding(mesh, _fit_spec(x.shape, spec, mesh)))
 
 
@@ -98,10 +170,16 @@ def cache_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_cache(cache, mesh: Mesh):
+    """Shard any KV-cache pytree: every leaf is [L, B, S, H(, D...)] with
+    batch at axis 1 and heads at axis 3 (KVCache, QuantKVCache planes,
+    SwaKVCache full+ring — all keep this layout)."""
     spec = P(None, "data", None, "model", None)
-    k = jax.device_put(cache.k, NamedSharding(mesh, _fit_spec(cache.k.shape, spec, mesh)))
-    v = jax.device_put(cache.v, NamedSharding(mesh, _fit_spec(cache.v.shape, spec, mesh)))
-    return type(cache)(k, v)
+
+    def put(a):
+        s = spec if a.ndim >= len(spec) else P(*spec[: a.ndim])
+        return jax.device_put(a, NamedSharding(mesh, _fit_spec(a.shape, s, mesh)))
+
+    return jax.tree_util.tree_map(put, cache)
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

@@ -59,15 +59,23 @@ class QuantTensor:
     kind: str  # ggml type name, static
     shape: tuple[int, ...]  # logical shape, static
     planes: dict[str, Any] = field(default_factory=dict)
+    # TP/EP layout this tensor was sharded with (parallel/sharding.shard_params):
+    # "row" (N on model axis), "col" (K on model axis), "expert" (dim 0), or
+    # None (replicated). Static metadata so jitted code can pick the matching
+    # shard_map specs for the Pallas kernels.
+    pspec: str | None = None
 
     def tree_flatten(self):
         keys = tuple(sorted(self.planes))
-        return tuple(self.planes[k] for k in keys), (self.kind, self.shape, keys)
+        return (
+            tuple(self.planes[k] for k in keys),
+            (self.kind, self.shape, keys, self.pspec),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        kind, shape, keys = aux
-        return cls(kind, shape, dict(zip(keys, children)))
+        kind, shape, keys, pspec = aux
+        return cls(kind, shape, dict(zip(keys, children)), pspec)
 
     @property
     def nbytes(self) -> int:

@@ -60,10 +60,13 @@ class Engine:
         self.recurrent = config.is_recurrent
         if mesh is not None and not self.recurrent:
             # shard weights (TP rows/cols, EP experts) and KV (data x heads)
-            # over the mesh; the jitted steps below then run SPMD with XLA
-            # inserting/overlapping the collectives (SURVEY §2.4-2.5)
-            from ..parallel.sharding import shard_cache, shard_params
+            # over the mesh; the jitted steps run SPMD, with the Pallas
+            # kernels shard_map-wrapped per the recorded layouts
+            # (parallel/pallas_shard.py) and XLA inserting/overlapping the
+            # remaining collectives (SURVEY §2.4-2.5)
+            from ..parallel.sharding import set_active_mesh, shard_cache, shard_params
 
+            set_active_mesh(mesh)
             self.params = params = shard_params(params, mesh)
             self._shard_cache_fn = lambda c: shard_cache(c, mesh)
         else:
@@ -71,7 +74,7 @@ class Engine:
         if self.recurrent:
             self._init_recurrent()
             return
-        if (kv_type == "dense" and mesh is None and config.sliding_window > 0
+        if (kv_type == "dense" and config.sliding_window > 0
                 and config.swa_pattern > 1 and config.sliding_window < max_seq):
             # iswa cache: SWA layers get a window-sized ring instead of a
             # full-length store (llama_kv_cache_unified_iswa role)

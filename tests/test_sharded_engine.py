@@ -84,3 +84,69 @@ def test_sharded_server_e2e(tmp_path):
     finally:
         ctx.stop()
         httpd.shutdown()
+
+
+@pytest.mark.parametrize("quant", ["Q4_0", "Q8_0"])
+def test_sharded_pallas_qmm_matches_single(tmp_path, quant):
+    """With quantized weights and the kernel backend forced, the TP engine
+    must run the qmm kernels inside shard_map (row/col layouts) and match
+    the unsharded kernel engine."""
+    from llamacog_tpu.gguf import GGMLType
+    from llamacog_tpu.ops import linear
+    from llamacog_tpu.quant.planar import QuantTensor
+
+    path = make_tiny_llama_gguf(
+        str(tmp_path / f"q_{quant}.gguf"), n_embd=64, n_head=8, n_head_kv=4,
+        n_ff=128, quant_type=getattr(GGMLType, quant),
+    )
+    linear.set_backend("pallas")
+    try:
+        m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+        ref_eng = Engine(m.params, m.config, batch_size=2, max_seq=64,
+                         dtype=jnp.float32)
+        ref = ref_eng.prefill([1, 2, 3, 4])
+        m2 = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+        tp_eng = Engine(m2.params, m2.config, batch_size=2, max_seq=64,
+                        dtype=jnp.float32, mesh=make_mesh(2, 4))
+        tags = {w.pspec for layer in tp_eng.params["layers"]
+                for w in layer.values() if isinstance(w, QuantTensor)}
+        assert "row" in tags
+        got = tp_eng.prefill([1, 2, 3, 4])
+        np.testing.assert_allclose(got, ref, atol=3e-3, rtol=1e-3)
+        r1 = ref_eng.decode_one(np.array([5, 5]))
+        r2 = tp_eng.decode_one(np.array([5, 5]))
+        np.testing.assert_allclose(r2, r1, atol=3e-3, rtol=1e-3)
+    finally:
+        linear.set_backend("auto")
+
+
+def test_sharded_pallas_moe_matches_single(tmp_path):
+    """EP: quantized experts run qmm_gather/qmm_ragged inside shard_map with
+    local-expert masking + psum, matching the unsharded sparse path."""
+    from llamacog_tpu.gguf import GGMLType
+    from llamacog_tpu.ops import linear
+    from llamacog_tpu.quant.planar import QuantTensor
+
+    path = make_tiny_llama_gguf(
+        str(tmp_path / "moe_q.gguf"), n_embd=64, n_head=8, n_head_kv=4,
+        n_ff=128, n_expert=8, n_expert_used=2, quant_type=GGMLType.Q8_0,
+    )
+    linear.set_backend("pallas")
+    try:
+        m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+        ref_eng = Engine(m.params, m.config, batch_size=1, max_seq=32,
+                         dtype=jnp.float32)
+        ref = ref_eng.prefill([1, 2, 3])
+        m2 = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+        tp_eng = Engine(m2.params, m2.config, batch_size=1, max_seq=32,
+                        dtype=jnp.float32, mesh=make_mesh(1, 8))
+        tags = {w.pspec for layer in tp_eng.params["layers"]
+                for w in layer.values() if isinstance(w, QuantTensor)}
+        assert "expert" in tags
+        got = tp_eng.prefill([1, 2, 3])
+        np.testing.assert_allclose(got, ref, atol=3e-3, rtol=1e-3)
+        r1 = ref_eng.decode_one(np.array([5]))
+        r2 = tp_eng.decode_one(np.array([5]))
+        np.testing.assert_allclose(r2, r1, atol=3e-3, rtol=1e-3)
+    finally:
+        linear.set_backend("auto")
