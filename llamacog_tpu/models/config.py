@@ -22,6 +22,9 @@ class RopeConfig:
     beta_slow: float = 1.0
     yarn_log_mul: float = 0.0
     enabled: bool = True  # False for learned-position arches (gpt2 family)
+    # ggml_rope mode 0 ("norm"): rotate interleaved pairs (2i, 2i+1) — gptj/
+    # glm; default NeoX half-split pairs (i, i+dim/2)
+    interleaved: bool = False
     # M-RoPE (qwen2vl): rotary-pair sectors per position component (t,h,w,e)
     sections: tuple = ()
 
@@ -82,6 +85,15 @@ class ModelConfig:
     residual_scale: float = 1.0  # granite: scales attn/ffn branch outputs
     learned_pos_embd: bool = False  # gpt2/bert: position_embd.weight added
     causal: bool = True  # False for encoder models (bert)
+    # ALiBi (bloom/mpt): scores += slope_h * -(pos_q - pos_k); slopes from
+    # max_alibi_bias per ggml soft_max_ext semantics
+    use_alibi: bool = False
+    max_alibi_bias: float = 8.0
+    attn_clamp: float = 0.0  # mpt/dbrx clamp_kqv: clip QKV activations
+    # per-layer head counts (llama_hparams arrays, src/llama-hparams.h);
+    # empty = uniform. Layers with 0 KV heads skip attention (Deci-style).
+    n_head_arr: tuple = ()
+    n_head_kv_arr: tuple = ()
     rope_freq_base_swa: float = 0.0  # gemma3: different rope base on SWA layers
     # misc
     tie_word_embeddings: bool = False
@@ -109,6 +121,12 @@ class ModelConfig:
     def n_gqa(self) -> int:
         return self.n_head // max(self.n_head_kv, 1)
 
+    def n_head_at(self, il: int) -> int:
+        return self.n_head_arr[il] if self.n_head_arr else self.n_head
+
+    def n_head_kv_at(self, il: int) -> int:
+        return self.n_head_kv_arr[il] if self.n_head_kv_arr else self.n_head_kv
+
     def is_swa(self, layer: int) -> bool:
         """Gemma-style interleaved SWA: layer is SWA unless (layer+1) % pattern == 0."""
         if self.sliding_window <= 0 or self.swa_pattern <= 1:
@@ -123,13 +141,21 @@ class ModelConfig:
             return md.get(f"{arch}.{key}", default)
 
         n_embd = int(g("embedding_length"))
-        n_head = int(g("attention.head_count", 0) or 0)  # rwkv has none
+        nh = g("attention.head_count", 0) or 0
+        # per-layer head-count arrays (llama_hparams stores arrays,
+        # src/llama-hparams.h): keep the array, use max for cache sizing
+        n_head_arr = n_head_kv_arr = ()
+        try:
+            n_head = int(nh)
+        except TypeError:
+            n_head_arr = tuple(int(x) for x in nh)
+            n_head = max(n_head_arr)
         hk = g("attention.head_count_kv", n_head)
-        # per-layer head counts (arrays) not yet supported; take first
         try:
             n_head_kv = int(hk)
         except TypeError:
-            n_head_kv = int(hk[0])
+            n_head_kv_arr = tuple(int(x) for x in hk)
+            n_head_kv = max(n_head_kv_arr)
         head_dim = int(g("attention.key_length", n_embd // max(n_head, 1)))
         sections = g("rope.dimension_sections")  # qwen2vl M-RoPE
         rope = RopeConfig(
@@ -187,10 +213,25 @@ class ModelConfig:
             ssm_dt_b_c_rms=bool(g("ssm.dt_b_c_rms", False)),
             wkv_head_size=int(g("wkv.head_size", 0) or 0),
             rescale_every_n=int(g("rescale_every_n_layers", 0) or 0),
+            max_alibi_bias=float(g("attention.max_alibi_bias", 8.0) or 8.0),
+            attn_clamp=float(g("attention.clamp_kqv", 0.0) or 0.0),
+            n_head_arr=n_head_arr,
+            n_head_kv_arr=n_head_kv_arr,
             metadata=md,
         )
         _apply_arch_defaults(cfg)
         return cfg
+
+
+# arches whose GGUF contract is ggml "NORM" rope — interleaved pairs on the
+# tensors AS STORED (llama_model_rope_type, src/llama-model.cpp:14229; the
+# HF->GGUF converter permutes q/k for HF rotate-half models so interleaved
+# rope reproduces them). Everything else uses NeoX half-split pairs.
+_ROPE_NORM_ARCHES = {
+    "llama", "llama4", "deci", "baichuan", "internlm2", "minicpm", "xverse",
+    "command-r", "cohere2", "olmo", "arctic", "deepseek", "deepseek2",
+    "chatglm", "glm4", "granite", "granitemoe", "chameleon", "bailingmoe",
+}
 
 
 def _apply_arch_defaults(cfg: ModelConfig) -> None:
@@ -201,6 +242,8 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
     import math
 
     a = cfg.arch
+    if a in _ROPE_NORM_ARCHES:
+        cfg.rope.interleaved = True
     if a == "falcon":
         # llm_build_falcon (:5421): LayerNorm, fused QKV, parallel residual,
         # plain-GELU FFN; 40B's per-branch norms keyed on attn_norm_2
@@ -276,6 +319,64 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
             )
             cfg.attn_scale = mscale * mscale / math.sqrt(cfg.head_dim_k)
             cfg.rope.attn_factor = 1.0 / (1.0 + 0.1 * math.log(1.0 / freq_scale))
+    elif a == "bloom":
+        # llm_build_bloom: LayerNorm, ALiBi (no rope), fused QKV + biases,
+        # GELU FFN, embedding LayerNorm (token_embd_norm)
+        cfg.norm_type = "layer"
+        cfg.ffn_act = "gelu"
+        cfg.use_alibi = True
+        cfg.rope.enabled = False
+    elif a == "mpt":
+        # llm_build_mpt: LayerNorm (usually no bias), ALiBi, fused QKV,
+        # GELU FFN, optional clamp_kqv / qk norms
+        cfg.norm_type = "layer"
+        cfg.ffn_act = "gelu"
+        cfg.use_alibi = True
+        cfg.rope.enabled = False
+    elif a == "stablelm":
+        # llm_build_stablelm: LayerNorm + partial rotary (rope.dim set from
+        # rope.dimension_count), optional per-head q/k norms and biases
+        cfg.norm_type = "layer"
+    elif a == "gptj":
+        # llm_build_gptj: LayerNorm, parallel residual (attn+ffn share the
+        # input norm), interleaved ("norm"-mode) partial rope, GELU
+        cfg.norm_type = "layer"
+        cfg.ffn_act = "gelu"
+        cfg.parallel_residual = True
+        cfg.rope.interleaved = True
+    elif a == "nemotron":
+        # llm_build_nemotron: LayerNorm(+1 baked at convert), squared-ReLU
+        # FFN without gate, partial rope
+        cfg.norm_type = "layer"
+        cfg.ffn_act = "relu2"
+    elif a == "olmoe":
+        # llm_build_olmoe: rms, q/k norm over the full projection, MoE with
+        # normalized top-k router weights
+        cfg.qk_norm_full = True
+        cfg.expert_weights_norm = True
+    elif a == "dbrx":
+        # llm_build_dbrx: LayerNorm no-bias, fused QKV with clamp_kqv, MoE
+        cfg.norm_type = "layer"
+    elif a == "glm4":
+        # llm_build_glm4: post+pre norms, partial interleaved rope, fused
+        # gate_up handled by row-count detection
+        cfg.post_norms = True
+        cfg.rope.interleaved = True
+    elif a in ("baichuan", "internlm2", "orion", "exaone", "minicpm"):
+        # llama-graph clones: baichuan(7B rope) / internlm2 / exaone are
+        # flag-identical to llama; orion uses LayerNorm; minicpm adds the
+        # embedding/residual/logit scalings (read from metadata like granite)
+        if a == "orion":
+            cfg.norm_type = "layer"
+        if a == "minicpm":
+            # defaults per llama-model.cpp minicpm: scale_embd 12,
+            # scale_depth 1.4/sqrt(L), logits scaled by 256/n_embd
+            if cfg.embd_scale == 1.0:
+                cfg.embd_scale = 12.0
+            if cfg.residual_scale == 1.0:
+                cfg.residual_scale = 1.4 / math.sqrt(cfg.n_layer)
+            if cfg.logit_scale == 1.0:
+                cfg.logit_scale = 256.0 / cfg.n_embd
     elif a in ("bert", "nomic-bert"):
         cfg.norm_type = "layer"
         cfg.causal = False

@@ -255,6 +255,21 @@ def _rope_factors(params: dict, cfg: ModelConfig, max_seq: int):
     return None
 
 
+def _alibi_slopes(n_head: int, max_bias: float) -> jnp.ndarray:
+    """ggml soft_max_ext slopes: m0^(h+1) for the first 2^floor(log2 H)
+    heads, then m1^(2(h-n2)+1) (ggml-cpu/ops.cpp soft_max)."""
+    import math
+
+    n2 = 2 ** math.floor(math.log2(n_head))
+    m0 = 2.0 ** (-max_bias / n2)
+    m1 = 2.0 ** (-max_bias / (2 * n2))
+    slopes = [
+        m0 ** (h + 1) if h < n2 else m1 ** (2 * (h - n2) + 1)
+        for h in range(n_head)
+    ]
+    return jnp.asarray(slopes, jnp.float32)
+
+
 def _build_masks(cfg: ModelConfig, write_pos: jnp.ndarray, t: int, s_max: int):
     """(old-cache mask [B,T,S], intra-block mask [T,T]) pairs for normal and
     SWA layers. The cache is read as-is (old contents only) and the current
@@ -267,6 +282,17 @@ def _build_masks(cfg: ModelConfig, write_pos: jnp.ndarray, t: int, s_max: int):
     ti = jnp.arange(t)
     ok = ti[None, :] <= ti[:, None]  # [T,T] keys j <= queries i
     intra = jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)
+    if cfg.use_alibi:
+        # ALiBi: allowed cells hold -|pos_q - pos_k| so the attention can
+        # add slope*mask (set_input_kq_mask use_alibi values)
+        pos_q = write_pos[:, None, None] + ti[None, :, None]
+        pos_k = jnp.arange(s_max)[None, None, :]
+        mask = jnp.where(
+            mask > -1e29, -(pos_q - pos_k).astype(jnp.float32), -jnp.inf
+        )
+        intra = jnp.where(
+            ok, -(ti[:, None] - ti[None, :]).astype(jnp.float32), -jnp.inf
+        )
     if w <= 0:
         return (mask, intra), (mask, intra)
     swa_mask = build_causal_mask(write_pos, t, s_max, seq_len=write_pos, sliding_window=w)
@@ -329,6 +355,8 @@ def forward(
                 write_pos, T, cache.window, cfg.sliding_window
             )
 
+    alibi = _alibi_slopes(H, cfg.max_alibi_bias) if cfg.use_alibi else None
+
     def _attend(q, k, v, il, is_swa):
         """Attention over row `il`'s cache + the current block, picking the
         best kernel: flash reading quantized KV planes directly (never
@@ -359,9 +387,14 @@ def forward(
                 softcap=cfg.attn_logit_softcap, window=win, interpret=_interp,
             )
         m, im = (swa_mask, intra_swa) if is_swa else (mask, intra)
+        hkv_l = k.shape[2]
+        if hkv_l != Hkv:  # per-layer KV heads: read only this layer's slice
+            k_old = k_old[:, :, :hkv_l]
+            v_old = v_old[:, :, :hkv_l]
+        al = alibi if alibi is None else alibi[: q.shape[2]]
         return masked_attention(
             q, k_old, v_old, m, scale, logit_softcap=cfg.attn_logit_softcap,
-            k_cur=k, v_cur=v, intra_mask=im,
+            k_cur=k, v_cur=v, intra_mask=im, alibi_slopes=al,
         )
 
     new_ks, new_vs = [], []
@@ -426,8 +459,10 @@ def forward(
             )
             is_swa = cfg.is_swa(il)
             tab = rtab_swa if is_swa else rtab
-            q_pe = apply_rope_tables(q_pe, tab, rope_dim)
-            k_pe = apply_rope_tables(k_pe, tab, rope_dim)
+            q_pe = apply_rope_tables(q_pe, tab, rope_dim,
+                                     interleaved=cfg.rope.interleaved)
+            k_pe = apply_rope_tables(k_pe, tab, rope_dim,
+                                     interleaved=cfg.rope.interleaved)
             kv_cmpr = rms_norm(kv_cmpr, layer["attn_kv_a_norm"], cfg.rms_norm_eps)
             kv = qmatmul(kv_cmpr, layer["attn_kv_b"]).reshape(B, T, H, nope + Dv)
             k_nope, v = kv[..., :nope], kv[..., nope:]
@@ -452,12 +487,25 @@ def forward(
             if "cvec" in params:
                 x = x + params["cvec"][il].astype(x.dtype)
             continue
+        if not any(kk in layer for kk in ("attn_qkv", "attn_q")):
+            # attention-free layer (per-layer head arrays with 0 KV heads,
+            # Deci-style): cache write must still line up across layers
+            new_ks.append(jnp.zeros((B, T, Hkv, Dk), x.dtype))
+            new_vs.append(jnp.zeros((B, T, Hkv, Dv), x.dtype))
+            h = _norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else x
+            ffn = _ffn_moe(layer, h, cfg) if (
+                cfg.n_expert > 0 and "ffn_gate_inp" in layer) else _ffn(layer, h, cfg)
+            x = x + ffn
+            continue
         if "attn_qkv" in layer:
             qkv = _linear(h, layer, "attn_qkv")
-            q, k, v = jnp.split(qkv, [H * Dk, H * Dk + Hkv * Dk], axis=-1)
-            q = q.reshape(B, T, H, Dk)
-            k = k.reshape(B, T, Hkv, Dk)
-            v = v.reshape(B, T, Hkv, Dv)
+            h_l, hkv_l = cfg.n_head_at(il), cfg.n_head_kv_at(il)
+            q, k, v = jnp.split(
+                qkv, [h_l * Dk, h_l * Dk + hkv_l * Dk], axis=-1
+            )
+            q = q.reshape(B, T, -1, Dk)
+            k = k.reshape(B, T, -1, Dk)
+            v = v.reshape(B, T, -1, Dv)
         else:
             q = _linear(h, layer, "attn_q")
             k = _linear(h, layer, "attn_k")
@@ -466,19 +514,31 @@ def forward(
                 # olmo2: norm over the whole projection, not per head
                 q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
                 k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)
-            q = q.reshape(B, T, H, Dk)
-            k = k.reshape(B, T, Hkv, Dk)
-            v = v.reshape(B, T, Hkv, Dv)
+            # reshape by weight row count, not globals: per-layer head
+            # arrays make H/Hkv vary by layer
+            q = q.reshape(B, T, -1, Dk)
+            k = k.reshape(B, T, -1, Dk)
+            v = v.reshape(B, T, -1, Dv)
+        if cfg.attn_clamp > 0.0:  # mpt/dbrx clamp_kqv
+            q = jnp.clip(q, -cfg.attn_clamp, cfg.attn_clamp)
+            k = jnp.clip(k, -cfg.attn_clamp, cfg.attn_clamp)
+            v = jnp.clip(v, -cfg.attn_clamp, cfg.attn_clamp)
         if not cfg.qk_norm_full and "attn_q_norm" in layer:
             q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)
         is_swa = cfg.is_swa(il)
         if rtab is not None:
             tab = rtab_swa if is_swa else rtab
-            q = apply_rope_tables(q, tab, rdim)
-            k = apply_rope_tables(k, tab, rdim)
-        new_ks.append(k)
-        new_vs.append(v)
+            q = apply_rope_tables(q, tab, rdim, interleaved=cfg.rope.interleaved)
+            k = apply_rope_tables(k, tab, rdim, interleaved=cfg.rope.interleaved)
+        if k.shape[2] < Hkv:  # per-layer KV heads: pad to the cache width
+            pad = [(0, 0)] * 4
+            pad[2] = (0, Hkv - k.shape[2])
+            new_ks.append(jnp.pad(k, pad))
+            new_vs.append(jnp.pad(v, pad))
+        else:
+            new_ks.append(k)
+            new_vs.append(v)
         attn = _attend(q, k, v, il, is_swa)
         attn = _linear(attn.reshape(B, T, H * Dv), layer, "attn_output")
         if cfg.post_norms and "attn_post_norm" in layer:

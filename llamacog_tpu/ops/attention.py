@@ -23,6 +23,9 @@ def masked_attention(
     k_cur: jnp.ndarray | None = None,  # [B, T, Hkv, Dk] this step's keys
     v_cur: jnp.ndarray | None = None,
     intra_mask: jnp.ndarray | None = None,  # [T, T] additive, within-block
+    alibi_slopes: jnp.ndarray | None = None,  # [H]: scores += slope*mask,
+    # where the mask holds -|pos_q - pos_k| in allowed cells (ggml
+    # soft_max_ext max_bias semantics; set_input_kq_mask use_alibi values)
 ) -> jnp.ndarray:  # [B, T, H, Dv]
     """Attention over the (old) cache plus, optionally, the current block's
     keys/values handled explicitly. Splitting "old cache" from "current
@@ -51,7 +54,10 @@ def masked_attention(
         full_mask = jnp.concatenate(
             [mask, jnp.broadcast_to(im[None], (B, T, T))], axis=-1
         )
-    allowed = full_mask[:, None, None, :, :] >= 0
+    allowed = full_mask[:, None, None, :, :] > -1e29
+    if alibi_slopes is not None:
+        sl = alibi_slopes.astype(jnp.float32).reshape(1, Hkv, rep, 1, 1)
+        scores = scores + sl * full_mask[:, None, None, :, :]
     scores = jnp.where(allowed, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     vf = v.astype(jnp.float32)

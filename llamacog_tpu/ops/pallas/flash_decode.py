@@ -103,6 +103,8 @@ def supported(cfg, cache, t: int) -> bool:
 
     if get_active_mesh() is not None:
         return False  # sharded serving: attention runs on the SPMD XLA path
+    if cfg.use_alibi or cfg.n_head_kv_arr:
+        return False  # ALiBi bias / per-layer heads use the masked path
     """Use the fused kernel only on the plain decode shape, and only when
     opted in: measured on v5e, XLA's fused einsum+softmax attention beats
     this kernel's per-head loop at decode shapes (616 vs 556 t/s on the 1B

@@ -153,6 +153,8 @@ def supported(cfg, cache, t: int, s: int) -> bool:
 
     if get_active_mesh() is not None:
         return False  # sharded serving: attention runs on the SPMD XLA path
+    if cfg.use_alibi or cfg.n_head_kv_arr:
+        return False  # ALiBi bias / per-layer heads use the masked path
     from ...runtime.kv_cache import KVCache
 
     return (

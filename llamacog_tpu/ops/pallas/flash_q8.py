@@ -247,6 +247,8 @@ def decode_supported(cfg, cache, t: int) -> bool:
 
     if get_active_mesh() is not None:
         return False  # sharded serving: attention runs on the SPMD XLA path
+    if cfg.use_alibi or cfg.n_head_kv_arr:
+        return False  # ALiBi bias / per-layer heads use the masked path
     import os
 
     from ...runtime.kv_cache import QuantKVCache
@@ -267,6 +269,8 @@ def prefill_supported(cfg, cache, t: int, s: int) -> bool:
 
     if get_active_mesh() is not None:
         return False  # sharded serving: attention runs on the SPMD XLA path
+    if cfg.use_alibi or cfg.n_head_kv_arr:
+        return False  # ALiBi bias / per-layer heads use the masked path
     import os
 
     from ...runtime.kv_cache import QuantKVCache

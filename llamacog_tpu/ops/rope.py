@@ -80,8 +80,11 @@ def apply_rope_tables(
     x: jnp.ndarray,  # [..., T, H, D]
     tables: tuple[jnp.ndarray, jnp.ndarray],  # from rope_tables
     dim: int | None = None,
+    interleaved: bool = False,
 ) -> jnp.ndarray:
-    """NeoX rope with precomputed tables: rotate pairs (i, i + dim/2)."""
+    """Rope with precomputed tables. Default NeoX pairing (i, i + dim/2);
+    `interleaved` is ggml's mode-0 "norm" rope rotating pairs (2i, 2i+1)
+    (gptj/glm families)."""
     cos, sin = tables
     D = x.shape[-1]
     dim = dim or 2 * cos.shape[-1]
@@ -89,9 +92,16 @@ def apply_rope_tables(
     sin = sin[..., None, :]
     half = dim // 2
     x_rot = x[..., :dim].astype(jnp.float32)
-    x1 = x_rot[..., :half]
-    x2 = x_rot[..., half:]
-    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    if interleaved:
+        x1 = x_rot[..., 0::2]
+        x2 = x_rot[..., 1::2]
+        r1 = x1 * cos - x2 * sin
+        r2 = x2 * cos + x1 * sin
+        out = jnp.stack([r1, r2], axis=-1).reshape(*x_rot.shape[:-1], dim)
+    else:
+        x1 = x_rot[..., :half]
+        x2 = x_rot[..., half:]
+        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     if dim < D:
         out = jnp.concatenate([out, x[..., dim:].astype(jnp.float32)], axis=-1)
     return out.astype(x.dtype)
@@ -110,4 +120,4 @@ def apply_rope(
     D = x.shape[-1]
     dim = cfg.dim or D
     tables = rope_tables(positions, cfg, D, freq_factors)
-    return apply_rope_tables(x, tables, dim)
+    return apply_rope_tables(x, tables, dim, interleaved=cfg.interleaved)

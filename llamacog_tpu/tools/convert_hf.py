@@ -293,6 +293,16 @@ _ARCHES = {
 }
 
 
+def permute_rope_rows(arr: np.ndarray, n_head: int) -> np.ndarray:
+    """LlamaModel.permute (reference convert_hf_to_gguf.py:1911): reorder
+    q/k output rows so ggml's NORM (interleaved) rope reproduces HF's
+    rotate-half semantics."""
+    d = arr.shape[0] // n_head // 2
+    return (arr.reshape(n_head, 2, d, *arr.shape[1:])
+            .swapaxes(1, 2)
+            .reshape(arr.shape))
+
+
 def _cast(arr: np.ndarray, outtype: str, name: str, w: GGUFWriter):
     if arr.ndim < 2 or "norm" in name or outtype == "f32":
         w.add_tensor(name, arr.astype(np.float32))
@@ -389,6 +399,10 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
     lmap = dict(_LAYER_MAP)
     if gemma:
         lmap.update(_GEMMA_NORMS)
+    # ggml-NORM-rope arches (llama family): permute q/k rows so interleaved
+    # rope on the stored tensors reproduces HF rotate-half (reference
+    # LlamaModel.modify_tensors, convert_hf_to_gguf.py:1938-1941)
+    norm_rope = arch in ("llama", "granite", "minicpm", "deci")
     count = 0
     for il in range(n_layer):
         pre = f"model.layers.{il}"
@@ -399,6 +413,10 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
             t = np.asarray(sd[key], np.float32)
             if gemma and gname.endswith("norm.weight"):
                 t = bump(t)
+            if norm_rope and hf_name.startswith("self_attn.q_proj"):
+                t = permute_rope_rows(t, n_head)
+            elif norm_rope and hf_name.startswith("self_attn.k_proj"):
+                t = permute_rope_rows(t, n_kv)
             put(f"blk.{il}.{gname}", t)
             count += 1
         gate_inp = f"{pre}.block_sparse_moe.gate.weight"

@@ -1,0 +1,103 @@
+"""End-to-end oracle: greedy tokens must match a COMPILED reference
+llama-cli on the same GGUF + prompt (SURVEY §4 test translation (d)).
+
+Like tests/oracle (which compiles ggml-quants.c), this builds the reference
+from /root/reference at test time — its source never enters this repo. The
+build is cached in /tmp; set LLAMACOG_LLAMA_CLI to point at an existing
+binary, or LLAMACOG_SKIP_ORACLE_BUILD=1 to skip when no binary is cached.
+
+This one test proves the full pipeline end to end: our GGUF writer produces
+files stock llama.cpp loads; tokenizer, forward pass (rope convention!),
+greedy sampling, and detokenizer agree token-for-token.
+"""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REF = pathlib.Path("/root/reference")
+BUILD = pathlib.Path(os.environ.get("LLAMACOG_ORACLE_BUILD", "/tmp/llamacog_oracle"))
+
+
+def _find_or_build_cli() -> str | None:
+    env = os.environ.get("LLAMACOG_LLAMA_CLI")
+    if env and os.path.isfile(env):
+        return env
+    for cand in (BUILD / "bin" / "llama-cli",
+                 pathlib.Path("/tmp/llamacpp_build/bin/llama-cli")):
+        if cand.is_file():
+            return str(cand)
+    if os.environ.get("LLAMACOG_SKIP_ORACLE_BUILD") or not REF.is_dir():
+        return None
+    BUILD.mkdir(parents=True, exist_ok=True)
+    try:
+        subprocess.run(
+            ["cmake", str(REF), "-DCMAKE_BUILD_TYPE=Release",
+             "-DLLAMA_BUILD_TESTS=OFF", "-DLLAMA_BUILD_SERVER=OFF",
+             "-DLLAMA_CURL=OFF", "-DGGML_OPENMP=OFF"],
+            cwd=BUILD, check=True, capture_output=True, timeout=600,
+        )
+        subprocess.run(
+            ["cmake", "--build", ".", "--target", "llama-cli", "-j1"],
+            cwd=BUILD, check=True, capture_output=True, timeout=2400,
+        )
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            FileNotFoundError):
+        return None
+    p = BUILD / "bin" / "llama-cli"
+    return str(p) if p.is_file() else None
+
+
+@pytest.fixture(scope="module")
+def llama_cli():
+    cli = _find_or_build_cli()
+    if cli is None:
+        pytest.skip("reference llama-cli unavailable (set LLAMACOG_LLAMA_CLI)")
+    return cli
+
+
+N_GEN = 16
+PROMPT = "hello world"
+
+
+def _ref_generate(cli: str, gguf: str) -> bytes:
+    out = subprocess.run(
+        [cli, "-m", gguf, "-p", PROMPT, "-n", str(N_GEN), "--temp", "0",
+         "-no-cnv", "--no-warmup", "--no-display-prompt", "--simple-io",
+         "-s", "1", "-c", "256"],
+        capture_output=True, timeout=300, check=True,
+    )
+    return out.stdout.rstrip(b"\n")
+
+
+def _our_generate(gguf: str) -> bytes:
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.engine import Engine
+
+    m = load_model(gguf, dtype=jnp.float32)
+    eng = Engine(m.params, m.config, batch_size=1, max_seq=256, dtype=jnp.float32)
+    ids = m.tokenizer.tokenize(PROMPT, add_special=True, parse_special=True)
+    eog = {tid for tid in (m.vocab.eos_id,) if tid is not None}
+    res = eng.generate_greedy(ids, N_GEN, eog_ids=eog)
+    toks = [t for t in res.tokens if t not in eog]
+    return b"".join(m.vocab.token_to_piece(t) for t in toks)
+
+
+@pytest.mark.parametrize("quant", ["F32", "Q8_0"])
+def test_greedy_matches_reference_cli(llama_cli, tmp_path, quant):
+    from llamacog_tpu.gguf import GGMLType
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / f"oracle_{quant}.gguf")
+    make_tiny_llama_gguf(
+        path, n_vocab=256, n_embd=64, n_layer=2, n_head=4, n_head_kv=2,
+        n_ff=128, seed=3, quant_type=getattr(GGMLType, quant),
+    )
+    ref = _ref_generate(llama_cli, path)
+    ours = _our_generate(path)
+    assert ours == ref, f"ref={ref!r}\nours={ours!r}"

@@ -72,7 +72,15 @@ _GEMMA2_NORM_MAP = {
 }
 
 
-def _convert(model, arch, path, extra_md=None, gemma=False, head_dim=None, n_ff=None):
+def _permute_qk(t, n_head):
+    """Reference LlamaModel.permute: rows reordered so ggml NORM
+    (interleaved) rope reproduces HF rotate-half."""
+    d = t.shape[0] // n_head // 2
+    return t.reshape(n_head, 2, d, *t.shape[1:]).swapaxes(1, 2).reshape(t.shape)
+
+
+def _convert(model, arch, path, extra_md=None, gemma=False, head_dim=None, n_ff=None,
+             permute_qk=False):
     cfg = model.config
     sd = model.state_dict()
     w = GGUFWriter(path)
@@ -98,7 +106,12 @@ def _convert(model, arch, path, extra_md=None, gemma=False, head_dim=None, n_ff=
             t = sd[key].float()
             if gemma and gguf_name.endswith("norm.weight"):
                 t = t + 1
-            w.add_tensor(f"blk.{il}.{gguf_name}", t.numpy())
+            t = t.numpy()
+            if permute_qk and gguf_name.startswith("attn_q."):
+                t = _permute_qk(t, cfg.num_attention_heads)
+            elif permute_qk and gguf_name.startswith("attn_k."):
+                t = _permute_qk(t, cfg.num_key_value_heads)
+            w.add_tensor(f"blk.{il}.{gguf_name}", t)
         # mixtral MoE
         if f"{pre}.block_sparse_moe.gate.weight" in sd:
             w.add_tensor(
@@ -241,7 +254,7 @@ def test_mixtral_parity(tmp_path):
     torch.manual_seed(5)
     model = MixtralForCausalLM(cfg).eval()
     path = _convert(
-        model, "llama", str(tmp_path / "mixtral.gguf"),
+        model, "llama", str(tmp_path / "mixtral.gguf"), permute_qk=True,
         extra_md={
             "llama.expert_count": 4,
             "llama.expert_used_count": 2,
@@ -754,7 +767,7 @@ def test_granite_parity(tmp_path):
     torch.manual_seed(15)
     model = GraniteForCausalLM(cfg).eval()
     path = _convert(
-        model, "granite", str(tmp_path / "granite.gguf"),
+        model, "granite", str(tmp_path / "granite.gguf"), permute_qk=True,
         extra_md={
             "granite.logit_scale": 4.0,
             "granite.residual_scale": 0.5,

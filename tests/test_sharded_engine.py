@@ -143,10 +143,12 @@ def test_sharded_pallas_moe_matches_single(tmp_path):
         tags = {w.pspec for layer in tp_eng.params["layers"]
                 for w in layer.values() if isinstance(w, QuantTensor)}
         assert "expert" in tags
+        # psum accumulation order differs from the single-device sum: allow
+        # a slightly wider f32 tolerance than the TP tests
         got = tp_eng.prefill([1, 2, 3])
-        np.testing.assert_allclose(got, ref, atol=3e-3, rtol=1e-3)
+        np.testing.assert_allclose(got, ref, atol=6e-3, rtol=1e-3)
         r1 = ref_eng.decode_one(np.array([5]))
         r2 = tp_eng.decode_one(np.array([5]))
-        np.testing.assert_allclose(r2, r1, atol=3e-3, rtol=1e-3)
+        np.testing.assert_allclose(r2, r1, atol=6e-3, rtol=1e-3)
     finally:
         linear.set_backend("auto")
