@@ -350,10 +350,11 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
         cfg.norm_type = "layer"
         cfg.ffn_act = "relu2"
     elif a == "olmoe":
-        # llm_build_olmoe: rms, q/k norm over the full projection, MoE with
-        # normalized top-k router weights
+        # llm_build_olmoe: rms, q/k norm over the full projection; router
+        # weight norm follows the GGUF metadata when present
         cfg.qk_norm_full = True
-        cfg.expert_weights_norm = True
+        if f"{a}.expert_weights_norm" not in cfg.metadata:
+            cfg.expert_weights_norm = True
     elif a == "dbrx":
         # llm_build_dbrx: LayerNorm no-bias, fused QKV with clamp_kqv, MoE
         cfg.norm_type = "layer"

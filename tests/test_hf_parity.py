@@ -904,3 +904,254 @@ def test_falcon_parity(tmp_path, new_arch):
     model = FalconForCausalLM(cfg).eval()
     path = _convert_falcon(model, str(tmp_path / f"falcon{new_arch}.gguf"))
     _assert_close(_our_logits(path), _hf_logits(model))
+
+
+# ---------------------------------------------------------------------------
+# round-2 arch batch (VERDICT missing #5): bloom, mpt, stablelm, gptj,
+# nemotron, olmoe, chatglm/glm — each converted with the same tensor mapping
+# as the reference's convert_hf_to_gguf.py registration for that arch
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_parity(tmp_path):
+    from transformers import BloomConfig, BloomForCausalLM
+
+    cfg = BloomConfig(vocab_size=128, hidden_size=64, n_layer=2, n_head=4)
+    torch.manual_seed(21)
+    model = BloomForCausalLM(cfg).eval()
+    sd = model.state_dict()
+    hd = cfg.hidden_size // cfg.n_head
+    path = str(tmp_path / "bloom.gguf")
+    w = GGUFWriter(path)
+    arch = "bloom"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", 64)
+    w.add(f"{arch}.block_count", 2)
+    w.add(f"{arch}.feed_forward_length", 256)
+    w.add(f"{arch}.attention.head_count", 4)
+    w.add(f"{arch}.attention.head_count_kv", 4)
+    w.add(f"{arch}.attention.layer_norm_epsilon", cfg.layer_norm_epsilon)
+    w.add(f"{arch}.vocab_size", 128)
+    w.add_tensor("token_embd.weight", sd["transformer.word_embeddings.weight"].float().numpy())
+    w.add_tensor("token_embd_norm.weight", sd["transformer.word_embeddings_layernorm.weight"].float().numpy())
+    w.add_tensor("token_embd_norm.bias", sd["transformer.word_embeddings_layernorm.bias"].float().numpy())
+    w.add_tensor("output_norm.weight", sd["transformer.ln_f.weight"].float().numpy())
+    w.add_tensor("output_norm.bias", sd["transformer.ln_f.bias"].float().numpy())
+    for il in range(2):
+        pre = f"transformer.h.{il}"
+        bl = f"blk.{il}"
+        # BLOOM fuses qkv per-head [h, 3, hd]; reorder to [q; k; v]
+        # (reference BloomModel.modify_tensors)
+        qkv_w = sd[f"{pre}.self_attention.query_key_value.weight"].float()
+        qkv_w = qkv_w.reshape(cfg.n_head, 3, hd, 64)
+        w.add_tensor(f"{bl}.attn_qkv.weight", torch.cat(
+            [qkv_w[:, 0].reshape(-1, 64), qkv_w[:, 1].reshape(-1, 64),
+             qkv_w[:, 2].reshape(-1, 64)]).numpy())
+        qkv_b = sd[f"{pre}.self_attention.query_key_value.bias"].float().reshape(cfg.n_head, 3, hd)
+        w.add_tensor(f"{bl}.attn_qkv.bias", torch.cat(
+            [qkv_b[:, 0].reshape(-1), qkv_b[:, 1].reshape(-1), qkv_b[:, 2].reshape(-1)]).numpy())
+        for hf, gg in (("input_layernorm", "attn_norm"),
+                       ("post_attention_layernorm", "ffn_norm")):
+            w.add_tensor(f"{bl}.{gg}.weight", sd[f"{pre}.{hf}.weight"].float().numpy())
+            w.add_tensor(f"{bl}.{gg}.bias", sd[f"{pre}.{hf}.bias"].float().numpy())
+        for hf, gg in (("self_attention.dense", "attn_output"),
+                       ("mlp.dense_h_to_4h", "ffn_up"),
+                       ("mlp.dense_4h_to_h", "ffn_down")):
+            w.add_tensor(f"{bl}.{gg}.weight", sd[f"{pre}.{hf}.weight"].float().numpy())
+            w.add_tensor(f"{bl}.{gg}.bias", sd[f"{pre}.{hf}.bias"].float().numpy())
+    w.write()
+    _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
+
+
+def test_mpt_parity(tmp_path):
+    from transformers import MptConfig, MptForCausalLM
+
+    cfg = MptConfig(vocab_size=128, d_model=64, n_layers=2, n_heads=4)
+    torch.manual_seed(22)
+    model = MptForCausalLM(cfg).eval()
+    sd = model.state_dict()
+    path = str(tmp_path / "mpt.gguf")
+    w = GGUFWriter(path)
+    arch = "mpt"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", 64)
+    w.add(f"{arch}.block_count", 2)
+    w.add(f"{arch}.feed_forward_length", 256)
+    w.add(f"{arch}.attention.head_count", 4)
+    w.add(f"{arch}.attention.head_count_kv", 4)
+    w.add(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add(f"{arch}.attention.max_alibi_bias", 8.0)
+    w.add(f"{arch}.vocab_size", 128)
+    w.add_tensor("token_embd.weight", sd["transformer.wte.weight"].float().numpy())
+    w.add_tensor("output_norm.weight", sd["transformer.norm_f.weight"].float().numpy())
+    for il in range(2):
+        pre = f"transformer.blocks.{il}"
+        bl = f"blk.{il}"
+        w.add_tensor(f"{bl}.attn_norm.weight", sd[f"{pre}.norm_1.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_norm.weight", sd[f"{pre}.norm_2.weight"].float().numpy())
+        w.add_tensor(f"{bl}.attn_qkv.weight", sd[f"{pre}.attn.Wqkv.weight"].float().numpy())
+        w.add_tensor(f"{bl}.attn_output.weight", sd[f"{pre}.attn.out_proj.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_up.weight", sd[f"{pre}.ffn.up_proj.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_down.weight", sd[f"{pre}.ffn.down_proj.weight"].float().numpy())
+    w.write()
+    _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
+
+
+def test_stablelm_parity(tmp_path):
+    from transformers import StableLmConfig, StableLmForCausalLM
+
+    cfg = StableLmConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        partial_rotary_factor=0.25, tie_word_embeddings=False,
+    )
+    torch.manual_seed(23)
+    model = StableLmForCausalLM(cfg).eval()
+    path = _convert(model, "stablelm", str(tmp_path / "stablelm.gguf"), extra_md={
+        "stablelm.rope.dimension_count": int(16 * 0.25),
+        "stablelm.attention.layer_norm_epsilon": cfg.layer_norm_eps,
+    })
+    _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
+
+
+def test_gptj_parity(tmp_path):
+    from transformers import GPTJConfig, GPTJForCausalLM
+
+    cfg = GPTJConfig(vocab_size=128, n_embd=64, n_layer=2, n_head=4, rotary_dim=8,
+                     n_positions=256)
+    torch.manual_seed(24)
+    model = GPTJForCausalLM(cfg).eval()
+    sd = model.state_dict()
+    path = str(tmp_path / "gptj.gguf")
+    w = GGUFWriter(path)
+    arch = "gptj"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", 64)
+    w.add(f"{arch}.block_count", 2)
+    w.add(f"{arch}.feed_forward_length", 256)
+    w.add(f"{arch}.attention.head_count", 4)
+    w.add(f"{arch}.attention.head_count_kv", 4)
+    w.add(f"{arch}.rope.dimension_count", 8)
+    w.add(f"{arch}.attention.layer_norm_epsilon", cfg.layer_norm_epsilon)
+    w.add(f"{arch}.vocab_size", 128)
+    w.add_tensor("token_embd.weight", sd["transformer.wte.weight"].float().numpy())
+    w.add_tensor("output_norm.weight", sd["transformer.ln_f.weight"].float().numpy())
+    w.add_tensor("output_norm.bias", sd["transformer.ln_f.bias"].float().numpy())
+    w.add_tensor("output.weight", sd["lm_head.weight"].float().numpy())
+    w.add_tensor("output.bias", sd["lm_head.bias"].float().numpy())
+    for il in range(2):
+        pre = f"transformer.h.{il}"
+        bl = f"blk.{il}"
+        w.add_tensor(f"{bl}.attn_norm.weight", sd[f"{pre}.ln_1.weight"].float().numpy())
+        w.add_tensor(f"{bl}.attn_norm.bias", sd[f"{pre}.ln_1.bias"].float().numpy())
+        for hf, gg in (("attn.q_proj", "attn_q"), ("attn.k_proj", "attn_k"),
+                       ("attn.v_proj", "attn_v"), ("attn.out_proj", "attn_output")):
+            w.add_tensor(f"{bl}.{gg}.weight", sd[f"{pre}.{hf}.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_up.weight", sd[f"{pre}.mlp.fc_in.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_up.bias", sd[f"{pre}.mlp.fc_in.bias"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_down.weight", sd[f"{pre}.mlp.fc_out.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_down.bias", sd[f"{pre}.mlp.fc_out.bias"].float().numpy())
+    w.write()
+    _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
+
+
+def test_nemotron_parity(tmp_path):
+    from transformers import NemotronConfig, NemotronForCausalLM
+
+    cfg = NemotronConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        partial_rotary_factor=0.5, tie_word_embeddings=False,
+    )
+    torch.manual_seed(25)
+    model = _randomize_biases(NemotronForCausalLM(cfg).eval())
+    sd = model.state_dict()
+    path = str(tmp_path / "nemotron.gguf")
+    w = GGUFWriter(path)
+    arch = "nemotron"
+    _base_metadata(w, arch, cfg)
+    w.add(f"{arch}.rope.dimension_count", 8)
+    w.add(f"{arch}.attention.layer_norm_epsilon", cfg.norm_eps)
+    w.add_tensor("token_embd.weight", sd["model.embed_tokens.weight"].float().numpy())
+    # layernorm1p: norms stored +1 (reference NemotronModel.modify_tensors)
+    w.add_tensor("output_norm.weight", (sd["model.norm.weight"].float() + 1).numpy())
+    w.add_tensor("output_norm.bias", sd["model.norm.bias"].float().numpy())
+    w.add_tensor("output.weight", sd["lm_head.weight"].float().numpy())
+    for il in range(2):
+        pre = f"model.layers.{il}"
+        bl = f"blk.{il}"
+        for hf, gg in (("input_layernorm", "attn_norm"),
+                       ("post_attention_layernorm", "ffn_norm")):
+            w.add_tensor(f"{bl}.{gg}.weight", (sd[f"{pre}.{hf}.weight"].float() + 1).numpy())
+            w.add_tensor(f"{bl}.{gg}.bias", sd[f"{pre}.{hf}.bias"].float().numpy())
+        for hf, gg in (("self_attn.q_proj", "attn_q"), ("self_attn.k_proj", "attn_k"),
+                       ("self_attn.v_proj", "attn_v"), ("self_attn.o_proj", "attn_output"),
+                       ("mlp.up_proj", "ffn_up"), ("mlp.down_proj", "ffn_down")):
+            w.add_tensor(f"{bl}.{gg}.weight", sd[f"{pre}.{hf}.weight"].float().numpy())
+    w.write()
+    _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
+
+
+def test_olmoe_parity(tmp_path):
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+
+    cfg = OlmoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(26)
+    model = OlmoeForCausalLM(cfg).eval()
+    sd = model.state_dict()
+    path = str(tmp_path / "olmoe.gguf")
+    w = GGUFWriter(path)
+    arch = "olmoe"
+    _base_metadata(w, arch, cfg)
+    w.add(f"{arch}.expert_count", 4)
+    w.add(f"{arch}.expert_used_count", 2)
+    w.add(f"{arch}.expert_weights_norm", cfg.norm_topk_prob)
+    w.add_tensor("token_embd.weight", sd["model.embed_tokens.weight"].float().numpy())
+    w.add_tensor("output_norm.weight", sd["model.norm.weight"].float().numpy())
+    w.add_tensor("output.weight", sd["lm_head.weight"].float().numpy())
+    for il in range(2):
+        pre = f"model.layers.{il}"
+        bl = f"blk.{il}"
+        for hf, gg in (("input_layernorm", "attn_norm"),
+                       ("post_attention_layernorm", "ffn_norm"),
+                       ("self_attn.q_norm", "attn_q_norm"),
+                       ("self_attn.k_norm", "attn_k_norm")):
+            w.add_tensor(f"{bl}.{gg}.weight", sd[f"{pre}.{hf}.weight"].float().numpy())
+        for hf, gg in (("self_attn.q_proj", "attn_q"), ("self_attn.k_proj", "attn_k"),
+                       ("self_attn.v_proj", "attn_v"), ("self_attn.o_proj", "attn_output")):
+            w.add_tensor(f"{bl}.{gg}.weight", sd[f"{pre}.{hf}.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_gate_inp.weight", sd[f"{pre}.mlp.gate.weight"].float().numpy())
+        for gg, hf in (("ffn_gate_exps", "gate_proj"), ("ffn_up_exps", "up_proj"),
+                       ("ffn_down_exps", "down_proj")):
+            stacked = torch.stack([
+                sd[f"{pre}.mlp.experts.{e}.{hf}.weight"] for e in range(4)
+            ])
+            w.add_tensor(f"{bl}.{gg}.weight", stacked.float().numpy())
+    w.write()
+    _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
+
+
+def test_chatglm_glm4_parity(tmp_path):
+    """transformers GlmForCausalLM (GLM-4 family; reference registers it as
+    arch 'chatglm', convert_hf_to_gguf.py:5731): interleaved partial rope,
+    qkv biases, fused gate_up."""
+    from transformers import GlmConfig, GlmForCausalLM
+
+    cfg = GlmConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16, pad_token_id=0,
+        partial_rotary_factor=0.5, tie_word_embeddings=False,
+    )
+    torch.manual_seed(27)
+    model = _randomize_biases(GlmForCausalLM(cfg).eval())
+    path = _convert(model, "chatglm", str(tmp_path / "chatglm.gguf"), head_dim=16,
+                    extra_md={"chatglm.rope.dimension_count": 8})
+    _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)

@@ -155,3 +155,78 @@ def test_export_lora_tool(tiny_model_path):
     attach_lora(m_rt.params, adapter)
     rt_logits = _logits(m_rt)
     np.testing.assert_allclose(merged_logits, rt_logits, atol=5e-3, rtol=1e-2)
+
+
+def test_convert_lora_from_peft(tmp_path, tiny_model_path):
+    """HF PEFT adapter dir -> adapter GGUF (reference convert_lora_to_gguf
+    role): converted adapter must load and apply through the runtime path."""
+    import json
+
+    import torch
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.tools.convert_lora import convert_lora
+
+    base_path, _ = tiny_model_path
+    m = load_model(base_path, with_tokenizer=False, dtype=jnp.float32, fuse=False)
+    E = m.config.n_embd
+    rank = 4
+    g = torch.Generator().manual_seed(3)
+    sd = {}
+    for il in range(m.config.n_layer):
+        pre = f"base_model.model.model.layers.{il}.self_attn.q_proj"
+        sd[f"{pre}.lora_A.weight"] = torch.randn(rank, E, generator=g) * 0.1
+        sd[f"{pre}.lora_B.weight"] = torch.randn(E, rank, generator=g) * 0.1
+    peft_dir = tmp_path / "peft"
+    peft_dir.mkdir()
+    torch.save(sd, peft_dir / "adapter_model.bin")
+    (peft_dir / "adapter_config.json").write_text(json.dumps({
+        "lora_alpha": 8, "r": rank, "target_modules": ["q_proj"],
+    }))
+    out = str(tmp_path / "adapter.gguf")
+    # the tiny GGUF base model is self-generated (unpermuted), so convert
+    # without the llama NORM-rope permute by declaring a NEOX arch
+    info = convert_lora(str(peft_dir), out, arch="qwen2")
+    assert info["tensors"] == 2 * m.config.n_layer
+    assert not info["skipped"]
+
+    adapter = load_lora(out)
+    assert adapter.alpha == 8.0
+    base = _logits(m)
+    n = attach_lora(m.params, adapter, scale=1.0)
+    assert n == m.config.n_layer
+    with_lora = _logits(m)
+    assert np.abs(with_lora - base).max() > 1e-4  # adapter changed the output
+
+
+def test_convert_lora_permutes_norm_rope(tmp_path):
+    """For llama-family (NORM rope) bases, lora_B rows of q/k must be
+    permuted exactly like the base weights."""
+    import json
+
+    import torch
+
+    from llamacog_tpu.gguf import GGUFModelReader
+    from llamacog_tpu.tools.convert_hf import permute_rope_rows
+    from llamacog_tpu.tools.convert_lora import convert_lora
+
+    rank, n_head, E = 2, 4, 32
+    g = torch.Generator().manual_seed(5)
+    B = torch.randn(E, rank, generator=g)
+    sd = {
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight":
+            torch.randn(rank, E, generator=g),
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight": B,
+    }
+    peft_dir = tmp_path / "peft"
+    peft_dir.mkdir()
+    torch.save(sd, peft_dir / "adapter_model.bin")
+    (peft_dir / "adapter_config.json").write_text(json.dumps({"lora_alpha": 4}))
+    out = str(tmp_path / "a.gguf")
+    convert_lora(str(peft_dir), out, arch="llama", n_head=n_head, n_head_kv=n_head)
+    r = GGUFModelReader(out)
+    rd, ti = r.tensors["blk.0.attn_q.weight.lora_b"]
+    got = np.frombuffer(rd.tensor_bytes("blk.0.attn_q.weight.lora_b"),
+                        dtype=np.float32).reshape(ti.shape)
+    np.testing.assert_allclose(got, permute_rope_rows(B.numpy(), n_head))
+    r.close()
