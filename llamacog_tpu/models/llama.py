@@ -172,10 +172,18 @@ def _ffn_moe_sparse(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
     Sp = S * k
     ids = top_i.reshape(Sp)
     rows = jnp.repeat(xf, k, axis=0)  # [(s,slot)] pair rows
+    from ..ops import linear as _lin
+
+    _hk = _lin.get_hook()  # imatrix collector (expert-aware, ids per row)
+    if _hk is not None:
+        _hk(wg, rows, ids)
+        _hk(wu, rows, ids)
     if Sp <= _MOE_GATHER_MAX:
         gate = _matmul_id(rows, ids, wg)
         up = _matmul_id(rows, ids, wu)
         h = (_act(gate, cfg.ffn_act) * up).astype(x.dtype)  # [Sp, F]
+        if _hk is not None:
+            _hk(wd, h, ids)
         down = _matmul_id(h, ids, wd)  # [Sp, E] f32
     else:
         tt = _MOE_TILE
@@ -199,6 +207,8 @@ def _ffn_moe_sparse(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
         gate = _matmul_ragged(xs, tile_expert, wg, tt)
         up = _matmul_ragged(xs, tile_expert, wu, tt)
         h = (_act(gate, cfg.ffn_act) * up).astype(x.dtype)  # [s_pad, F]
+        if _hk is not None:  # per-pair down inputs for the collector
+            _hk(wd, h[dest], ids[order])
         down_pad = _matmul_ragged(h, tile_expert, wd, tt)  # [s_pad, E]
         inv = jnp.argsort(order, stable=True)
         down = down_pad[dest][inv]  # back to (s,slot) pair order
@@ -220,9 +230,21 @@ def _ffn_moe(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
         wu = layer["ffn_up_exps"]
         wd = layer["ffn_down_exps"]
         # wg/wu: [n_exp, F, E], wd: [n_exp, E, F]
+        from ..ops import linear as _lin
+
+        _hk = _lin.get_hook()
+        if _hk is not None:  # dense path evaluates every expert on every token
+            xr = x.reshape(-1, E)
+            all_ids = jnp.tile(jnp.arange(n_exp), xr.shape[0])
+            xrep = jnp.repeat(xr, n_exp, axis=0)
+            _hk(wg, xrep, all_ids)
+            _hk(wu, xrep, all_ids)
         gate = jnp.einsum("bte,nfe->btnf", x, wg)
         up = jnp.einsum("bte,nfe->btnf", x, wu)
         act = _act(gate, cfg.ffn_act).astype(x.dtype) * up
+        if _hk is not None:
+            _hk(wd, act.reshape(-1, act.shape[-1]),
+                jnp.tile(jnp.arange(n_exp), B * T))
         expert_out = jnp.einsum("btnf,nef->btne", act, wd)  # [B,T,n_exp,E]
         # combine selected experts
         onehot = jax.nn.one_hot(top_i, n_exp, dtype=gate_w.dtype) * gate_w[..., None]

@@ -359,9 +359,22 @@ def quantize_model(
             continue
         f32 = dequantize_tensor(raw, ti.ggml_type, ti.shape)
         qw = imatrix.get(name)
-        if qw is not None and qw.size != ti.shape[-1]:
-            qw = None  # stale imatrix entry for a reshaped tensor
-        qdata = quantize_tensor(f32, new_type, quant_weights=qw)
+        if (qw is not None and len(ti.shape) == 3
+                and qw.size == ti.shape[0] * ti.shape[-1]):
+            # stacked experts with a per-expert imatrix (n_exp*K vals, the
+            # reference MUL_MAT_ID layout): quantize each expert with its
+            # own importance row (llama-quant.cpp expert handling)
+            n_exp = ti.shape[0]
+            qwe = qw.reshape(n_exp, ti.shape[-1])
+            f3 = f32.reshape(n_exp, -1, ti.shape[-1])
+            qdata = np.concatenate([
+                quantize_tensor(f3[e], new_type, quant_weights=qwe[e]).reshape(-1)
+                for e in range(n_exp)
+            ])
+        else:
+            if qw is not None and qw.size != ti.shape[-1]:
+                qw = None  # stale imatrix entry for a reshaped tensor
+            qdata = quantize_tensor(f32, new_type, quant_weights=qw)
         w.add_tensor(name, qdata.tobytes(), shape=ti.shape, ggml_type=new_type)
         stats["quantized"] += 1
         stats["out_bytes"] += qdata.nbytes

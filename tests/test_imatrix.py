@@ -35,3 +35,52 @@ def test_imatrix_collect_save_load(tmp_path):
         col.values["blk.0.attn_q.weight"] / col.counts["blk.0.attn_q.weight"],
         rtol=1e-6,
     )
+
+
+def test_imatrix_matches_manual_sums(tmp_path):
+    """Jitted collection must equal a hand-computed per-column sum of
+    squared activations for the first matmul (embedding output -> attn_q)."""
+    from llamacog_tpu.models.llama import embed_tokens
+    from llamacog_tpu.ops.norms import rms_norm
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(tmp_path / "t.gguf", quant_type=GGMLType.F32)
+    model = load_model(str(path), mode="dequant", dtype=jnp.float32, fuse=False)
+    text = "hello world " * 16
+    col = collect_imatrix(model, text, n_ctx=16, max_chunks=1)
+    toks = model.tokenizer.tokenize(text, add_special=False)[:16]
+    ids = [model.vocab.bos_id] + list(toks[:-1])
+    x = embed_tokens(model.params, jnp.asarray([ids]), dtype=jnp.float32)
+    h = rms_norm(x, model.params["layers"][0]["attn_norm"],
+                 model.config.rms_norm_eps)
+    manual = np.asarray((np.asarray(h, np.float64) ** 2).sum(axis=(0, 1)))
+    np.testing.assert_allclose(col.values["blk.0.attn_q.weight"], manual,
+                               rtol=1e-4)
+    np.testing.assert_allclose(col.counts["blk.0.attn_q.weight"], 16.0)
+
+
+def test_imatrix_moe_expert_entries(tmp_path):
+    """MoE expert tensors accumulate per expert into n_exp*K vectors
+    (reference MUL_MAT_ID layout, imatrix.cpp:107-140), and quantize
+    consumes them per expert."""
+    from llamacog_tpu.tools.quantize import quantize_model
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "moe.gguf", quant_type=GGMLType.F32, n_expert=4,
+        n_expert_used=2,
+    )
+    model = load_model(str(path), mode="dequant", dtype=jnp.float32, fuse=False)
+    text = "a b c d e f g h " * 16
+    col = collect_imatrix(model, text, n_ctx=16, max_chunks=1)
+    E = model.config.n_embd
+    name = "blk.0.ffn_gate_exps.weight"
+    assert name in col.values
+    assert col.values[name].shape == (4 * E,)
+    out = tmp_path / "im.dat"
+    col.save(str(out))
+    q = tmp_path / "q.gguf"
+    stats = quantize_model(str(path), str(q), "Q8_0", imatrix_path=str(out))
+    assert stats["quantized"] > 0
+    m2 = load_model(str(q), with_tokenizer=False, dtype=jnp.float32)
+    assert m2.config.n_expert == 4
