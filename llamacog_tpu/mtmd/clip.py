@@ -32,10 +32,16 @@ class ClipVisionConfig:
     eps: float = 1e-5
     use_gelu: bool = True  # else quick-gelu / silu per metadata
     use_silu: bool = False
-    projector_type: str = "mlp"  # mlp (llava) | gemma3 | idefics3
+    projector_type: str = "mlp"  # mlp (llava) | gemma3 | idefics3 |
+    # resampler (minicpmv) | internvl | pixtral
     image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
     has_class_embd: bool = True
+    vit_norm: str = "layer"  # rms for pixtral / internvl-6B ViTs
+    minicpmv_version: int = 0
+    proj_scale_factor: int = 0  # internvl/llama4 pixel shuffle
+    spatial_merge_size: int = 0  # pixtral/mistral-small patch merger
+    rope_theta: float = 10000.0  # pixtral 2D rope
 
     @property
     def n_patches_side(self) -> int:
@@ -77,7 +83,8 @@ class ClipVisionModel:
 def _static_cfg(cfg: ClipVisionConfig) -> tuple:
     return (
         cfg.patch_size, cfg.n_head, cfg.eps, cfg.use_gelu, cfg.use_silu,
-        cfg.projector_type, cfg.has_class_embd,
+        cfg.projector_type, cfg.has_class_embd, cfg.vit_norm,
+        cfg.proj_scale_factor, cfg.spatial_merge_size, cfg.rope_theta,
     )
 
 
@@ -100,12 +107,60 @@ def _layer_norm(x, w, b, eps):
     return out
 
 
+def _vit_norm(x, w, b, eps, kind):
+    if kind == "rms":
+        xf = x.astype(jnp.float32)
+        out = xf * jax.lax.rsqrt((xf * xf).mean(-1, keepdims=True) + eps) * w
+        return out if b is None else out + b
+    return _layer_norm(x, w, b, eps)
+
+
+def _rope_2d(x, pos_a, pos_b, theta, interleave_freq):
+    """clip.cpp build_rope_2d: head-dim split in half; each half gets
+    mode-0 (interleaved-pair) rope over D/2 dims — first half positions
+    pos_a, second half pos_b with the odd-frequency shift when
+    interleave_freq (pixtral)."""
+    B, T, H, D = x.shape
+    half = D // 2
+
+    def rot(xh, pos, fscale):
+        d2 = half // 2
+        inv = fscale * theta ** (-2.0 * jnp.arange(d2) / half)
+        th = pos[:, None].astype(jnp.float32) * inv  # [T, d2]
+        c, si = jnp.cos(th)[None, :, None, :], jnp.sin(th)[None, :, None, :]
+        x1 = xh[..., 0::2]
+        x2 = xh[..., 1::2]
+        r1 = x1 * c - x2 * si
+        r2 = x2 * c + x1 * si
+        return jnp.stack([r1, r2], axis=-1).reshape(xh.shape)
+
+    fso = theta ** (-2.0 / D) if interleave_freq else 1.0
+    a = rot(x[..., :half].astype(jnp.float32), pos_a, 1.0)
+    b2 = rot(x[..., half:].astype(jnp.float32), pos_b, fso)
+    return jnp.concatenate([a, b2], axis=-1).astype(x.dtype)
+
+
+def _sincos_2d_pos(embed_dim: int, h: int, w: int) -> np.ndarray:
+    """get_2d_sincos_pos_embed (minicpmv resampler K positions)."""
+    def one_dim(dim, pos):
+        omega = 1.0 / 10000 ** (np.arange(dim // 2, dtype=np.float64) / (dim / 2))
+        out = np.einsum("p,d->pd", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    gy, gx = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    emb_h = one_dim(embed_dim // 2, gy)
+    emb_w = one_dim(embed_dim // 2, gx)
+    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+
+
 from functools import partial
 
 
 @partial(jax.jit, static_argnums=(2,))
 def _encode_jit(params, pixels, static):
-    patch_size, n_head, eps, use_gelu, use_silu, proj_type, has_cls = static
+    (patch_size, n_head, eps, use_gelu, use_silu, proj_type, has_cls,
+     vit_norm, scale_factor, merge_size, rope_theta) = static
     B, C, S, _ = pixels.shape
     P = patch_size
     n_side = S // P
@@ -120,17 +175,27 @@ def _encode_jit(params, pixels, static):
     if has_cls and "class_embd" in params:
         cls = jnp.broadcast_to(params["class_embd"][None, None], (B, 1, x.shape[-1]))
         x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_embd"][: x.shape[1]]
+    if "pos_embd" in params:
+        x = x + params["pos_embd"][: x.shape[1]]
     if "pre_ln" in params:
-        x = _layer_norm(x, params["pre_ln"], params.get("pre_ln_b"), eps)
+        x = _vit_norm(x, params["pre_ln"], params.get("pre_ln_b"), eps, vit_norm)
     E = x.shape[-1]
     D = E // n_head
     scale = D**-0.5
+    # pixtral: per-layer 2D rope on q/k instead of learned positions
+    # (build_rope_2d, clip.cpp:535; interleave_freq=true)
+    pos2d = None
+    if proj_type == "pixtral":
+        idx = jnp.arange(n_side * n_side)
+        pos2d = (idx // n_side, idx % n_side)  # (h, w)
     for layer in params["layers"]:
-        h = _layer_norm(x, layer["ln1"], layer.get("ln1_b"), eps)
+        h = _vit_norm(x, layer["ln1"], layer.get("ln1_b"), eps, vit_norm)
         q = (h @ layer["attn_q"].T + layer.get("attn_q_b", 0.0)).reshape(B, -1, n_head, D)
         k = (h @ layer["attn_k"].T + layer.get("attn_k_b", 0.0)).reshape(B, -1, n_head, D)
         v = (h @ layer["attn_v"].T + layer.get("attn_v_b", 0.0)).reshape(B, -1, n_head, D)
+        if pos2d is not None:
+            q = _rope_2d(q, pos2d[0], pos2d[1], rope_theta, True)
+            k = _rope_2d(k, pos2d[0], pos2d[1], rope_theta, True)
         att = jnp.einsum("bthd,bshd->bhts", q, k) * scale
         att = jax.nn.softmax(att, axis=-1)
         o = jnp.einsum("bhts,bshd->bthd", att, v).reshape(B, -1, E)
@@ -138,7 +203,7 @@ def _encode_jit(params, pixels, static):
         if "ls1" in layer:  # layer scale (InternVL)
             o = o * layer["ls1"]
         x = x + o
-        h = _layer_norm(x, layer["ln2"], layer.get("ln2_b"), eps)
+        h = _vit_norm(x, layer["ln2"], layer.get("ln2_b"), eps, vit_norm)
         if "ffn_gate" in layer:
             ff = _act(h @ layer["ffn_gate"].T + layer.get("ffn_gate_b", 0.0),
                       use_gelu, use_silu) * (h @ layer["ffn_up"].T + layer.get("ffn_up_b", 0.0))
@@ -150,19 +215,92 @@ def _encode_jit(params, pixels, static):
             ff = ff * layer["ls2"]
         x = x + ff
     if "post_ln" in params:
-        x = _layer_norm(x, params["post_ln"], params.get("post_ln_b"), eps)
+        x = _vit_norm(x, params["post_ln"], params.get("post_ln_b"), eps, vit_norm)
     if has_cls:
         x = x[:, 1:]  # patch tokens feed the LLM (LLaVA drops CLS)
     # projector
     if proj_type == "gemma3":
         x = _layer_norm(x, params["mm_soft_emb_norm"], None, eps)
         x = x @ params["mm_input_projection"]
+    elif proj_type == "resampler":
+        x = _resampler_proj(params, x, eps)
+    elif proj_type == "internvl":
+        x = _pixel_shuffle(x, n_side, n_side, scale_factor)
+        x = _layer_norm(x, params["mm_0"], params.get("mm_0_b"), 1e-5)
+        x = jax.nn.gelu(x @ params["mm_1"].T + params.get("mm_1_b", 0.0),
+                        approximate=False)
+        x = x @ params["mm_3"].T + params.get("mm_3_b", 0.0)
+    elif proj_type == "pixtral":
+        if "mm_patch_merger" in params:
+            xm = x * jax.lax.rsqrt(
+                (x.astype(jnp.float32) ** 2).mean(-1, keepdims=True) + eps
+            ) * params["mm_input_norm"]
+            # unfold merge_size x merge_size patch groups and project
+            m = merge_size
+            xm = xm.reshape(B, n_side, n_side, E)
+            xm = xm.reshape(B, n_side // m, m, n_side // m, m, E)
+            xm = xm.transpose(0, 1, 3, 2, 4, 5).reshape(B, -1, m * m * E)
+            x = xm @ params["mm_patch_merger"].T
+        x = jax.nn.gelu(x @ params["mm_1"].T + params.get("mm_1_b", 0.0),
+                        approximate=False)
+        x = x @ params["mm_2"].T + params.get("mm_2_b", 0.0)
+        # one [IMG_BREAK] embedding appended per patch row except the last
+        if "tok_img_break" in params:
+            m = merge_size if merge_size > 0 else 1
+            py, px = n_side // m, n_side // m
+            x = x.reshape(B, py, px, -1)
+            brk = jnp.broadcast_to(
+                params["tok_img_break"][None, None, None, :], (B, py, 1, x.shape[-1])
+            )
+            x = jnp.concatenate([x, brk], axis=2).reshape(B, py * (px + 1), -1)
+            x = x[:, :-1]  # no break after the final row
     elif "mm_0" in params:  # llava MLP: mm.0 -> gelu -> mm.2
         x = x @ params["mm_0"].T + params.get("mm_0_b", 0.0)
         x = jax.nn.gelu(x, approximate=False)
         if "mm_2" in params:
             x = x @ params["mm_2"].T + params.get("mm_2_b", 0.0)
     return x
+
+
+def _pixel_shuffle(x, height, width, scale_factor):
+    """InternVL/llama4 pixel shuffle (clip.cpp build_internvl): fold an
+    sxs patch neighbourhood into the channel dim."""
+    B, T, E = x.shape
+    sf = scale_factor
+    x = x.reshape(B, height, width, E)
+    x = x.reshape(B, height, width // sf, sf * E)
+    x = x.transpose(0, 2, 1, 3)
+    x = x.reshape(B, width // sf, height // sf, sf * sf * E)
+    x = x.transpose(0, 2, 1, 3)
+    return x.reshape(B, (height // sf) * (width // sf), sf * sf * E)
+
+
+def _resampler_proj(params, x, eps):
+    """MiniCPM-V perceiver resampler (clip.cpp build_minicpmv): learned
+    query tokens cross-attend to the ViT features; K adds a 2D sincos
+    position embedding in the resampler dim."""
+    B = x.shape[0]
+    q = params["rs_query"]  # [n_query, Dm]
+    v = x @ params["rs_kv_proj"].T  # [B, T, Dm]
+    q = _layer_norm(q, params["rs_ln_q"], params.get("rs_ln_q_b"), eps)
+    v = _layer_norm(v, params["rs_ln_kv"], params.get("rs_ln_kv_b"), eps)
+    k = v + params["rs_pos_k"][None, : v.shape[1]]
+    Dm = q.shape[-1]
+    d_head = 128 if Dm % 128 == 0 else Dm
+    n_head = Dm // d_head
+    n_query = q.shape[0]
+    Q = (q @ params["rs_attn_q"].T + params.get("rs_attn_q_b", 0.0))
+    K = (k @ params["rs_attn_k"].T + params.get("rs_attn_k_b", 0.0))
+    V = (v @ params["rs_attn_v"].T + params.get("rs_attn_v_b", 0.0))
+    Q = jnp.broadcast_to(Q[None], (B, n_query, Dm)).reshape(B, n_query, n_head, d_head)
+    K = K.reshape(B, -1, n_head, d_head)
+    V = V.reshape(B, -1, n_head, d_head)
+    att = jnp.einsum("bthd,bshd->bhts", Q, K) * (d_head ** -0.5)
+    att = jax.nn.softmax(att, axis=-1)
+    o = jnp.einsum("bhts,bshd->bthd", att, V).reshape(B, n_query, Dm)
+    o = o @ params["rs_attn_out"].T + params.get("rs_attn_out_b", 0.0)
+    o = _layer_norm(o, params["rs_ln_post"], params.get("rs_ln_post_b"), eps)
+    return o @ params["rs_proj"]
 
 
 def load_mmproj(path: str) -> ClipVisionModel:
@@ -190,7 +328,15 @@ def load_mmproj(path: str) -> ClipVisionModel:
         projector_type=str(g("clip.projector_type", "mlp")),
         image_mean=tuple(g("clip.vision.image_mean", (0.48145466, 0.4578275, 0.40821073))),
         image_std=tuple(g("clip.vision.image_std", (0.26862954, 0.26130258, 0.27577711))),
+        minicpmv_version=int(g("clip.minicpmv_version", 0) or 0),
+        proj_scale_factor=int(g("clip.vision.projector.scale_factor", 0) or 0),
+        spatial_merge_size=int(g("clip.vision.spatial_merge_size", 0) or 0),
+        rope_theta=float(g("clip.vision.rope_theta", 10000.0) or 10000.0),
     )
+    if cfg.projector_type == "pixtral":
+        cfg.vit_norm = "rms"
+    elif cfg.projector_type == "internvl" and cfg.n_embd == 3200 and cfg.n_layer == 45:
+        cfg.vit_norm = "rms"  # 6B InternVL ViT (clip.cpp build_internvl)
 
     def t(name):
         if name not in r.tensors:
@@ -210,7 +356,8 @@ def load_mmproj(path: str) -> ClipVisionModel:
         p["class_embd"] = c
     else:
         cfg.has_class_embd = False
-    p["pos_embd"] = t("v.position_embd.weight")
+    if (pos := t("v.position_embd.weight")) is not None:
+        p["pos_embd"] = pos
     for pre, key in (("v.pre_ln", "pre_ln"), ("v.post_ln", "post_ln")):
         if (w := t(pre + ".weight")) is not None:
             p[key] = w
@@ -233,7 +380,7 @@ def load_mmproj(path: str) -> ClipVisionModel:
         layers.append(layer)
     p["layers"] = layers
     # projectors
-    for i in (0, 2):
+    for i in (0, 1, 2, 3):
         if (w := t(f"mm.{i}.weight")) is not None:
             p[f"mm_{i}"] = w
         if (b := t(f"mm.{i}.bias")) is not None:
@@ -242,6 +389,34 @@ def load_mmproj(path: str) -> ClipVisionModel:
         p["mm_input_projection"] = w
     if (w := t("mm.soft_emb_norm.weight")) is not None:
         p["mm_soft_emb_norm"] = w
+    # pixtral extras (clip-impl.h:83-88)
+    if (w := t("mm.patch_merger.weight")) is not None:
+        p["mm_patch_merger"] = w
+    if (w := t("mm.input_norm.weight")) is not None:
+        p["mm_input_norm"] = w
+    if (w := t("v.token_embd.img_break")) is not None:
+        p["tok_img_break"] = w.reshape(-1)
+    # minicpmv resampler (clip-impl.h:93-98)
+    if (q := t("resampler.query")) is not None:
+        p["rs_query"] = q
+        p["rs_kv_proj"] = t("resampler.kv.weight")
+        proj = t("resampler.proj.weight")
+        dm = q.shape[-1]
+        p["rs_proj"] = proj if proj.shape[0] == dm else proj.T
+        for nm, key in (("q", "rs_attn_q"), ("k", "rs_attn_k"), ("v", "rs_attn_v"),
+                        ("out", "rs_attn_out")):
+            p[key] = t(f"resampler.attn.{nm}.weight")
+            if (b := t(f"resampler.attn.{nm}.bias")) is not None:
+                p[key + "_b"] = b
+        for nm, key in (("q", "rs_ln_q"), ("kv", "rs_ln_kv"), ("post", "rs_ln_post")):
+            p[key] = t(f"resampler.ln_{nm}.weight")
+            if (b := t(f"resampler.ln_{nm}.bias")) is not None:
+                p[key + "_b"] = b
+        if (pk := t("resampler.pos_embed_k")) is not None:
+            p["rs_pos_k"] = pk.reshape(-1, dm)
+        else:  # computed 2D sincos grid (clip.cpp set_input minicpmv)
+            side = cfg.n_patches_side
+            p["rs_pos_k"] = jnp.asarray(_sincos_2d_pos(dm, side, side))
     r.close()
     return ClipVisionModel(cfg, p)
 

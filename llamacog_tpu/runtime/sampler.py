@@ -258,11 +258,35 @@ class SamplerChain:
         base_logits = logits.copy()  # pre-truncation, for grammar fallback
         if p.temp <= 0.0:
             tok = int(np.argmax(logits))
+        elif p.mirostat == 1:
+            # mirostat v1 (llama_sampler_mirostat, llama-sampling.cpp):
+            # estimate the Zipf exponent s_hat from the top-100 probability
+            # ratios, derive k from the target surprise mu, then top-k sample
+            logits = logits / p.temp
+            probs = _softmax(logits)
+            order = np.argsort(-probs, kind="stable")
+            sp = probs[order]
+            m = 100
+            n_pairs = max(min(sp.size, m) - 1, 1)
+            i = np.arange(n_pairs, dtype=np.float64)
+            t_i = np.log((i + 2) / (i + 1))
+            b_i = np.log(sp[:n_pairs] / np.maximum(sp[1 : n_pairs + 1], 1e-20))
+            s_hat = float((t_i * b_i).sum() / max((t_i * t_i).sum(), 1e-20))
+            eps_hat = s_hat - 1.0
+            n = float(self.n_vocab)
+            denom = 1.0 - n ** (-eps_hat) if abs(eps_hat) > 1e-9 else 1e-9
+            k = (eps_hat * (2.0 ** self.mu) / denom) ** (1.0 / max(s_hat, 1e-9))
+            k = int(np.clip(np.round(k), 1, sp.size))
+            keep = order[:k]
+            kp = probs[keep] / probs[keep].sum()
+            idx = int(self.rng.choice(k, p=kp))
+            tok = int(keep[idx])
+            observed = -np.log2(kp[idx] + 1e-20)
+            self.mu -= p.mirostat_eta * (observed - p.mirostat_tau)
         elif p.mirostat == 2:
             logits = logits / p.temp
             probs = _softmax(logits)
             order = np.argsort(-probs, kind="stable")
-            cut = np.where(probs[order] > np.exp(-self.mu) * 0)[0]  # placeholder
             # mirostat v2: truncate tokens with surprise > mu
             surprise = -np.log2(probs[order] + 1e-20)
             keep = order[surprise <= self.mu]

@@ -415,3 +415,165 @@ def test_mrope_tables_match_hf():
     np.testing.assert_allclose(
         np.asarray(ours), q_hf[0].numpy().transpose(1, 0, 2), atol=2e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# projector batch 2 (VERDICT #10): minicpmv resampler, internvl, pixtral
+# ---------------------------------------------------------------------------
+
+
+def _base_clip_md(w, *, image_size=28, patch=14, E=32, ff=64, L=1, H=2,
+                  proj="mlp", proj_dim=48):
+    w.add("general.architecture", "clip")
+    w.add("clip.has_vision_encoder", True)
+    w.add("clip.projector_type", proj)
+    w.add("clip.vision.image_size", image_size)
+    w.add("clip.vision.patch_size", patch)
+    w.add("clip.vision.embedding_length", E)
+    w.add("clip.vision.feed_forward_length", ff)
+    w.add("clip.vision.block_count", L)
+    w.add("clip.vision.attention.head_count", H)
+    w.add("clip.vision.attention.layer_norm_epsilon", 1e-5)
+    w.add("clip.vision.projection_dim", proj_dim)
+    w.add("clip.use_gelu", True)
+
+
+def _rand_vit_tensors(w, rng, *, E=32, ff=64, L=1, patch=14, n_pos=4,
+                      with_cls=False, with_pos=True, norm_bias=True):
+    r = lambda *s: (rng.standard_normal(s) * 0.05).astype(np.float32)
+    w.add_tensor("v.patch_embd.weight", r(E, 3, patch, patch))
+    if with_cls:
+        w.add_tensor("v.class_embd", r(E))
+    if with_pos:
+        w.add_tensor("v.position_embd.weight", r(n_pos + (1 if with_cls else 0), E))
+    for il in range(L):
+        bl = f"v.blk.{il}."
+        for nm in ("attn_q", "attn_k", "attn_v", "attn_out"):
+            w.add_tensor(bl + nm + ".weight", r(E, E))
+        w.add_tensor(bl + "ln1.weight", np.ones(E, np.float32))
+        w.add_tensor(bl + "ln2.weight", np.ones(E, np.float32))
+        if norm_bias:
+            w.add_tensor(bl + "ln1.bias", np.zeros(E, np.float32))
+            w.add_tensor(bl + "ln2.bias", np.zeros(E, np.float32))
+        w.add_tensor(bl + "ffn_up.weight", r(ff, E))
+        w.add_tensor(bl + "ffn_down.weight", r(E, ff))
+
+
+def test_minicpmv_resampler(tmp_path):
+    from llamacog_tpu.mtmd.clip import _sincos_2d_pos, load_mmproj
+
+    rng = np.random.default_rng(31)
+    E, Dm, nq, out_d = 32, 64, 16, 64
+    path = str(tmp_path / "resampler.gguf")
+    w = GGUFWriter(path)
+    _base_clip_md(w, E=E, proj="resampler", proj_dim=Dm)
+    w.add("clip.minicpmv_version", 3)
+    _rand_vit_tensors(w, rng, E=E)
+    r = lambda *s: (rng.standard_normal(s) * 0.05).astype(np.float32)
+    w.add_tensor("resampler.query", r(nq, Dm))
+    w.add_tensor("resampler.kv.weight", r(Dm, E))
+    w.add_tensor("resampler.proj.weight", r(Dm, out_d))
+    for nm in ("q", "k", "v", "out"):
+        w.add_tensor(f"resampler.attn.{nm}.weight", r(Dm, Dm))
+        w.add_tensor(f"resampler.attn.{nm}.bias", np.zeros(Dm, np.float32))
+    for nm in ("q", "kv", "post"):
+        w.add_tensor(f"resampler.ln_{nm}.weight", np.ones(Dm, np.float32))
+        w.add_tensor(f"resampler.ln_{nm}.bias", np.zeros(Dm, np.float32))
+    w.write()
+    enc = load_mmproj(path)
+    assert enc.config.projector_type == "resampler"
+    img = (np.arange(28 * 28 * 3).reshape(28, 28, 3) % 255).astype(np.uint8)
+    out = enc.encode(enc.preprocess(img))
+    assert out.shape == (nq, out_d)
+    assert np.isfinite(out).all()
+    # K-position embedding is the 2D sincos grid
+    pk = np.asarray(enc.params["rs_pos_k"])
+    np.testing.assert_allclose(pk, _sincos_2d_pos(Dm, 2, 2), rtol=1e-6)
+
+
+def test_internvl_pixel_shuffle(tmp_path):
+    import jax.numpy as jnp
+
+    from llamacog_tpu.mtmd.clip import _pixel_shuffle, load_mmproj
+
+    # pixel shuffle against a direct numpy re-derivation
+    B, hgt, wid, E, sf = 1, 4, 4, 6, 2
+    x = np.arange(B * hgt * wid * E, dtype=np.float32).reshape(B, hgt * wid, E)
+    got = np.asarray(_pixel_shuffle(jnp.asarray(x), hgt, wid, sf))
+    assert got.shape == (B, (hgt // sf) * (wid // sf), sf * sf * E)
+    assert set(got.reshape(-1)) == set(x.reshape(-1))  # pure relayout
+
+    rng = np.random.default_rng(32)
+    E2, out_d = 32, 40
+    path = str(tmp_path / "internvl.gguf")
+    w = GGUFWriter(path)
+    _base_clip_md(w, E=E2, proj="internvl", proj_dim=out_d)
+    w.add("clip.vision.projector.scale_factor", 2)
+    _rand_vit_tensors(w, rng, E=E2, with_cls=True)
+    r = lambda *s: (rng.standard_normal(s) * 0.05).astype(np.float32)
+    w.add_tensor("mm.0.weight", np.ones(4 * E2, np.float32))
+    w.add_tensor("mm.0.bias", np.zeros(4 * E2, np.float32))
+    w.add_tensor("mm.1.weight", r(out_d, 4 * E2))
+    w.add_tensor("mm.1.bias", np.zeros(out_d, np.float32))
+    w.add_tensor("mm.3.weight", r(out_d, out_d))
+    w.add_tensor("mm.3.bias", np.zeros(out_d, np.float32))
+    w.write()
+    enc = load_mmproj(path)
+    img = (np.arange(28 * 28 * 3).reshape(28, 28, 3) % 251).astype(np.uint8)
+    out = enc.encode(enc.preprocess(img))
+    assert out.shape == (1, out_d)  # 2x2 patches shuffled 2x -> 1 token
+    assert np.isfinite(out).all()
+
+
+def test_pixtral_vision_hf_parity(tmp_path):
+    """Our RMS-norm ViT with 2D interleaved rope must match transformers'
+    PixtralVisionModel hidden states (clip.cpp build_pixtral semantics)."""
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "PixtralVisionModel"):
+        pytest.skip("PixtralVisionModel unavailable")
+    import dataclasses
+
+    import torch
+
+    from llamacog_tpu.mtmd.clip import load_mmproj
+
+    cfg = transformers.PixtralVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, head_dim=16, image_size=32, patch_size=8,
+        rope_theta=10000.0,
+    )
+    torch.manual_seed(33)
+    model = transformers.PixtralVisionModel(cfg).eval()
+    sd = model.state_dict()
+    path = str(tmp_path / "pixtral.gguf")
+    w = GGUFWriter(path)
+    _base_clip_md(w, image_size=32, patch=8, E=32, ff=64, L=2, H=2,
+                  proj="pixtral", proj_dim=48)
+    w.add("clip.use_silu", True)
+    w.add("clip.use_gelu", False)
+    w.add_tensor("v.patch_embd.weight", sd["patch_conv.weight"].float().numpy())
+    w.add_tensor("v.pre_ln.weight", sd["ln_pre.weight"].float().numpy())
+    nm = {
+        "attention.q_proj": "attn_q", "attention.k_proj": "attn_k",
+        "attention.v_proj": "attn_v", "attention.o_proj": "attn_out",
+        "attention_norm": "ln1", "ffn_norm": "ln2",
+        "feed_forward.gate_proj": "ffn_gate", "feed_forward.up_proj": "ffn_up",
+        "feed_forward.down_proj": "ffn_down",
+    }
+    for il in range(2):
+        for hf, gg in nm.items():
+            key = f"transformer.layers.{il}.{hf}.weight"
+            w.add_tensor(f"v.blk.{il}.{gg}.weight", sd[key].float().numpy())
+    rng = np.random.default_rng(3)
+    w.add_tensor("mm.1.weight", np.eye(32, dtype=np.float32))  # identity proj
+    w.add_tensor("mm.2.weight", np.eye(32, dtype=np.float32))
+    w.write()
+    enc = load_mmproj(path)
+    assert enc.config.vit_norm == "rms"
+    pix = np.asarray(np.random.default_rng(5).standard_normal((3, 32, 32)),
+                     np.float32)
+    ours = enc.encode(pix)  # identity projector -> gelu(vit) @ I
+    with torch.no_grad():
+        hf_out = model(torch.tensor(pix)[None]).last_hidden_state[0].numpy()
+    ref = torch.nn.functional.gelu(torch.tensor(hf_out)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)

@@ -147,3 +147,23 @@ def test_dry_disabled_is_noop():
     logits = np.ones(8, np.float32)
     chain._apply_dry(logits)
     np.testing.assert_array_equal(logits, np.ones(8, np.float32))
+
+
+def test_mirostat_v1():
+    """Mirostat v1 (llama_sampler_mirostat): adaptive k from the estimated
+    Zipf exponent; mu tracks the target surprise."""
+    p = SamplerParams(mirostat=1, mirostat_tau=4.0, mirostat_eta=0.2,
+                      temp=1.0, seed=11)
+    chain = SamplerChain(p, n_vocab=256)
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal(256).astype(np.float32) * 2
+    mu0 = chain.mu
+    assert mu0 == 8.0  # 2 * tau
+    toks = [chain.sample(logits) for _ in range(30)]
+    assert all(0 <= t < 256 for t in toks)
+    assert chain.mu != mu0  # state adapted
+    # mu converges toward the configured surprise target: the running
+    # average surprise should land near tau
+    probs = np.exp(logits - logits.max()); probs /= probs.sum()
+    surprises = [-np.log2(probs[t] + 1e-20) for t in toks[10:]]
+    assert abs(np.mean(surprises) - 4.0) < 3.0
