@@ -386,7 +386,7 @@ def forward(
         fallback."""
         win = cfg.sliding_window if is_swa else 0
         if use_flash_q8:
-            return flash_q8.flash_decode_q8(
+            return flash_q8.flash_decode_q8_auto(
                 q[:, 0], cache.k_q[il], cache.k_s[il], cache.v_q[il],
                 cache.v_s[il], k[:, 0], v[:, 0], write_pos, scale,
                 softcap=cfg.attn_logit_softcap, window=win, interpret=_interp,

@@ -255,12 +255,14 @@ def decode_supported(cfg, cache, t: int) -> bool:
 
     if os.environ.get("LLAMACOG_FLASH_Q8", "1") != "1":
         return False
+    S = int(cache.max_seq)
     return (
         t == 1
         and isinstance(cache, QuantKVCache)
         and cfg.head_dim_k % 32 == 0
         and cfg.head_dim_v % 32 == 0
         and cfg.n_head % cfg.n_head_kv == 0
+        and (S <= _WHOLE_S_MAX or S % DTS == 0)
     )
 
 
@@ -286,3 +288,141 @@ def prefill_supported(cfg, cache, t: int, s: int) -> bool:
         and cfg.head_dim_v % 32 == 0
         and cfg.n_head % cfg.n_head_kv == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# S-tiled decode: the whole-S decode kernel above needs S*Hkv*(Dk+Dv) bytes
+# of VMEM and stops fitting around S=4k. This variant streams TS-long KV
+# tiles through VMEM with the online-softmax state (m/l/acc) carried in
+# scratch across grid steps — context length is bounded by HBM, not VMEM.
+# ---------------------------------------------------------------------------
+
+DTS = 1024  # decode KV tile length
+
+
+def _decode_tiled_kernel(hkv, rep, n_tiles, scale, softcap, window, gsk, gsv,
+                         q_ref, kq_ref, ks_ref, vq_ref, vs_ref, kc_ref, vc_ref,
+                         len_ref, o_ref, m_ref, l_ref, acc_ref):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n = len_ref[b, 0]
+    H = q_ref.shape[1]
+    Dv = vq_ref.shape[-1]
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    TSs = kq_ref.shape[1]
+    pos = i * TSs + jax.lax.broadcasted_iota(jnp.int32, (1, TSs), 1)
+    valid = pos < n
+    if window > 0:
+        valid = valid & (pos > n - window)
+
+    for h in range(hkv):
+        sl = slice(h * rep, (h + 1) * rep)
+        q_h = q_ref[0, sl, :].astype(jnp.float32)  # [rep, Dk]
+        k_h = _deq(kq_ref[0, :, h, :], ks_ref[0, :, h, :], gsk)  # [TSs, Dk]
+        s = jax.lax.dot_general(
+            q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if softcap > 0.0:
+            s = softcap * jnp.tanh(s / softcap)
+        s = jnp.where(valid, s, -1e30)
+        m_prev = m_ref[sl, :1]
+        l_prev = l_ref[sl, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        v_h = _deq(vq_ref[0, :, h, :], vs_ref[0, :, h, :], gsv)  # [TSs, Dv]
+        pv = jax.lax.dot_general(
+            p, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[sl, :1] = m_new
+        l_ref[sl, :1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[sl, :] = acc_ref[sl, :] * alpha + pv
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        # final: this step's own K/V, then normalize and emit
+        for h in range(hkv):
+            sl = slice(h * rep, (h + 1) * rep)
+            q_h = q_ref[0, sl, :].astype(jnp.float32)
+            kc_h = kc_ref[0, h, :].astype(jnp.float32)
+            s_cur = jnp.sum(q_h * kc_h[None, :], axis=-1, keepdims=True) * scale
+            if softcap > 0.0:
+                s_cur = softcap * jnp.tanh(s_cur / softcap)
+            m_prev = m_ref[sl, :1]
+            l_prev = l_ref[sl, :1]
+            m_new = jnp.maximum(m_prev, s_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            e_cur = jnp.exp(s_cur - m_new)
+            acc = acc_ref[sl, :] * alpha + e_cur * vc_ref[0, h, :].astype(jnp.float32)[None, :]
+            denom = l_prev * alpha + e_cur
+            o_ref[0, sl, :] = (acc / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "window", "interpret"))
+def flash_decode_q8_tiled(
+    q, kq, ks, vq, vs, k_cur, v_cur, seq_len, scale,
+    softcap: float = 0.0, window: int = 0, interpret: bool = False,
+):
+    """Same contract as flash_decode_q8, S tiled in DTS chunks."""
+    from ...runtime.kv_cache import QuantKVCache
+
+    B, H, Dk = q.shape
+    S, Hkv = kq.shape[1], kq.shape[2]
+    Dv = vq.shape[-1]
+    rep = H // Hkv
+    gsk = Dk // ks.shape[-1]
+    gsv = Dv // vs.shape[-1]
+    n_tiles = S // DTS
+    qp = QuantKVCache.kv_permute(q)
+    kcp = QuantKVCache.kv_permute(k_cur)
+    vcp = QuantKVCache.kv_permute(v_cur)
+    kern = functools.partial(_decode_tiled_kernel, Hkv, rep, n_tiles, scale,
+                             softcap, window, gsk, gsv)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, H, Dv), q.dtype),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, H, Dk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DTS, Hkv, Dk), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DTS, Hkv, ks.shape[-1]), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DTS, Hkv, Dv), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DTS, Hkv, vs.shape[-1]), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, Dk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, Dv), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, Dv), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, 1), jnp.float32),   # running max
+            pltpu.VMEM((H, 1), jnp.float32),   # running denom
+            pltpu.VMEM((H, Dv), jnp.float32),  # running numerator
+        ],
+        interpret=interpret,
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))}),
+    )(qp, kq, ks, vq, vs, kcp, vcp, seq_len.reshape(B, 1))
+    return QuantKVCache.kv_unpermute(out)
+
+
+# whole-S VMEM residency stops fitting around this context length
+_WHOLE_S_MAX = 4096
+
+
+def flash_decode_q8_auto(q, kq, ks, vq, vs, k_cur, v_cur, seq_len, scale,
+                         softcap=0.0, window=0, interpret=False):
+    S = kq.shape[1]
+    if S > _WHOLE_S_MAX and S % DTS == 0:
+        return flash_decode_q8_tiled(q, kq, ks, vq, vs, k_cur, v_cur, seq_len,
+                                     scale, softcap=softcap, window=window,
+                                     interpret=interpret)
+    return flash_decode_q8(q, kq, ks, vq, vs, k_cur, v_cur, seq_len, scale,
+                           softcap=softcap, window=window, interpret=interpret)

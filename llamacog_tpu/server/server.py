@@ -716,7 +716,16 @@ def make_handler(ctx: ServerContext):
         # -- routes ---------------------------------------------------------
         def do_GET(self):
             path = self.path.split("?")[0]
-            if path == "/health":
+            if path in ("/", "/index.html"):
+                from .webui import WEBUI_HTML
+
+                data = WEBUI_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif path == "/health":
                 self._json({"status": "ok"})
             elif path == "/props":
                 cfg = ctx.model.config
@@ -728,6 +737,14 @@ def make_handler(ctx: ServerContext):
                     if ctx.model.vocab
                     else "",
                 })
+            elif path == "/api/tags":  # ollama compat (server.cpp:4815)
+                name = ctx.model.config.metadata.get("general.name", "model")
+                self._json({"models": [{
+                    "name": name, "model": name,
+                    "modified_at": "", "size": 0, "digest": "",
+                    "details": {"family": ctx.model.config.arch,
+                                "parameter_size": "", "quantization_level": ""},
+                }]})
             elif path in ("/v1/models", "/models"):
                 self._json({
                     "object": "list",
@@ -783,6 +800,20 @@ def make_handler(ctx: ServerContext):
                 self._completion(body, openai=path.startswith("/v1"))
             elif path in ("/chat/completions", "/v1/chat/completions", "/api/chat"):
                 self._chat(body)
+            elif path == "/api/show":  # ollama compat (server.cpp:4815-4861)
+                cfg = ctx.model.config
+                self._json({
+                    "template": (ctx.model.vocab.chat_template or "")
+                    if ctx.model.vocab else "",
+                    "model_info": {
+                        "general.architecture": cfg.arch,
+                        "general.name": cfg.metadata.get("general.name", "model"),
+                        f"{cfg.arch}.context_length": cfg.n_ctx_train,
+                        f"{cfg.arch}.embedding_length": cfg.n_embd,
+                        f"{cfg.arch}.block_count": cfg.n_layer,
+                    },
+                    "capabilities": ["completion"],
+                })
             elif path == "/tokenize":
                 ids = ctx.model.tokenizer.tokenize(
                     body.get("content", ""),

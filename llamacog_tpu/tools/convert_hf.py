@@ -266,7 +266,9 @@ _LAYER_MAP = {
     "mlp.down_proj.weight": "ffn_down.weight",
     "mlp.gate_up_proj.weight": "ffn_up.weight",  # phi3 fused [gate; up]
     "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
     "post_attention_layernorm.weight": "ffn_norm.weight",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
 }
 
 _GEMMA_NORMS = {
@@ -290,6 +292,13 @@ _ARCHES = {
     "Olmo2ForCausalLM": ("olmo2", False),
     "CohereForCausalLM": ("command-r", False),
     "Starcoder2ForCausalLM": ("starcoder2", False),
+    "StableLmForCausalLM": ("stablelm", False),
+    # nemotron: layernorm1p — norms stored +1 like gemma
+    "NemotronForCausalLM": ("nemotron", True),
+    "OlmoeForCausalLM": ("olmoe", False),
+    # transformers GlmForCausalLM is registered as arch chatglm by the
+    # reference (convert_hf_to_gguf.py:5731)
+    "GlmForCausalLM": ("chatglm", False),
 }
 
 
@@ -372,6 +381,14 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
         w.add(f"{arch}.expert_used_count", cfg.get("num_experts_per_tok", 2))
         # HF Mixtral renormalizes the top-k router weights
         w.add(f"{arch}.expert_weights_norm", True)
+    pr = cfg.get("partial_rotary_factor")
+    if pr:
+        hd = cfg.get("head_dim") or (cfg["hidden_size"] // n_head)
+        w.add(f"{arch}.rope.dimension_count", int(hd * pr))
+    if cfg.get("num_experts"):  # olmoe
+        w.add(f"{arch}.expert_count", cfg["num_experts"])
+        w.add(f"{arch}.expert_used_count", cfg.get("num_experts_per_tok", 8))
+        w.add(f"{arch}.expert_weights_norm", bool(cfg.get("norm_topk_prob", False)))
     rs = cfg.get("rope_scaling") or {}
     if rs.get("rope_type", rs.get("type")) in ("linear", "yarn"):
         w.add(f"{arch}.rope.scaling.type", rs.get("rope_type", rs.get("type")))
@@ -419,6 +436,18 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
                 t = permute_rope_rows(t, n_kv)
             put(f"blk.{il}.{gname}", t)
             count += 1
+        if f"{pre}.mlp.gate.weight" in sd:  # olmoe-style MoE experts
+            put(f"blk.{il}.ffn_gate_inp.weight", sd[f"{pre}.mlp.gate.weight"])
+            n_exp = cfg["num_experts"]
+            for gname, hf_w in (("ffn_gate_exps", "gate_proj"),
+                                ("ffn_down_exps", "down_proj"),
+                                ("ffn_up_exps", "up_proj")):
+                stacked = np.stack([
+                    np.asarray(sd[f"{pre}.mlp.experts.{e}.{hf_w}.weight"],
+                               np.float32)
+                    for e in range(n_exp)
+                ])
+                put(f"blk.{il}.{gname}.weight", stacked)
         gate_inp = f"{pre}.block_sparse_moe.gate.weight"
         if gate_inp in sd:  # mixtral MoE experts
             put(f"blk.{il}.ffn_gate_inp.weight", sd[gate_inp])

@@ -111,3 +111,29 @@ def test_engine_q8_decode_uses_flash(monkeypatch):
     eng.prefill([3, 5, 7])
     eng.decode_one(np.array([9]))
     assert calls, "q8 decode did not route through flash_decode_q8"
+
+
+def test_flash_decode_q8_tiled_matches_untiled():
+    """The S-tiled decode variant (VMEM-bounded, scratch-carried online
+    softmax) must match the whole-S kernel exactly."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.ops.pallas.flash_q8 import DTS, flash_decode_q8_tiled
+
+    B, H, Hkv, Dk, Dv = 2, 8, 2, 32, 32
+    S = 2 * DTS
+    rng = np.random.default_rng(7)
+    n_valid = np.array([DTS + 37, 170], np.int32)
+    kq, ks, vq, vs, k_ref, v_ref = _rand_cache_and_qkv(B, S, H, Hkv, Dk, Dv,
+                                                       n_valid, seed=9)
+    q = rng.standard_normal((B, H, Dk)).astype(np.float32)
+    k_cur = rng.standard_normal((B, Hkv, Dk)).astype(np.float32)
+    v_cur = rng.standard_normal((B, Hkv, Dv)).astype(np.float32)
+    scale = Dk ** -0.5
+    ref = np.asarray(flash_q8.flash_decode_q8(
+        jnp.asarray(q), kq, ks, vq, vs, jnp.asarray(k_cur), jnp.asarray(v_cur),
+        jnp.asarray(n_valid), scale, interpret=True))
+    got = np.asarray(flash_decode_q8_tiled(
+        jnp.asarray(q), kq, ks, vq, vs, jnp.asarray(k_cur), jnp.asarray(v_cur),
+        jnp.asarray(n_valid), scale, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)

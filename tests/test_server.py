@@ -335,3 +335,15 @@ def test_server_speculative_decode(tmp_path):
         assert t["draft_n_accepted"] >= t["draft_n"] * 0.5
     finally:
         ctx.stop()
+
+
+def test_webui_and_ollama_endpoints(server):
+    import urllib.request
+
+    with urllib.request.urlopen(server + "/", timeout=60) as r:
+        html = r.read().decode()
+    assert r.status == 200 and "llamacog" in html and "chat/completions" in html
+    body, status = _get(server + "/api/tags")
+    assert status == 200 and body["models"][0]["details"]["family"]
+    body, status = _post(server + "/api/show", {})
+    assert status == 200 and "model_info" in body
