@@ -298,19 +298,44 @@ def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
     N, K = shape
     B = x.shape[0]
     planes = dict(zip(plane_names, plane_vals))
-    grid = (N // tn,)
-    in_specs = [
-        pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ] + [
-        pl.BlockSpec((tn, planes[name].shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        for name in plane_names
-    ]
+    # large-B (prefill) row tiling: a [B, K] activation block stops fitting
+    # VMEM around B*K = 8M elements; split rows with N OUTER in the grid so
+    # a weight tile's index stays constant across consecutive row steps
+    # (pallas skips the re-DMA) while x tiles stream
+    tb = 0
+    if B * K * 2 > 12 * 1024 * 1024:
+        for cand in (1024, 512, 256):
+            if B % cand == 0:
+                tb = cand
+                break
+    if tb:
+        grid = (N // tn, B // tb)
+        in_specs = [
+            pl.BlockSpec((tb, K), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((tn, planes[name].shape[1]), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM)
+            for name in plane_names
+        ]
+        out_spec = pl.BlockSpec((tb, tn), lambda j, i: (i, j),
+                                memory_space=pltpu.VMEM)
+        dims = ("arbitrary", "arbitrary")
+    else:
+        grid = (N // tn,)
+        in_specs = [
+            pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((tn, planes[name].shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for name in plane_names
+        ]
+        out_spec = pl.BlockSpec((B, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
+        dims = ("arbitrary",)
     kernel = functools.partial(_qmm_kernel, kind, len(plane_names), G, permute)
     _MXU_F32 = mxu_f32  # trace-time; jit caches on the static arg
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=dims,
             vmem_limit_bytes=64 * 1024 * 1024,
         )
     try:
@@ -319,7 +344,7 @@ def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
             out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((B, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_specs=out_spec,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * B * N * K,

@@ -345,14 +345,78 @@ class GrammarState:
         if piece:
             self.accept_text(piece)
 
-    def token_mask(self):
-        """Boolean allow-mask over the vocab (the non-lazy path)."""
+    def _vocab_first_cps(self):
+        """Cached per-vocab arrays: each token's first codepoint (-2 empty
+        piece, -1 undecodable/continuation byte) and a single-char flag."""
+        cache = getattr(self.vocab, "_gbnf_first_cps", None)
+        if cache is not None:
+            return cache
         import numpy as np
 
         n = self.vocab.n_tokens()
-        mask = np.zeros(n, dtype=bool)
+        first = np.full(n, -1, np.int64)
+        single = np.zeros(n, bool)
         for t in range(n):
+            piece = self.vocab.token_to_piece(t)
+            if not piece:
+                first[t] = -2
+                continue
+            b = piece[0]
+            ln = 1 if b < 0x80 else 2 if b >> 5 == 6 else 3 if b >> 4 == 14 else 4 if b >> 3 == 30 else 1
+            if len(piece) < ln:
+                continue  # partial char: full check needed
+            try:
+                first[t] = ord(piece[:ln].decode("utf-8"))
+                single[t] = len(piece) == ln
+            except UnicodeDecodeError:
+                pass
+        self.vocab._gbnf_first_cps = (first, single)
+        return first, single
+
+    def token_mask(self):
+        """Boolean allow-mask over the vocab.
+
+        Reject-based prefilter (the role of the reference's incremental
+        masking, llama-grammar.cpp:163): a token can only be legal if its
+        FIRST codepoint matches some terminal at a stack top, so the vocab
+        is first filtered with vectorized range checks — only survivors
+        (plus EOG and undecodable pieces) walk the pushdown. Single-char
+        tokens are decided by the prefilter alone. Cuts the common
+        constrained-JSON case from O(V*stacks) Python to O(V) numpy +
+        O(candidates)."""
+        import numpy as np
+
+        n = self.vocab.n_tokens()
+        if self._partial:  # mid-UTF8-char state: prefilter doesn't apply
+            mask = np.zeros(n, dtype=bool)
+            for t in range(n):
+                mask[t] = self.accepts_token(t)
+            return mask
+        first, single = self._vocab_first_cps()
+        allowed_first = np.zeros(n, dtype=bool)
+        for matcher in {st[-1] for st in self.stacks if st}:
+            if matcher[0] == "any":
+                allowed_first |= first >= 0
+                continue
+            negated, ranges = matcher
+            hit = np.zeros(n, dtype=bool)
+            for lo, hi in ranges:
+                hit |= (first >= lo) & (first <= hi)
+            if negated:
+                hit = ~hit & (first >= 0)
+            allowed_first |= hit
+        mask = np.zeros(n, dtype=bool)
+        mask[first == -2] = True  # empty pieces never violate
+        # single-char candidates are fully decided by the first-cp match
+        mask |= allowed_first & single
+        # multi-char or undecodable candidates walk the full pushdown
+        cand = np.nonzero((allowed_first & ~single) | (first == -1))[0]
+        for t in cand:
             mask[t] = self.accepts_token(t)
+        if self.vocab is not None:  # EOG legality is stack-emptiness
+            for t in self.vocab.eog_ids:
+                if 0 <= t < n:
+                    mask[t] = self.can_end
         return mask
 
     def copy(self) -> "GrammarState":

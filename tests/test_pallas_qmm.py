@@ -63,3 +63,18 @@ def test_qmm_iquant_matches_reference(kind):
     got = np.asarray(qmm(jnp.asarray(x), qt, interpret=True))
     err = nmse(got, ref)
     assert err < 2e-4, f"{kind}: nmse {err}"
+
+
+def test_qmm_row_tiled_large_batch():
+    """Prefill-sized activations ([B,K] too big for one VMEM block) route
+    through the row-tiled grid and must match the reference decode."""
+    ttype = GGMLType.Q4_0
+    N, K, B = 256, 4096, 2048
+    rng = np.random.default_rng(42)
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    x = (rng.standard_normal((B, K)) * 0.1).astype(np.float32)
+    qt = from_gguf(quantize(w.reshape(-1), ttype), ttype, (N, K))
+    qt.planes = {k: jnp.asarray(v) for k, v in qt.planes.items()}
+    ref = x @ np.asarray(decode(qt, jnp.float32)).T
+    got = np.asarray(qmm(jnp.asarray(x), qt, interpret=True))
+    assert nmse(got, ref) < 2e-4
