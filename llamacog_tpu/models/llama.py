@@ -528,6 +528,15 @@ def forward(
             q = q.reshape(B, T, -1, Dk)
             k = k.reshape(B, T, -1, Dk)
             v = v.reshape(B, T, -1, Dv)
+        elif "attn_qk" in layer:
+            # q+k fused when v's quant kind differs (loader mixed-kind fuse)
+            qk = _linear(h, layer, "attn_qk")
+            h_l = cfg.n_head_at(il)
+            q, k = jnp.split(qk, [h_l * Dk], axis=-1)
+            v = _linear(h, layer, "attn_v")
+            q = q.reshape(B, T, -1, Dk)
+            k = k.reshape(B, T, -1, Dk)
+            v = v.reshape(B, T, -1, Dv)
         else:
             q = _linear(h, layer, "attn_q")
             k = _linear(h, layer, "attn_k")

@@ -238,6 +238,13 @@ def load_model(
                     layer["attn_qkv_b"] = jnp.concatenate(
                         [layer.pop("attn_q_b"), layer.pop("attn_k_b"), layer.pop("attn_v_b")]
                     )
+            else:
+                # mixed quant kinds (Q4_K_M stores attn_v as Q6_K): fuse at
+                # least q+k — one fewer kernel launch per layer per step
+                qk = _fuse_rows([layer["attn_q"], layer["attn_k"]])
+                if qk is not None and "attn_q_b" not in layer                         and "attn_q_norm" not in layer:
+                    layer["attn_qk"] = qk
+                    del layer["attn_q"], layer["attn_k"]
         if fuse and "ffn_gate" in layer and "ffn_up" in layer and "ffn_gate_b" not in layer:
             fused = _fuse_rows([layer["ffn_gate"], layer["ffn_up"]])
             if fused is not None:

@@ -149,7 +149,7 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
         sl = {}
         for k, w in layer.items():
             if k in ("attn_q", "attn_k", "attn_v", "ffn_gate", "ffn_up",
-                     "attn_qkv", "ffn_gate_up"):
+                     "attn_qkv", "attn_qk", "ffn_gate_up"):
                 sl[k] = _put(w, mesh, P("model", None))
             elif k in ("attn_output", "ffn_down"):
                 sl[k] = _put(w, mesh, P(None, "model"))

@@ -59,6 +59,17 @@ def llama3_8b_config() -> ModelConfig:
     )
 
 
+def mixtral_shaped_config(n_layer: int = 8) -> ModelConfig:
+    """Mixtral-8x7B layer geometry (BASELINE config 4), depth-scaled so the
+    experts fit one v5e's HBM (8x7B full is ~26 GB quantized)."""
+    return ModelConfig(
+        arch="llama", n_vocab=32000, n_ctx_train=8192, n_embd=4096,
+        n_layer=n_layer, n_head=32, n_head_kv=8, n_ff=14336,
+        head_dim_k=128, head_dim_v=128, n_expert=8, n_expert_used=2,
+        expert_weights_norm=True, rope=RopeConfig(dim=128, freq_base=1e6),
+    )
+
+
 def make_synthetic_params(cfg: ModelConfig, seed: int = 0) -> dict:
     """Random planar params for the generalized llama forward, Q4_K_M mix.
 
@@ -82,12 +93,29 @@ def _make_synthetic_params(cfg: ModelConfig, seed) -> dict:
         layer = {
             "attn_norm": jnp.ones((E,), jnp.float32),
             "ffn_norm": jnp.ones((E,), jnp.float32),
-            "attn_q": _rand_qt(jax.random.fold_in(lk, 0), "Q4_K", cfg.n_head * cfg.head_dim_k, E),
-            "attn_k": _rand_qt(jax.random.fold_in(lk, 1), "Q4_K", kv, E),
+            # q+k fused (same kind), v separate Q6_K — what loader produces
+            # for a real Q4_K_M checkpoint
+            "attn_qk": _rand_qt(jax.random.fold_in(lk, 0), "Q4_K",
+                                cfg.n_head * cfg.head_dim_k + kv, E),
             "attn_v": _rand_qt(jax.random.fold_in(lk, 2), "Q6_K", kv, E),
             "attn_output": _rand_qt(jax.random.fold_in(lk, 3), "Q4_K", E, cfg.n_head * cfg.head_dim_v),
-            "ffn_gate_up": _rand_qt(jax.random.fold_in(lk, 4), "Q4_K", 2 * F, E),
-            "ffn_down": _rand_qt(jax.random.fold_in(lk, 5), down_kind, E, F),
         }
+        if cfg.n_expert > 0:
+            n_exp = cfg.n_expert
+            layer["ffn_gate_inp"] = (
+                jax.random.normal(jax.random.fold_in(lk, 6), (n_exp, E)) * 0.02
+            ).astype(jnp.float32)
+            ge = _rand_qt(jax.random.fold_in(lk, 7), "Q4_K", n_exp * F, E)
+            ue = _rand_qt(jax.random.fold_in(lk, 8), "Q4_K", n_exp * F, E)
+            de = _rand_qt(jax.random.fold_in(lk, 9), down_kind, n_exp * E, F)
+            ge.shape = (n_exp, F, E)
+            ue.shape = (n_exp, F, E)
+            de.shape = (n_exp, E, F)
+            layer["ffn_gate_exps"] = ge
+            layer["ffn_up_exps"] = ue
+            layer["ffn_down_exps"] = de
+        else:
+            layer["ffn_gate_up"] = _rand_qt(jax.random.fold_in(lk, 4), "Q4_K", 2 * F, E)
+            layer["ffn_down"] = _rand_qt(jax.random.fold_in(lk, 5), down_kind, E, F)
         params["layers"].append(layer)
     return params
