@@ -89,7 +89,7 @@ def main() -> None:
 
         config = llama3_8b_config()
         params = make_synthetic_params(config)
-        jax.block_until_ready(params["layers"][0]["attn_q"].planes["qs"])
+        jax.block_until_ready(params["layers"][0]["attn_qk"].planes["qs"])
         metric = "decode_tokens_per_s_q4_k_m_8b_single_stream"
     else:
         from llamacog_tpu.models.loader import load_model

@@ -340,6 +340,10 @@ def forward(
     # in the cache (prefill of one row must not clamp-write the others)
     n_new: jnp.ndarray | None = None,  # [B] real (unpadded) tokens in this
     # block; SWA ring writes must not let pads wrap over live slots
+    logits_last: jnp.ndarray | None = None,  # [B] position per row: compute
+    # the LM head only there (a padded 8k prefill would otherwise
+    # materialize [T, V] logits — 4.2 GB at Llama-3 vocab; the reference
+    # equivalent is batch.logits selecting output rows)
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (logits [B, T, V] f32, updated cache); with return_hidden,
     the first element is the final-norm hidden state [B, T, E] instead
@@ -602,6 +606,10 @@ def forward(
 
     cache = cache.write_all(jnp.stack(new_ks), jnp.stack(new_vs), write_pos,
                             active=write_mask, n_new=n_new)
+    if logits_last is not None and not return_hidden:
+        idx = logits_last.reshape(B, 1, 1).astype(jnp.int32)
+        x = jnp.take_along_axis(x, jnp.broadcast_to(idx, (B, 1, x.shape[-1])),
+                                axis=1)
     if cfg.norm_type == "layer":
         x = layer_norm(x, params["output_norm"], params.get("output_norm_b"), cfg.norm_eps)
     else:

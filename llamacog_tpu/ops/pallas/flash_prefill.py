@@ -31,16 +31,18 @@ def _kernel(rep, T, scale, softcap, window, s_tiles,
     # valid old length (= write_pos) for this batch row; the SMEM block is
     # the whole [B, 1] array (Mosaic rejects a (1,1) sub-block of it)
     n = len_ref[pl.program_id(0), 0]
-    R = T * rep
+    TR = q_ref.shape[-2]  # q rows in this tile (R split over the grid so
+    # register/VMEM pressure stays bounded at long T)
+    r0 = pl.program_id(2) * TR
 
-    q = q_ref[0, 0, :, :].astype(jnp.float32)  # [R, Dk], rows t-major
+    q = q_ref[0, 0, :, :].astype(jnp.float32)  # [TR, Dk], rows t-major
     # query absolute position per row: pos_q = n + t  (row r -> t = r // rep)
-    t_of_row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // rep
+    t_of_row = (r0 + jax.lax.broadcasted_iota(jnp.int32, (TR, 1), 0)) // rep
     pos_q = n + t_of_row  # [R, 1]
 
-    m_i = jnp.full((R, 1), -1e30, jnp.float32)
-    l_i = jnp.zeros((R, 1), jnp.float32)
-    acc = jnp.zeros((R, Dv), jnp.float32)
+    m_i = jnp.full((TR, 1), -1e30, jnp.float32)
+    l_i = jnp.zeros((TR, 1), jnp.float32)
+    acc = jnp.zeros((TR, Dv), jnp.float32)
 
     def s_tile(i, carry):
         m_i, l_i, acc = carry
@@ -116,6 +118,7 @@ def flash_prefill_attention(
     rep = H // Hkv
     R = T * rep
     s_tiles = S // TS
+    TR = 512 if R % 512 == 0 else R  # q-row tile (bounds VMEM/register use)
     # head-major layouts so block trailing dims are tile-aligned
     qh = q.reshape(B, T, Hkv, rep, Dk).transpose(0, 2, 1, 3, 4).reshape(B, Hkv, R, Dk)
     kh = k.transpose(0, 2, 1, 3)  # [B, Hkv, S, Dk]
@@ -126,21 +129,23 @@ def flash_prefill_attention(
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, R, Dv), q.dtype),
-        grid=(B, Hkv),
+        grid=(B, Hkv, R // TR),
         in_specs=[
-            pl.BlockSpec((1, 1, R, Dk), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, TR, Dk), lambda b, h, r: (b, h, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, Dk), lambda b, h: (b, h, 0, 0),
+            # KV blocks keep a constant index while r sweeps, so pallas
+            # reuses them without re-DMA
+            pl.BlockSpec((1, 1, S, Dk), lambda b, h, r: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, Dv), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, S, Dv), lambda b, h, r: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, Dk), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, T, Dk), lambda b, h, r: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, Dv), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, T, Dv), lambda b, h, r: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, h, r: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, R, Dv), lambda b, h: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, TR, Dv), lambda b, h, r: (b, h, r, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(qh, kh, vh, kch, vch, seq_len.reshape(B, 1))

@@ -120,15 +120,16 @@ def _prefill_kernel(rep, T, scale, softcap, window, s_tiles, gsk, gsv,
                     len_ref, o_ref):
     Dv = vq_ref.shape[-1]
     n = len_ref[pl.program_id(0), 0]
-    R = q_ref.shape[-2]
+    TR = q_ref.shape[-2]  # q-row tile (see flash_prefill.py)
+    r0 = pl.program_id(2) * TR
 
-    q = q_ref[0, 0, :, :].astype(jnp.float32)  # [R, Dk]
-    t_of_row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // rep
+    q = q_ref[0, 0, :, :].astype(jnp.float32)  # [TR, Dk]
+    t_of_row = (r0 + jax.lax.broadcasted_iota(jnp.int32, (TR, 1), 0)) // rep
     pos_q = n + t_of_row
 
-    m_i = jnp.full((R, 1), -1e30, jnp.float32)
-    l_i = jnp.zeros((R, 1), jnp.float32)
-    acc = jnp.zeros((R, Dv), jnp.float32)
+    m_i = jnp.full((TR, 1), -1e30, jnp.float32)
+    l_i = jnp.zeros((TR, 1), jnp.float32)
+    acc = jnp.zeros((TR, Dv), jnp.float32)
 
     def s_tile(i, carry):
         m_i, l_i, acc = carry
@@ -208,6 +209,7 @@ def flash_prefill_q8(
     rep = H // Hkv
     R = T * rep
     s_tiles = S // TS
+    TR = 512 if R % 512 == 0 else R
     qp = QuantKVCache.kv_permute(q)
     kcp = QuantKVCache.kv_permute(k_cur)
     vcp = QuantKVCache.kv_permute(v_cur)
@@ -223,18 +225,18 @@ def flash_prefill_q8(
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, R, Dv), q.dtype),
-        grid=(B, Hkv),
+        grid=(B, Hkv, R // TR),
         in_specs=[
-            pl.BlockSpec((1, 1, R, Dk), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, Dk), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, Gk), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, Dv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, Gv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, Dk), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, Dv), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, TR, Dk), lambda b, h, r: (b, h, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, Dk), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, Gk), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, Dv), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, Gv), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, Dk), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, Dv), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda b, h, r: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, R, Dv), lambda b, h: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, TR, Dv), lambda b, h, r: (b, h, r, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(qh, kqh, ksh, vqh, vsh, kch, vch, seq_len.reshape(B, 1))

@@ -304,10 +304,16 @@ def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
     # (pallas skips the re-DMA) while x tiles stream
     tb = 0
     if B * K * 2 > 12 * 1024 * 1024:
-        for cand in (1024, 512, 256):
-            if B % cand == 0:
+        for cand in (1024, 512, 256, 128):
+            # the x tile is double-buffered: keep one copy under ~8MB
+            if B % cand == 0 and cand * K * 2 <= 8 * 1024 * 1024:
                 tb = cand
                 break
+        else:
+            for cand in (256, 128):
+                if B % cand == 0:
+                    tb = cand
+                    break
     if tb:
         grid = (N // tn, B // tb)
         in_specs = [

@@ -107,12 +107,12 @@ class Engine:
 
         @functools.partial(jax.jit, static_argnames=("t",))
         def step(params, cache, tokens, write_pos, seq_len, t, pos_off=None,
-                 wmask=None):
+                 wmask=None, last_pos=None):
             base = write_pos if pos_off is None else write_pos + pos_off
             positions = base[:, None] + jnp.arange(t)[None, :]
             logits, cache = forward(
                 params, config, tokens, positions, cache, write_pos, dtype=dtype,
-                write_mask=wmask, n_new=seq_len - write_pos,
+                write_mask=wmask, n_new=seq_len - write_pos, logits_last=last_pos,
             )
             return logits, cache
 
@@ -120,7 +120,7 @@ class Engine:
 
         @functools.partial(jax.jit, static_argnames=("t",))
         def step_row(params, cache, tokens, row, write_pos_row, n_new_row, t,
-                     pos_off_row):
+                     pos_off_row, last_pos=None):
             """Prefill ONE row at B=1: the full-batch step pays batch_size x
             the prompt's FLOPs to prefill a single row (every row recomputes
             the block); here the row's cache is sliced out (batch axis 1 on
@@ -133,7 +133,7 @@ class Engine:
             positions = (write_pos_row + pos_off_row)[:, None] + jnp.arange(t)[None, :]
             logits, sub = forward(
                 params, config, tokens, positions, sub, write_pos_row,
-                dtype=dtype, n_new=n_new_row,
+                dtype=dtype, n_new=n_new_row, logits_last=last_pos,
             )
             cache = jax.tree_util.tree_map(
                 lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, row, axis=1),
@@ -369,12 +369,16 @@ class Engine:
         m[row] = True
         return jnp.asarray(m)
 
-    def _prefill_row_logits(self, token_ids, row: int) -> "jnp.ndarray":
-        """Shared single-row prefill; returns the row's [t, V] logits."""
+    def _prefill_row_logits(self, token_ids, row: int,
+                            last_only: bool = False) -> "jnp.ndarray":
+        """Shared single-row prefill; returns the row's [t, V] logits (or
+        [1, V] with last_only — the LM head runs on one position, so an 8k
+        prompt never materializes [t, V])."""
         n = len(token_ids)
         t = self._prefill_t_at(n, int(self.seq_len[row]))
         new_len = self.seq_len.copy()
         new_len[row] += n
+        last = jnp.asarray([n - 1], np.int32) if last_only else None
         if self.batch_size > 1:
             # B=1 sliced-row step: one prompt costs its own FLOPs, not
             # batch_size x (reference chunked-prefill goal, server.cpp:3191)
@@ -383,16 +387,19 @@ class Engine:
             logits, self.cache = self._step_row(
                 self.params, self.cache, jnp.asarray(toks), jnp.int32(row),
                 jnp.asarray(self.seq_len[row : row + 1]), jnp.asarray([n], np.int32),
-                t, jnp.asarray(self.pos_offset[row : row + 1]),
+                t, jnp.asarray(self.pos_offset[row : row + 1]), last_pos=last,
             )
             self.seq_len = new_len
             return logits[0]
         toks = np.zeros((self.batch_size, t), dtype=np.int32)
         toks[row, :n] = token_ids
         write_pos = jnp.asarray(self.seq_len)
+        if last is not None:
+            last = jnp.broadcast_to(last, (self.batch_size,))
         logits, self.cache = self._step(
             self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t,
             pos_off=jnp.asarray(self.pos_offset), wmask=self._row_mask(row),
+            last_pos=last,
         )
         self.seq_len = new_len
         return logits[row]
@@ -401,8 +408,8 @@ class Engine:
         """Feed a prompt into one row; returns logits of the last real token."""
         if self.recurrent:
             return self._recurrent_prefill(token_ids, row)
-        logits = self._prefill_row_logits(token_ids, row)
-        return np.asarray(logits[len(token_ids) - 1])
+        logits = self._prefill_row_logits(token_ids, row, last_only=True)
+        return np.asarray(logits[-1])
 
     def prefill_embd(self, embd: np.ndarray, row: int = 0,
                      grid: tuple[int, int] | None = None) -> np.ndarray:

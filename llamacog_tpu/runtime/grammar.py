@@ -394,7 +394,8 @@ class GrammarState:
             return mask
         first, single = self._vocab_first_cps()
         allowed_first = np.zeros(n, dtype=bool)
-        for matcher in {st[-1] for st in self.stacks if st}:
+        for top in {st[-1] for st in self.stacks if st}:
+            matcher = top[1]  # stack tops are ("t", char-class) terminals
             if matcher[0] == "any":
                 allowed_first |= first >= 0
                 continue
