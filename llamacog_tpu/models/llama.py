@@ -126,6 +126,8 @@ def _matmul_id(rows: jnp.ndarray, ids: jnp.ndarray, qt) -> jnp.ndarray:
             if out is not None:
                 return out
     if qid.supports(qt.kind) and jax.default_backend() == "tpu":
+        if rows.shape[0] <= qid.GATHER_SLICE_MAX:
+            return qid.qmm_gather_slice(rows, ids, qt)
         return qid.qmm_gather(rows, ids, qt)
     return qid.qmm_gather_xla(rows, ids, qt, dtype=rows.dtype)
 
@@ -168,19 +170,27 @@ def _ffn_moe_sparse(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
     S = B * T
     xf = x.reshape(S, E)
     top_i, gate_w = _moe_router(layer, xf, cfg)  # [S,k]
-    wg, wu, wd = layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"]
+    wg = layer.get("ffn_gate_exps")
+    wu = layer.get("ffn_up_exps")
+    wd = layer["ffn_down_exps"]
     Sp = S * k
     ids = top_i.reshape(Sp)
     rows = jnp.repeat(xf, k, axis=0)  # [(s,slot)] pair rows
+    wgu = layer.get("ffn_gate_up_exps")
     from ..ops import linear as _lin
 
     _hk = _lin.get_hook()  # imatrix collector (expert-aware, ids per row)
     if _hk is not None:
-        _hk(wg, rows, ids)
-        _hk(wu, rows, ids)
+        _hk(wgu if wgu is not None else wg, rows, ids)
+        if wgu is None:
+            _hk(wu, rows, ids)
     if Sp <= _MOE_GATHER_MAX:
-        gate = _matmul_id(rows, ids, wg)
-        up = _matmul_id(rows, ids, wu)
+        if wgu is not None:  # fused per-expert [gate; up] rows
+            gu = _matmul_id(rows, ids, wgu)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = _matmul_id(rows, ids, wg)
+            up = _matmul_id(rows, ids, wu)
         h = (_act(gate, cfg.ffn_act) * up).astype(x.dtype)  # [Sp, F]
         if _hk is not None:
             _hk(wd, h, ids)
@@ -204,8 +214,12 @@ def _ffn_moe_sparse(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
         tile_expert = jnp.clip(
             jnp.searchsorted(ends, tile_start, side="right"), 0, n_exp - 1
         ).astype(jnp.int32)
-        gate = _matmul_ragged(xs, tile_expert, wg, tt)
-        up = _matmul_ragged(xs, tile_expert, wu, tt)
+        if wgu is not None:
+            gu = _matmul_ragged(xs, tile_expert, wgu, tt)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = _matmul_ragged(xs, tile_expert, wg, tt)
+            up = _matmul_ragged(xs, tile_expert, wu, tt)
         h = (_act(gate, cfg.ffn_act) * up).astype(x.dtype)  # [s_pad, F]
         if _hk is not None:  # per-pair down inputs for the collector
             _hk(wd, h[dest], ids[order])
@@ -222,7 +236,8 @@ def _ffn_moe(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     einsum, whose dense matmuls map well onto the MXU and EP-shard cleanly."""
     B, T, E = x.shape
     n_exp, k = cfg.n_expert, cfg.n_expert_used
-    if isinstance(layer["ffn_gate_exps"], QuantTensor):
+    if isinstance(layer.get("ffn_gate_up_exps", layer.get("ffn_gate_exps")),
+                  QuantTensor):
         out = _ffn_moe_sparse(layer, x, cfg).astype(jnp.float32)
     else:
         top_i, gate_w = _moe_router(layer, x, cfg)  # [B,T,k]

@@ -245,6 +245,24 @@ def load_model(
                 if qk is not None and "attn_q_b" not in layer                         and "attn_q_norm" not in layer:
                     layer["attn_qk"] = qk
                     del layer["attn_q"], layer["attn_k"]
+        if fuse and "ffn_gate_exps" in layer and "ffn_up_exps" in layer:
+            ge, ue = layer["ffn_gate_exps"], layer["ffn_up_exps"]
+            from ..quant.planar import QuantTensor as _QT
+
+            if (isinstance(ge, _QT) and isinstance(ue, _QT)
+                    and ge.kind == ue.kind and ge.shape == ue.shape):
+                # per-expert [gate; up] fusion: one expert-gather streams
+                # both matmuls' rows (halves the gather call count)
+                n_exp, F, E = ge.shape
+                planes = {}
+                for nm in ge.planes:
+                    g3 = ge.planes[nm].reshape(n_exp, F, -1)
+                    u3 = ue.planes[nm].reshape(n_exp, F, -1)
+                    planes[nm] = jnp.concatenate([g3, u3], axis=1).reshape(
+                        n_exp * 2 * F, -1
+                    )
+                layer["ffn_gate_up_exps"] = _QT(ge.kind, (n_exp, 2 * F, E), planes)
+                del layer["ffn_gate_exps"], layer["ffn_up_exps"]
         if fuse and "ffn_gate" in layer and "ffn_up" in layer and "ffn_gate_b" not in layer:
             fused = _fuse_rows([layer["ffn_gate"], layer["ffn_up"]])
             if fused is not None:

@@ -38,13 +38,16 @@ def _planes3(qt: QuantTensor):
     return {k: v.reshape(n_exp, N, v.shape[-1]) for k, v in qt.planes.items()}
 
 
-def _decode_block(kind, refs, n_planes):
+def _decode_block(kind, refs, n_planes, flat=False):
     names = TILE_DECODERS[kind][1]
-    planes = {name: refs[i][0] for i, name in enumerate(names)}
+    if flat:
+        planes = {name: refs[i][...] for i, name in enumerate(names)}
+    else:
+        planes = {name: refs[i][0] for i, name in enumerate(names)}
     return TILE_DECODERS[kind][0](planes)
 
 
-def _body(kind, G, x, xf, parts, corr, out_ref):
+def _body(kind, G, x, xf, parts, corr):
     P = len(parts)
     Kp = x.shape[1] // P
     acc = None
@@ -64,14 +67,19 @@ def _body(kind, G, x, xf, parts, corr, out_ref):
             xg, corr, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    out_ref[...] = acc
+    return acc
 
 
 def _gather_kernel(kind, n_planes, G, ids_ref, x_ref, *refs):
+    # grid (N/tn, S): x and out stay full-array blocks (Mosaic requires
+    # block rows divisible by 8 OR equal to the array dim — a (1, K) row
+    # block is illegal); the kernel slices its row via the grid index
     out_ref = refs[n_planes]
-    parts, corr = _decode_block(kind, refs, n_planes)
-    xf = x_ref[...]  # [*, K] strided cols (permuted outside; see qmm.py)
-    _body(kind, G, xf.astype(jnp.bfloat16), xf, parts, corr, out_ref)
+    parts, corr = _decode_block(kind, refs, n_planes, flat=True)
+    sidx = pl.program_id(0)
+    xf = x_ref[pl.ds(sidx, 1), :]  # [1, K] strided cols (permuted outside)
+    acc = _body(kind, G, xf.astype(jnp.bfloat16), xf, parts, corr)
+    out_ref[pl.ds(sidx, 1), :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "shape", "plane_names", "tn", "G", "interpret"))
@@ -79,13 +87,19 @@ def _gather_call(x, ids, plane_vals, kind, shape, plane_names, tn, G, interpret=
     n_exp, N, K = shape
     S = x.shape[0]
     planes = dict(zip(plane_names, plane_vals))
-    grid = (S, N // tn)
+    grid = (S, N // tn)  # s outer: the inner j sweep streams ONE expert's
+    # tiles sequentially — the same pipelined access pattern as qmm — while
+    # x/out stay full-array blocks (Mosaic block-shape legality) indexed by
+    # the grid row inside the kernel. Planes are indexed FLAT
+    # ([n_exp*N, cols] with row-block ids[s]*(N/tn)+j) so the DMA geometry
+    # is exactly the production qmm's 2-D tile stream.
+    nb = N // tn
     in_specs = [
-        pl.BlockSpec((1, K), lambda s, j, ids: (s, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, K), lambda s, j, ids: (0, 0), memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec(
-            (1, tn, planes[name].shape[-1]),
-            lambda s, j, ids, _n=name: (ids[s], j, 0),
+            (tn, planes[name].shape[-1]),
+            lambda s, j, ids, _n=name: (ids[s] * nb + j, 0),
             memory_space=pltpu.VMEM,
         )
         for name in plane_names
@@ -105,7 +119,7 @@ def _gather_call(x, ids, plane_vals, kind, shape, plane_names, tn, G, interpret=
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, tn), lambda s, j, ids: (s, j)),
+            out_specs=pl.BlockSpec((S, tn), lambda s, j, ids: (0, j)),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -123,15 +137,18 @@ def qmm_gather(x: jnp.ndarray, ids: jnp.ndarray, qt: QuantTensor,
     -> [S, N] f32 where out[s] = x[s] @ dequant(qt[ids[s]])^T."""
     n_exp = qt.shape[0]
     N, K = int(np.prod(qt.shape[1:-1])), qt.shape[-1]
-    xp = permute_activation(x, qt)
+    # f32 rows: the kernel's dynamic per-row slice needs sublane-1 dtype
+    # granularity (bf16 packs 2 rows/sublane, which Mosaic can't index
+    # dynamically by odd offsets)
+    xp = permute_activation(x, qt).astype(jnp.float32)
     tn = pick_tile_n(N, K, qt.kind)
     if tn == 0:
         raise ValueError(f"N={N} not tileable")
     dec, names, gplane = TILE_DECODERS[qt.kind]
-    p3 = _planes3(qt)
-    G = p3[gplane].shape[-1]
+    flat = {k: v.reshape(n_exp * N, v.shape[-1]) for k, v in qt.planes.items()}
+    G = flat[gplane].shape[-1]
     return _gather_call(
-        xp, jnp.asarray(ids, jnp.int32), tuple(p3[n] for n in names),
+        xp, jnp.asarray(ids, jnp.int32), tuple(flat[n] for n in names),
         qt.kind, (n_exp, N, K), names, tn, G, interpret,
     )
 
@@ -139,8 +156,8 @@ def qmm_gather(x: jnp.ndarray, ids: jnp.ndarray, qt: QuantTensor,
 def _ragged_kernel(kind, n_planes, G, te_ref, x_ref, *refs):
     out_ref = refs[n_planes]
     parts, corr = _decode_block(kind, refs, n_planes)
-    xf = x_ref[...]  # [*, K] strided cols (permuted outside; see qmm.py)
-    _body(kind, G, xf.astype(jnp.bfloat16), xf, parts, corr, out_ref)
+    xf = x_ref[...]  # [tt, K] strided cols (permuted outside; see qmm.py)
+    out_ref[...] = _body(kind, G, xf.astype(jnp.bfloat16), xf, parts, corr)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "shape", "tt", "tn", "G", "plane_names", "interpret"))
@@ -229,6 +246,37 @@ def qmm_gather_xla(x: jnp.ndarray, ids: jnp.ndarray, qt: QuantTensor,
     return jnp.einsum(
         "sk,snk->sn", x.astype(dtype), w, preferred_element_type=jnp.float32
     )
+
+
+def qmm_gather_slice(x: jnp.ndarray, ids: jnp.ndarray, qt: QuantTensor,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Tiny-S gather variant: XLA dynamic-slices the selected expert's
+    planes (one contiguous HBM copy at full DMA rate) and runs the
+    production qmm on the copy. Reads 2x the selected bytes (copy + kernel)
+    but at qmm's pipelined rate. Measured on v5e at mixtral-8x7B expert
+    shapes it LOSES to the gather kernel (30.3 vs 20.8 ms/tok end to end:
+    XLA lowers the big strided slice poorly), so it is kept only as an
+    alternative; GATHER_SLICE_MAX=0 disables it."""
+    from .qmm import qmm
+
+    n_exp = qt.shape[0]
+    N, K = int(np.prod(qt.shape[1:-1])), qt.shape[-1]
+    outs = []
+    for s_i in range(x.shape[0]):
+        planes = {
+            k: jax.lax.dynamic_index_in_dim(
+                v.reshape(n_exp, N, v.shape[-1]), ids[s_i], axis=0,
+                keepdims=False,
+            )
+            for k, v in qt.planes.items()
+        }
+        sub = QuantTensor(qt.kind, (N, K), planes)
+        outs.append(qmm(x[s_i : s_i + 1], sub, interpret=interpret))
+    return jnp.concatenate(outs, axis=0)
+
+
+# 0 = always use the gather kernel (the slice variant measured slower)
+GATHER_SLICE_MAX = 0
 
 
 def supports(kind: str) -> bool:

@@ -105,14 +105,11 @@ def _make_synthetic_params(cfg: ModelConfig, seed) -> dict:
             layer["ffn_gate_inp"] = (
                 jax.random.normal(jax.random.fold_in(lk, 6), (n_exp, E)) * 0.02
             ).astype(jnp.float32)
-            ge = _rand_qt(jax.random.fold_in(lk, 7), "Q4_K", n_exp * F, E)
-            ue = _rand_qt(jax.random.fold_in(lk, 8), "Q4_K", n_exp * F, E)
+            gu = _rand_qt(jax.random.fold_in(lk, 7), "Q4_K", n_exp * 2 * F, E)
             de = _rand_qt(jax.random.fold_in(lk, 9), down_kind, n_exp * E, F)
-            ge.shape = (n_exp, F, E)
-            ue.shape = (n_exp, F, E)
+            gu.shape = (n_exp, 2 * F, E)
             de.shape = (n_exp, E, F)
-            layer["ffn_gate_exps"] = ge
-            layer["ffn_up_exps"] = ue
+            layer["ffn_gate_up_exps"] = gu
             layer["ffn_down_exps"] = de
         else:
             layer["ffn_gate_up"] = _rand_qt(jax.random.fold_in(lk, 4), "Q4_K", 2 * F, E)

@@ -44,7 +44,7 @@ def main():
             depth = max_seq - 256
         eng.reset()
         eng.seq_len[:] = depth  # decode against `depth` tokens of context
-        eng.decode_greedy_tokens(np.array([5]), 64)  # warmup
+        eng.decode_greedy_tokens(np.array([5]), 128)  # warmup (same static n as timed)
         eng.reset()
         eng.seq_len[:] = depth
         n = 128

@@ -23,7 +23,7 @@ def main():
     cfg = mixtral_shaped_config(n_layer=int(sys.argv[1]) if len(sys.argv) > 1 else 8)
     t0 = time.time()
     params = make_synthetic_params(cfg)
-    jax.block_until_ready(params["layers"][0]["ffn_gate_exps"].planes["qs"])
+    jax.block_until_ready(params["layers"][0]["ffn_gate_up_exps"].planes["qs"])
     print(f"[build] {time.time()-t0:.0f}s", file=sys.stderr)
 
     def nbytes(t):
