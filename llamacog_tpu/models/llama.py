@@ -359,6 +359,9 @@ def forward(
     # the LM head only there (a padded 8k prefill would otherwise
     # materialize [T, V] logits — 4.2 GB at Llama-3 vocab; the reference
     # equivalent is batch.logits selecting output rows)
+    kv_cap: int | None = None,  # STATIC bound on the attended cache prefix
+    # (the reference's padded n_kv heuristic, llama-kv-cache-unified.h:297):
+    # a 16k-allocated cache at depth 1k must not read 16k of K/V per step
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (logits [B, T, V] f32, updated cache); with return_hidden,
     the first element is the final-norm hidden state [B, T, E] instead
@@ -371,14 +374,22 @@ def forward(
     Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
     scale = cfg.kq_scale
     from ..ops.pallas import flash_decode, flash_prefill, flash_q8
+    from ..runtime.kv_cache import QuantKVCache as _QKV
+
+    if kv_cap is not None and (
+        kv_cap >= int(cache.max_seq)
+        or not isinstance(cache, (KVCache, _QKV))
+    ):
+        kv_cap = None  # ring/SWA caches keep full reads
+    s_eff = kv_cap if kv_cap is not None else int(cache.max_seq)
 
     use_flash_q8 = flash_q8.decode_supported(cfg, cache, T)
     use_flash_q8_prefill = not use_flash_q8 and flash_q8.prefill_supported(
-        cfg, cache, T, int(cache.max_seq)
+        cfg, cache, T, s_eff
     )
     use_flash = flash_decode.supported(cfg, cache, T)
     use_flash_prefill = not use_flash and flash_prefill.supported(
-        cfg, cache, T, int(cache.max_seq)
+        cfg, cache, T, s_eff
     )
     any_flash = use_flash or use_flash_prefill or use_flash_q8 or use_flash_q8_prefill
     if any_flash:
@@ -386,7 +397,7 @@ def forward(
         _interp = jax.default_backend() != "tpu"
     else:
         (mask, intra), (swa_mask, intra_swa) = _build_masks(
-            cfg, write_pos, T, int(cache.max_seq)
+            cfg, write_pos, T, s_eff
         )
         from ..runtime.kv_cache import SwaKVCache, build_swa_ring_mask
 
@@ -409,14 +420,18 @@ def forward(
                 q[:, 0], cache.k_q[il], cache.k_s[il], cache.v_q[il],
                 cache.v_s[il], k[:, 0], v[:, 0], write_pos, scale,
                 softcap=cfg.attn_logit_softcap, window=win, interpret=_interp,
+                kv_cap=kv_cap,
             )[:, None]
         if use_flash_q8_prefill:
             return flash_q8.flash_prefill_q8(
                 q, cache.k_q[il], cache.k_s[il], cache.v_q[il], cache.v_s[il],
                 k, v, write_pos, scale, softcap=cfg.attn_logit_softcap,
-                window=win, interpret=_interp,
+                window=win, interpret=_interp, kv_cap=kv_cap,
             )
         k_old, v_old = cache.read(il)
+        if kv_cap is not None:  # XLA fuses the slice into the reads
+            k_old = k_old[:, :kv_cap]
+            v_old = v_old[:, :kv_cap]
         if use_flash:
             return flash_decode.flash_decode_attention(
                 q[:, 0], k_old, v_old, k[:, 0], v[:, 0], write_pos, scale,

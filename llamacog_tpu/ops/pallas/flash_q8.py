@@ -67,7 +67,7 @@ def _decode_kernel(hkv, rep, scale, softcap, window, gsk, gsv,
         o_ref[0, h * rep:(h + 1) * rep, :] = (out / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "softcap", "window", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "window", "interpret", "kv_cap"))
 def flash_decode_q8(
     q: jnp.ndarray,  # [B, H, Dk] natural order
     kq: jnp.ndarray,  # [B, S, Hkv, Dk] int8 (strided order)
@@ -81,11 +81,15 @@ def flash_decode_q8(
     softcap: float = 0.0,
     window: int = 0,
     interpret: bool = False,
+    kv_cap: int | None = None,  # static prefix bound: blocks beyond it are
+    # never DMA'd (the padded-n_kv role)
 ) -> jnp.ndarray:  # [B, H, Dv] natural order
     from ...runtime.kv_cache import QuantKVCache
 
     B, H, Dk = q.shape
     S, Hkv = kq.shape[1], kq.shape[2]
+    if kv_cap is not None and kv_cap < S:
+        S = kv_cap
     Dv = vq.shape[-1]
     rep = H // Hkv
     gsk = Dk // ks.shape[-1]
@@ -101,6 +105,7 @@ def flash_decode_q8(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H, Dk), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            # block S may be a PREFIX of the stored cache (kv_cap)
             pl.BlockSpec((1, S, Hkv, Dk), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, Hkv, ks.shape[-1]), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, Hkv, Dv), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -185,7 +190,7 @@ def _prefill_kernel(rep, T, scale, softcap, window, s_tiles, gsk, gsv,
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "softcap", "window", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "window", "interpret", "kv_cap"))
 def flash_prefill_q8(
     q: jnp.ndarray,  # [B, T, H, Dk] natural order
     kq: jnp.ndarray,  # [B, S, Hkv, Dk] int8 (strided order)
@@ -199,11 +204,14 @@ def flash_prefill_q8(
     softcap: float = 0.0,
     window: int = 0,
     interpret: bool = False,
+    kv_cap: int | None = None,
 ) -> jnp.ndarray:  # [B, T, H, Dv]
     from ...runtime.kv_cache import QuantKVCache
 
     B, T, H, Dk = q.shape
     S, Hkv = kq.shape[1], kq.shape[2]
+    if kv_cap is not None and kv_cap < S:
+        S = kv_cap
     Dv = vq.shape[-1]
     Gk, Gv = ks.shape[-1], vs.shape[-1]
     rep = H // Hkv
@@ -214,10 +222,10 @@ def flash_prefill_q8(
     kcp = QuantKVCache.kv_permute(k_cur)
     vcp = QuantKVCache.kv_permute(v_cur)
     qh = qp.reshape(B, T, Hkv, rep, Dk).transpose(0, 2, 1, 3, 4).reshape(B, Hkv, R, Dk)
-    kqh = kq.transpose(0, 2, 1, 3)  # [B, Hkv, S, Dk]
-    ksh = ks.transpose(0, 2, 1, 3)
-    vqh = vq.transpose(0, 2, 1, 3)
-    vsh = vs.transpose(0, 2, 1, 3)
+    kqh = kq[:, :S].transpose(0, 2, 1, 3)  # [B, Hkv, S, Dk]
+    ksh = ks[:, :S].transpose(0, 2, 1, 3)
+    vqh = vq[:, :S].transpose(0, 2, 1, 3)
+    vsh = vs[:, :S].transpose(0, 2, 1, 3)
     kch = kcp.transpose(0, 2, 1, 3)
     vch = vcp.transpose(0, 2, 1, 3)
     kern = functools.partial(_prefill_kernel, rep, T, scale, softcap, window,
@@ -368,16 +376,19 @@ def _decode_tiled_kernel(hkv, rep, n_tiles, scale, softcap, window, gsk, gsv,
             o_ref[0, sl, :] = (acc / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "softcap", "window", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "window", "interpret", "kv_cap"))
 def flash_decode_q8_tiled(
     q, kq, ks, vq, vs, k_cur, v_cur, seq_len, scale,
     softcap: float = 0.0, window: int = 0, interpret: bool = False,
+    kv_cap: int | None = None,
 ):
     """Same contract as flash_decode_q8, S tiled in DTS chunks."""
     from ...runtime.kv_cache import QuantKVCache
 
     B, H, Dk = q.shape
     S, Hkv = kq.shape[1], kq.shape[2]
+    if kv_cap is not None and kv_cap < S:
+        S = kv_cap  # grid covers only the attended prefix
     Dv = vq.shape[-1]
     rep = H // Hkv
     gsk = Dk // ks.shape[-1]
@@ -420,11 +431,14 @@ _WHOLE_S_MAX = 4096
 
 
 def flash_decode_q8_auto(q, kq, ks, vq, vs, k_cur, v_cur, seq_len, scale,
-                         softcap=0.0, window=0, interpret=False):
+                         softcap=0.0, window=0, interpret=False, kv_cap=None):
     S = kq.shape[1]
+    if kv_cap is not None:
+        S = min(S, kv_cap)
     if S > _WHOLE_S_MAX and S % DTS == 0:
         return flash_decode_q8_tiled(q, kq, ks, vq, vs, k_cur, v_cur, seq_len,
                                      scale, softcap=softcap, window=window,
-                                     interpret=interpret)
+                                     interpret=interpret, kv_cap=kv_cap)
     return flash_decode_q8(q, kq, ks, vq, vs, k_cur, v_cur, seq_len, scale,
-                           softcap=softcap, window=window, interpret=interpret)
+                           softcap=softcap, window=window, interpret=interpret,
+                           kv_cap=kv_cap)

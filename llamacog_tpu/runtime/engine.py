@@ -105,22 +105,23 @@ class Engine:
         # (mtmd_image_tokens_get_n_pos, tools/mtmd/mtmd.cpp:1022)
         self.pos_offset = np.zeros(batch_size, dtype=np.int32)
 
-        @functools.partial(jax.jit, static_argnames=("t",))
+        @functools.partial(jax.jit, static_argnames=("t", "kv_cap"))
         def step(params, cache, tokens, write_pos, seq_len, t, pos_off=None,
-                 wmask=None, last_pos=None):
+                 wmask=None, last_pos=None, kv_cap=None):
             base = write_pos if pos_off is None else write_pos + pos_off
             positions = base[:, None] + jnp.arange(t)[None, :]
             logits, cache = forward(
                 params, config, tokens, positions, cache, write_pos, dtype=dtype,
                 write_mask=wmask, n_new=seq_len - write_pos, logits_last=last_pos,
+                kv_cap=kv_cap,
             )
             return logits, cache
 
         self._step = step
 
-        @functools.partial(jax.jit, static_argnames=("t",))
+        @functools.partial(jax.jit, static_argnames=("t", "kv_cap"))
         def step_row(params, cache, tokens, row, write_pos_row, n_new_row, t,
-                     pos_off_row, last_pos=None):
+                     pos_off_row, last_pos=None, kv_cap=None):
             """Prefill ONE row at B=1: the full-batch step pays batch_size x
             the prompt's FLOPs to prefill a single row (every row recomputes
             the block); here the row's cache is sliced out (batch axis 1 on
@@ -134,6 +135,7 @@ class Engine:
             logits, sub = forward(
                 params, config, tokens, positions, sub, write_pos_row,
                 dtype=dtype, n_new=n_new_row, logits_last=last_pos,
+                kv_cap=kv_cap,
             )
             cache = jax.tree_util.tree_map(
                 lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, row, axis=1),
@@ -186,8 +188,9 @@ class Engine:
 
         self._embd_mrope_step = embd_mrope_step
 
-        @functools.partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
-        def greedy_loop(params, cache, tok, seq_len, pos_off, n):
+        @functools.partial(jax.jit, static_argnames=("n", "kv_cap"),
+                           donate_argnames=("cache",))
+        def greedy_loop(params, cache, tok, seq_len, pos_off, n, kv_cap=None):
             """Device-side greedy decode: the token feedback never leaves the
             chip, so N tokens cost one host round-trip (the reference's
             decode loop is host-driven; on TPU the host<->device latency
@@ -201,7 +204,7 @@ class Engine:
                 positions = (write_pos + pos_off)[:, None]
                 logits, cache = forward(
                     params, config, tok[:, None], positions, cache, write_pos,
-                    dtype=dtype,
+                    dtype=dtype, kv_cap=kv_cap,
                 )
                 nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
                 out_toks = out_toks.at[:, i].set(nxt)
@@ -214,13 +217,21 @@ class Engine:
 
         self._greedy_loop = greedy_loop
 
+    def _kv_cap(self, needed: int) -> int | None:
+        """Static attended-cache bound, bucketed to 2048 (the reference's
+        padded n_kv, llama-kv-cache-unified.h:297): decode at depth 1k in a
+        16k-allocated cache must not read 16k of K/V per step."""
+        cap = max(2048, -(-int(needed) // 2048) * 2048)
+        return min(cap, self.max_seq)
+
     def decode_greedy_tokens(self, first_tokens: np.ndarray, n: int) -> np.ndarray:
         """Run n greedy decode steps fully on device; returns [B, n] tokens.
         first_tokens are consumed as step 0's input."""
         tok = jnp.asarray(first_tokens, dtype=jnp.int32)
         seq_len = jnp.asarray(self.seq_len)
         self.cache, out, new_len = self._greedy_loop(
-            self.params, self.cache, tok, seq_len, jnp.asarray(self.pos_offset), n
+            self.params, self.cache, tok, seq_len, jnp.asarray(self.pos_offset), n,
+            kv_cap=self._kv_cap(int(self.seq_len.max()) + n + 1),
         )
         self.seq_len = np.array(new_len)  # writable host copy
         return np.asarray(out)
@@ -388,6 +399,7 @@ class Engine:
                 self.params, self.cache, jnp.asarray(toks), jnp.int32(row),
                 jnp.asarray(self.seq_len[row : row + 1]), jnp.asarray([n], np.int32),
                 t, jnp.asarray(self.pos_offset[row : row + 1]), last_pos=last,
+                kv_cap=self._kv_cap(int(self.seq_len[row]) + t),
             )
             self.seq_len = new_len
             return logits[0]
@@ -399,7 +411,7 @@ class Engine:
         logits, self.cache = self._step(
             self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t,
             pos_off=jnp.asarray(self.pos_offset), wmask=self._row_mask(row),
-            last_pos=last,
+            last_pos=last, kv_cap=self._kv_cap(int(self.seq_len.max()) + t),
         )
         self.seq_len = new_len
         return logits[row]
@@ -490,6 +502,7 @@ class Engine:
         logits, self.cache = self._step(
             self.params, self.cache, toks, write_pos, jnp.asarray(new_len), 1,
             pos_off=jnp.asarray(self.pos_offset),
+            kv_cap=self._kv_cap(int(self.seq_len.max()) + 1),
         )
         self.seq_len = new_len
         return np.asarray(logits[:, 0])

@@ -81,7 +81,7 @@ class ServerContext:
     def __init__(
         self, model: Model, n_slots: int = 4, ctx_size: int = 2048, dtype=None,
         loras=None, mesh=None, vision=None, draft_model: Model | None = None,
-        ctx_shift: bool = True,
+        ctx_shift: bool = True, kv_type: str = "dense",
     ):
         import jax.numpy as jnp
 
@@ -100,6 +100,7 @@ class ServerContext:
         self.engine = Engine(
             model.params, model.config, batch_size=n_slots,
             max_seq=ctx_size, dtype=dtype or jnp.bfloat16, mesh=mesh,
+            kv_type=kv_type,
         )
         model.params = self.engine.params  # sharded copies when mesh is set
         self.ctx_shift = ctx_shift
@@ -1063,10 +1064,12 @@ def make_handler(ctx: ServerContext):
 def serve(
     model: Model, host="127.0.0.1", port=8080, n_slots=4, ctx_size=2048, dtype=None,
     loras=None, mesh=None, vision=None, draft_model=None, ctx_shift=True,
+    kv_type="dense",
 ):
     ctx = ServerContext(model, n_slots=n_slots, ctx_size=ctx_size, dtype=dtype,
                         loras=loras, mesh=mesh, vision=vision,
-                        draft_model=draft_model, ctx_shift=ctx_shift)
+                        draft_model=draft_model, ctx_shift=ctx_shift,
+                        kv_type=kv_type)
     ctx.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(ctx))
     return ctx, httpd

@@ -347,3 +347,29 @@ def test_webui_and_ollama_endpoints(server):
     assert status == 200 and body["models"][0]["details"]["family"]
     body, status = _post(server + "/api/show", {})
     assert status == 200 and "model_info" in body
+
+
+def test_server_q8_kv_cache(tmp_path):
+    """--cache-type-k q8_0 serves through the quantized KV cache."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.kv_cache import QuantKVCache
+    from llamacog_tpu.server.server import ServerContext
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / "q8kv.gguf")
+    make_tiny_llama_gguf(path, n_embd=128, n_head=4, n_head_kv=2, n_ff=192)
+    model = load_model(path, mode="quantized", dtype=jnp.float32)
+    ctx = ServerContext(model, n_slots=1, ctx_size=64, dtype=jnp.float32,
+                        kv_type="q8_0")
+    assert isinstance(ctx.engine.cache, QuantKVCache)
+    ctx.start()
+    try:
+        task = ctx.make_task({"prompt": "hi", "n_predict": 4,
+                              "temperature": 0.0}, kind="completion")
+        ctx.pending.put(task)
+        res = task.out.get(timeout=300)
+        assert "error" not in res and res["tokens_predicted"] == 4
+    finally:
+        ctx.stop()
