@@ -117,7 +117,7 @@ def sharded_qmm_gather(x, ids, qt, mesh):
     device; every device runs the gather kernel for all S rows against its
     local experts (rows owned elsewhere are masked to zero) and the results
     psum — the EP analog of mul_mat_id over a sharded expert axis."""
-    from ..ops.pallas.qmm_id import _gather_call, _planes3
+    from ..ops.pallas.qmm_id import _gather_call
     from ..ops.pallas.qmm import TILE_DECODERS, pick_tile_n
 
     if qt.pspec != "expert" or qt.kind not in TILE_DECODERS:
@@ -133,9 +133,11 @@ def sharded_qmm_gather(x, ids, qt, mesh):
     if tn == 0:
         return None
     dec, names, gplane = TILE_DECODERS[qt.kind]
-    p3 = _planes3(qt)
-    G = p3[gplane].shape[-1]
-    x = permute_activation(x, qt)  # kernels take strided-col activations
+    # FLAT planes [n_exp*N, cols] (the gather kernel's layout): a "model"
+    # row-split lands whole experts per device since m | n_exp
+    flat = {k: v.reshape(n_exp * N, v.shape[-1]) for k, v in qt.planes.items()}
+    G = flat[gplane].shape[-1]
+    x = permute_activation(x, qt).astype(jnp.float32)
 
     def local(xl, ids_g, *planes):
         d = jax.lax.axis_index("model")
@@ -148,10 +150,10 @@ def sharded_qmm_gather(x, ids, qt, mesh):
 
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, None), P(None)) + tuple(P("model", None, None) for _ in names),
+        in_specs=(P(None, None), P(None)) + tuple(P("model", None) for _ in names),
         out_specs=P(None, None),
         check_rep=False,
-    )(x, jnp.asarray(ids, jnp.int32), *(p3[n] for n in names))
+    )(x, jnp.asarray(ids, jnp.int32), *(flat[n] for n in names))
 
 
 def sharded_qmm_ragged(xs, tile_expert, qt, tt, mesh):
