@@ -101,3 +101,48 @@ def test_greedy_matches_reference_cli(llama_cli, tmp_path, quant):
     ref = _ref_generate(llama_cli, path)
     ours = _our_generate(path)
     assert ours == ref, f"ref={ref!r}\nours={ours!r}"
+
+
+def test_yarn_scaled_context_matches_reference_cli(llama_cli, tmp_path):
+    """YaRN rope scaling end to end at positions past the original context:
+    greedy output must match the compiled reference on the same GGUF.
+    (ggml's yarn ramp differs slightly from HF's, so the compiled llama.cpp
+    is the correct oracle here, not transformers.)"""
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / "yarn.gguf")
+    make_tiny_llama_gguf(
+        path, n_vocab=256, n_embd=64, n_layer=2, n_head=4, n_head_kv=2,
+        n_ff=128, seed=11, n_ctx=256,
+        extra_metadata={
+            "llama.rope.scaling.type": "yarn",
+            "llama.rope.scaling.factor": 4.0,
+            "llama.rope.scaling.original_context_length": 16,
+        },
+    )
+    import subprocess
+
+    long_prompt = "the quick brown fox jumps over the lazy dog " * 3  # > 16 tok
+    out = subprocess.run(
+        [llama_cli, "-m", path, "-p", long_prompt, "-n", str(N_GEN), "--temp",
+         "0", "-no-cnv", "--no-warmup", "--no-display-prompt", "--simple-io",
+         "-s", "1", "-c", "256"],
+        capture_output=True, timeout=300, check=True,
+    )
+    ref = out.stdout.rstrip(b"\n")
+
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.engine import Engine
+
+    m = load_model(path, dtype=jnp.float32)
+    assert m.config.rope.scaling_type == "yarn"
+    eng = Engine(m.params, m.config, batch_size=1, max_seq=256, dtype=jnp.float32)
+    ids = m.tokenizer.tokenize(long_prompt, add_special=True, parse_special=True)
+    assert len(ids) > 16  # genuinely beyond the original context
+    eog = {m.vocab.eos_id}
+    res = eng.generate_greedy(ids, N_GEN, eog_ids=eog)
+    toks = [t for t in res.tokens if t not in eog]
+    ours = b"".join(m.vocab.token_to_piece(t) for t in toks)
+    assert ours == ref, f"ref={ref!r}\nours={ours!r}"

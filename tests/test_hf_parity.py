@@ -1155,3 +1155,60 @@ def test_chatglm_glm4_parity(tmp_path):
     path = _convert(model, "chatglm", str(tmp_path / "chatglm.gguf"), head_dim=16,
                     extra_md={"chatglm.rope.dimension_count": 8})
     _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
+
+
+def test_dbrx_parity(tmp_path):
+    """DBRX: LayerNorm (no bias), fused Wqkv with clamp_kqv, MoE with fused
+    expert weights split per DbrxModel in the reference converter."""
+    from transformers import DbrxConfig, DbrxForCausalLM
+
+    cfg = DbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, vocab_size=128, max_seq_len=256,
+        ffn_config={"ffn_hidden_size": 96, "moe_num_experts": 4, "moe_top_k": 2},
+        attn_config={"kv_n_heads": 2, "clip_qkv": 8.0},
+    )
+    torch.manual_seed(43)
+    model = DbrxForCausalLM(cfg).eval()
+    sd = model.state_dict()
+    path = str(tmp_path / "dbrx.gguf")
+    w = GGUFWriter(path)
+    arch = "dbrx"
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", 64)
+    w.add(f"{arch}.block_count", 2)
+    w.add(f"{arch}.feed_forward_length", 96)
+    w.add(f"{arch}.attention.head_count", 4)
+    w.add(f"{arch}.attention.head_count_kv", 2)
+    w.add(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add(f"{arch}.attention.clamp_kqv", 8.0)
+    w.add(f"{arch}.expert_count", 4)
+    w.add(f"{arch}.expert_used_count", 2)
+    w.add(f"{arch}.expert_weights_norm", True)  # moe_normalize_expert_weights=1
+    w.add(f"{arch}.vocab_size", 128)
+    w.add_tensor("token_embd.weight", sd["transformer.wte.weight"].float().numpy())
+    w.add_tensor("output_norm.weight", sd["transformer.norm_f.weight"].float().numpy())
+    w.add_tensor("output.weight", sd["lm_head.weight"].float().numpy())
+    for il in range(2):
+        pre = f"transformer.blocks.{il}"
+        bl = f"blk.{il}"
+        w.add_tensor(f"{bl}.attn_norm.weight",
+                     sd[f"{pre}.norm_attn_norm.norm_1.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_norm.weight",
+                     sd[f"{pre}.norm_attn_norm.norm_2.weight"].float().numpy())
+        w.add_tensor(f"{bl}.attn_qkv.weight",
+                     sd[f"{pre}.norm_attn_norm.attn.Wqkv.weight"].float().numpy())
+        w.add_tensor(f"{bl}.attn_output.weight",
+                     sd[f"{pre}.norm_attn_norm.attn.out_proj.weight"].float().numpy())
+        w.add_tensor(f"{bl}.ffn_gate_inp.weight",
+                     sd[f"{pre}.ffn.router.layer.weight"].float().numpy())
+        # fused expert params (reference DbrxModel.modify_tensors): w1->gate,
+        # v1->up as [n_exp, F, E]; w2->down transposed to [n_exp, E, F]
+        w1 = sd[f"{pre}.ffn.experts.mlp.w1"].float().view(4, 96, 64)
+        v1 = sd[f"{pre}.ffn.experts.mlp.v1"].float().view(4, 96, 64)
+        w2 = sd[f"{pre}.ffn.experts.mlp.w2"].float().view(4, 96, 64).transpose(1, 2)
+        w.add_tensor(f"{bl}.ffn_gate_exps.weight", w1.contiguous().numpy())
+        w.add_tensor(f"{bl}.ffn_up_exps.weight", v1.contiguous().numpy())
+        w.add_tensor(f"{bl}.ffn_down_exps.weight", w2.contiguous().numpy())
+    w.write()
+    _assert_close(_our_logits(path), _hf_logits(model), atol=3e-3)
