@@ -32,8 +32,9 @@ class ClipVisionConfig:
     eps: float = 1e-5
     use_gelu: bool = True  # else quick-gelu / silu per metadata
     use_silu: bool = False
-    projector_type: str = "mlp"  # mlp (llava) | gemma3 | idefics3 |
-    # resampler (minicpmv) | internvl | pixtral
+    projector_type: str = "mlp"  # mlp (llava) | mlp_norm (Yi-VL) | ldp |
+    # ldpv2 (MobileVLM) | gemma3 | idefics3 | resampler (minicpmv) |
+    # internvl | pixtral | adapter (glm-edge) | llama4
     image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
     has_class_embd: bool = True
@@ -174,7 +175,10 @@ def _encode_jit(params, pixels, static):
         x = x + params["patch_embd_b"]
     if has_cls and "class_embd" in params:
         cls = jnp.broadcast_to(params["class_embd"][None, None], (B, 1, x.shape[-1]))
-        x = jnp.concatenate([cls, x], axis=1)
+        if proj_type == "llama4":  # CLS appended last (build_llama4, clip.cpp:991)
+            x = jnp.concatenate([x, cls], axis=1)
+        else:
+            x = jnp.concatenate([cls, x], axis=1)
     if "pos_embd" in params:
         x = x + params["pos_embd"][: x.shape[1]]
     if "pre_ln" in params:
@@ -182,20 +186,34 @@ def _encode_jit(params, pixels, static):
     E = x.shape[-1]
     D = E // n_head
     scale = D**-0.5
-    # pixtral: per-layer 2D rope on q/k instead of learned positions
-    # (build_rope_2d, clip.cpp:535; interleave_freq=true)
+    # pixtral/llama4: per-layer 2D rope on q/k instead of learned positions
+    # (build_rope_2d, clip.cpp:535; pixtral interleave_freq=true)
     pos2d = None
+    rope_ileave = True
     if proj_type == "pixtral":
         idx = jnp.arange(n_side * n_side)
         pos2d = (idx // n_side, idx % n_side)  # (h, w)
-    for layer in params["layers"]:
+    elif proj_type == "llama4":
+        # 1-based positions, CLS (last token) at 0; first half is the X axis
+        # (build_llama4 add_pos + set_input pos_h/pos_w, clip.cpp:995,3984)
+        idx = jnp.arange(n_side * n_side)
+        zero = jnp.zeros((1,), idx.dtype)
+        pos2d = (jnp.concatenate([idx % n_side + 1, zero]),
+                 jnp.concatenate([idx // n_side + 1, zero]))
+        rope_ileave = False
+    layers = params["layers"]
+    if proj_type in ("mlp", "mlp_norm", "ldp", "ldpv2"):
+        # llava-projector models take features from the second-to-last layer:
+        # build_llava max_feature_layer = n_layer-1 (clip.cpp:1066-1084)
+        layers = layers[:-1]
+    for layer in layers:
         h = _vit_norm(x, layer["ln1"], layer.get("ln1_b"), eps, vit_norm)
         q = (h @ layer["attn_q"].T + layer.get("attn_q_b", 0.0)).reshape(B, -1, n_head, D)
         k = (h @ layer["attn_k"].T + layer.get("attn_k_b", 0.0)).reshape(B, -1, n_head, D)
         v = (h @ layer["attn_v"].T + layer.get("attn_v_b", 0.0)).reshape(B, -1, n_head, D)
         if pos2d is not None:
-            q = _rope_2d(q, pos2d[0], pos2d[1], rope_theta, True)
-            k = _rope_2d(k, pos2d[0], pos2d[1], rope_theta, True)
+            q = _rope_2d(q, pos2d[0], pos2d[1], rope_theta, rope_ileave)
+            k = _rope_2d(k, pos2d[0], pos2d[1], rope_theta, rope_ileave)
         att = jnp.einsum("bthd,bshd->bhts", q, k) * scale
         att = jax.nn.softmax(att, axis=-1)
         o = jnp.einsum("bhts,bshd->bthd", att, v).reshape(B, -1, E)
@@ -217,7 +235,8 @@ def _encode_jit(params, pixels, static):
     if "post_ln" in params:
         x = _vit_norm(x, params["post_ln"], params.get("post_ln_b"), eps, vit_norm)
     if has_cls:
-        x = x[:, 1:]  # patch tokens feed the LLM (LLaVA drops CLS)
+        # patch tokens feed the LLM (LLaVA drops CLS; llama4 keeps it last)
+        x = x[:, :-1] if proj_type == "llama4" else x[:, 1:]
     # projector
     if proj_type == "gemma3":
         x = _layer_norm(x, params["mm_soft_emb_norm"], None, eps)
@@ -254,12 +273,89 @@ def _encode_jit(params, pixels, static):
             )
             x = jnp.concatenate([x, brk], axis=2).reshape(B, py * (px + 1), -1)
             x = x[:, :-1]  # no break after the final row
+    elif proj_type == "idefics3":
+        # pixel shuffle then a single fc (clip.cpp build_siglip idefics3 path)
+        x = _pixel_shuffle(x, n_side, n_side, scale_factor)
+        x = x @ params["mm_fc"].T
+    elif proj_type == "llama4":
+        # Llama4VisionPixelShuffleMLP + projector (clip.cpp:1013-1048)
+        x = _pixel_shuffle(x, n_side, n_side, scale_factor)
+        x = jax.nn.gelu(x @ params["mvlm_mlp_1"].T, approximate=True)
+        x = jax.nn.gelu(x @ params["mvlm_mlp_2"].T, approximate=True)
+        x = x @ params["mm_fc"].T
+    elif proj_type == "mlp_norm":
+        # Yi-VL: linear/LN/gelu/linear/LN (clip.cpp:1230-1251)
+        x = x @ params["mm_0"].T + params.get("mm_0_b", 0.0)
+        x = _layer_norm(x, params["mm_1"], params.get("mm_1_b"), eps)
+        x = jax.nn.gelu(x, approximate=True)
+        x = x @ params["mm_3"].T + params.get("mm_3_b", 0.0)
+        x = _layer_norm(x, params["mm_4"], params.get("mm_4_b"), eps)
+    elif proj_type == "ldp":
+        # MobileVLM LDP (clip.cpp:1251-1360): MLP then two mobile blocks,
+        # block 1 residual stride 1, block 2 stride 2
+        h = jax.nn.gelu(x @ params["mvlm_mlp_1"].T + params["mvlm_mlp_1_b"],
+                        approximate=True)
+        h = h @ params["mvlm_mlp_3"].T + params["mvlm_mlp_3_b"]
+        C = h.shape[-1]
+        h = h.transpose(0, 2, 1).reshape(B, C, n_side, n_side)
+        h = h + _mobile_block(params, "ldp_b1", h, eps, 1)
+        h = _mobile_block(params, "ldp_b2", h, eps, 2)
+        x = h.transpose(0, 2, 3, 1).reshape(B, -1, h.shape[1])
+    elif proj_type == "ldpv2":
+        # MobileVLM-v2 (clip.cpp:1361-1390): MLP, 2x2 avg pool, PEG dw-conv
+        h = jax.nn.gelu(x @ params["mvlm_mlp_0"].T + params["mvlm_mlp_0_b"],
+                        approximate=True)
+        h = h @ params["mvlm_mlp_2"].T + params["mvlm_mlp_2_b"]
+        C = h.shape[-1]
+        h = h.transpose(0, 2, 1).reshape(B, C, n_side, n_side)
+        h = h.reshape(B, C, n_side // 2, 2, n_side // 2, 2).mean(axis=(3, 5))
+        peg = jax.lax.conv_general_dilated(
+            h, params["peg0"], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C)
+        h = h + peg + params["peg0_b"][None, :, None, None]
+        x = h.transpose(0, 2, 3, 1).reshape(B, -1, C)
+    elif proj_type == "adapter":
+        # GLM-Edge (clip.cpp:1391-1418): 2x2 stride-2 conv, gated MLP,
+        # BOI/EOI embeddings spliced around the image tokens
+        h = x.transpose(0, 2, 1).reshape(B, E, n_side, n_side)
+        h = jax.lax.conv_general_dilated(
+            h, params["glm_conv"], (2, 2), ((0, 0), (0, 0)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        h = h.reshape(B, h.shape[1], -1).transpose(0, 2, 1) + params["glm_conv_b"]
+        h = h @ params["glm_linear"].T
+        h = _layer_norm(h, params["glm_norm1"], params.get("glm_norm1_b"), eps)
+        h = jax.nn.gelu(h, approximate=True)
+        h = jax.nn.silu(h @ params["glm_gate"].T) * (h @ params["glm_h4h"].T)
+        h = h @ params["glm_4hh"].T
+        boi = jnp.broadcast_to(params["glm_boi"][None, None], (B, 1, h.shape[-1]))
+        eoi = jnp.broadcast_to(params["glm_eoi"][None, None], (B, 1, h.shape[-1]))
+        x = jnp.concatenate([boi, h, eoi], axis=1)
     elif "mm_0" in params:  # llava MLP: mm.0 -> gelu -> mm.2
         x = x @ params["mm_0"].T + params.get("mm_0_b", 0.0)
         x = jax.nn.gelu(x, approximate=False)
         if "mm_2" in params:
             x = x @ params["mm_2"].T + params.get("mm_2_b", 0.0)
     return x
+
+
+def _mobile_block(p, pre, x, eps, stride):
+    """MobileVLM LDP mobile block (clip.cpp:1262-1360): 3x3 depthwise conv →
+    channel LayerNorm → hardswish → squeeze-excite (global avgpool / fc1 /
+    relu / fc2 / hardsigmoid) → pointwise conv → channel LayerNorm. NCHW."""
+    C = x.shape[1]
+    y = jax.lax.conv_general_dilated(
+        x, p[pre + "_dw"], (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C)
+    y = y.transpose(0, 2, 3, 1)
+    y = _layer_norm(y, p[pre + "_ln0"], p.get(pre + "_ln0_b"), eps)
+    hw = jax.nn.hard_swish(y.transpose(0, 3, 1, 2))
+    se = hw.mean(axis=(2, 3))
+    se = jax.nn.relu(se @ p[pre + "_fc1"].T + p[pre + "_fc1_b"])
+    se = jax.nn.hard_sigmoid(se @ p[pre + "_fc2"].T + p[pre + "_fc2_b"])
+    y = hw * se[:, :, None, None]
+    y = y.transpose(0, 2, 3, 1) @ p[pre + "_pw"].T
+    y = _layer_norm(y, p[pre + "_ln2"], p.get(pre + "_ln2_b"), eps)
+    return y.transpose(0, 3, 1, 2)
 
 
 def _pixel_shuffle(x, height, width, scale_factor):
@@ -380,11 +476,60 @@ def load_mmproj(path: str) -> ClipVisionModel:
         layers.append(layer)
     p["layers"] = layers
     # projectors
-    for i in (0, 1, 2, 3):
+    for i in (0, 1, 2, 3, 4):
         if (w := t(f"mm.{i}.weight")) is not None:
             p[f"mm_{i}"] = w
         if (b := t(f"mm.{i}.bias")) is not None:
             p[f"mm_{i}_b"] = b
+    # Yi-VL stores an "mlp" projector with extra LN tensors mm.3/mm.4
+    # (clip.cpp:2411-2414 auto-promotes to MLP_NORM)
+    if cfg.projector_type == "mlp" and "mm_3" in p and "mm_4" in p:
+        cfg.projector_type = "mlp_norm"
+    # mm.model.mlp.N — internvl / MobileVLM ldp+ldpv2 / llama4
+    # (TN_MVLM_PROJ_MLP, clip-impl.h:80)
+    for i in (0, 1, 2, 3):
+        if (w := t(f"mm.model.mlp.{i}.weight")) is not None:
+            p[f"mvlm_mlp_{i}"] = w
+        if (b := t(f"mm.model.mlp.{i}.bias")) is not None:
+            p[f"mvlm_mlp_{i}_b"] = b
+    if cfg.projector_type == "internvl":
+        for i in (0, 1, 3):  # internvl graph reads them as mm_0/mm_1/mm_3
+            if f"mvlm_mlp_{i}" in p:
+                p[f"mm_{i}"] = p[f"mvlm_mlp_{i}"]
+            if f"mvlm_mlp_{i}_b" in p:
+                p[f"mm_{i}_b"] = p[f"mvlm_mlp_{i}_b"]
+    if (w := t("mm.model.fc.weight")) is not None:  # idefics3 / llama4 proj
+        p["mm_fc"] = w
+    if (w := t("mm.model.peg.0.weight")) is not None:  # MobileVLM-v2 PEG
+        p["peg0"] = w
+        p["peg0_b"] = t("mm.model.peg.0.bias")
+    for bi in (1, 2):  # MobileVLM LDP mobile blocks (TN_MVLM_PROJ_BLOCK)
+        base = f"mm.model.mb_block.{bi}.block"
+        if (w := t(f"{base}.0.0.weight")) is None:
+            continue
+        pre = f"ldp_b{bi}"
+        p[pre + "_dw"] = w
+        p[pre + "_ln0"] = t(f"{base}.0.1.weight")
+        p[pre + "_ln0_b"] = t(f"{base}.0.1.bias")
+        p[pre + "_fc1"] = t(f"{base}.1.fc1.weight")
+        p[pre + "_fc1_b"] = t(f"{base}.1.fc1.bias")
+        p[pre + "_fc2"] = t(f"{base}.1.fc2.weight")
+        p[pre + "_fc2_b"] = t(f"{base}.1.fc2.bias")
+        p[pre + "_pw"] = t(f"{base}.2.0.weight")
+        p[pre + "_ln2"] = t(f"{base}.2.1.weight")
+        p[pre + "_ln2_b"] = t(f"{base}.2.1.bias")
+    if (w := t("adapter.conv.weight")) is not None:  # GLM-Edge (clip-impl.h:100)
+        p["glm_conv"] = w
+        p["glm_conv_b"] = t("adapter.conv.bias")
+        p["glm_linear"] = t("adapter.linear.linear.weight")
+        p["glm_norm1"] = t("adapter.linear.norm1.weight")
+        if (b := t("adapter.linear.norm1.bias")) is not None:
+            p["glm_norm1_b"] = b
+        p["glm_h4h"] = t("adapter.linear.dense_h_to_4h.weight")
+        p["glm_gate"] = t("adapter.linear.gate.weight")
+        p["glm_4hh"] = t("adapter.linear.dense_4h_to_h.weight")
+        p["glm_boi"] = t("adapter.boi").reshape(-1)
+        p["glm_eoi"] = t("adapter.eoi").reshape(-1)
     if (w := t("mm.input_projection.weight")) is not None:
         p["mm_input_projection"] = w
     if (w := t("mm.soft_emb_norm.weight")) is not None:

@@ -86,7 +86,10 @@ def test_clip_encoder_hf_parity(tmp_path):
     rng = np.random.default_rng(2)
     pixels = rng.standard_normal((3, 28, 28)).astype(np.float32)
     with torch.no_grad():
-        hf = model(torch.tensor(pixels)[None]).last_hidden_state[0].numpy()
+        # llava takes the -2 feature layer: n_layer-1 blocks, no post_ln
+        # (clip.cpp build_llava max_feature_layer, :1066-1084)
+        hf = model(torch.tensor(pixels)[None],
+                   output_hidden_states=True).hidden_states[-2][0].numpy()
     # compare pre-projector hidden states via a model without the projector
     v2 = ClipVisionModel(vision.config, {k: v for k, v in vision.params.items()
                                          if not k.startswith("mm_")})
@@ -511,12 +514,13 @@ def test_internvl_pixel_shuffle(tmp_path):
     w.add("clip.vision.projector.scale_factor", 2)
     _rand_vit_tensors(w, rng, E=E2, with_cls=True)
     r = lambda *s: (rng.standard_normal(s) * 0.05).astype(np.float32)
-    w.add_tensor("mm.0.weight", np.ones(4 * E2, np.float32))
-    w.add_tensor("mm.0.bias", np.zeros(4 * E2, np.float32))
-    w.add_tensor("mm.1.weight", r(out_d, 4 * E2))
-    w.add_tensor("mm.1.bias", np.zeros(out_d, np.float32))
-    w.add_tensor("mm.3.weight", r(out_d, out_d))
-    w.add_tensor("mm.3.bias", np.zeros(out_d, np.float32))
+    # real internvl mmproj files use mm.model.mlp.N (TN_MVLM_PROJ_MLP)
+    w.add_tensor("mm.model.mlp.0.weight", np.ones(4 * E2, np.float32))
+    w.add_tensor("mm.model.mlp.0.bias", np.zeros(4 * E2, np.float32))
+    w.add_tensor("mm.model.mlp.1.weight", r(out_d, 4 * E2))
+    w.add_tensor("mm.model.mlp.1.bias", np.zeros(out_d, np.float32))
+    w.add_tensor("mm.model.mlp.3.weight", r(out_d, out_d))
+    w.add_tensor("mm.model.mlp.3.bias", np.zeros(out_d, np.float32))
     w.write()
     enc = load_mmproj(path)
     img = (np.arange(28 * 28 * 3).reshape(28, 28, 3) % 251).astype(np.uint8)
@@ -577,3 +581,162 @@ def test_pixtral_vision_hf_parity(tmp_path):
         hf_out = model(torch.tensor(pix)[None]).last_hidden_state[0].numpy()
     ref = torch.nn.functional.gelu(torch.tensor(hf_out)).numpy()
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def _r(rng, *s):
+    return (rng.standard_normal(s) * 0.05).astype(np.float32)
+
+
+def test_mlp_norm_projector(tmp_path):
+    """Yi-VL: 'mlp' metadata + mm.3/mm.4 tensors auto-promotes to mlp_norm
+    (clip.cpp:2411-2414)."""
+    from llamacog_tpu.mtmd.clip import load_mmproj
+
+    rng = np.random.default_rng(40)
+    E, out_d = 32, 48
+    path = str(tmp_path / "mlp_norm.gguf")
+    w = GGUFWriter(path)
+    _base_clip_md(w, E=E, L=2, proj="mlp", proj_dim=out_d)
+    _rand_vit_tensors(w, rng, E=E, L=2, with_cls=True)
+    w.add_tensor("mm.0.weight", _r(rng, out_d, E))
+    w.add_tensor("mm.0.bias", np.zeros(out_d, np.float32))
+    w.add_tensor("mm.1.weight", np.ones(out_d, np.float32))
+    w.add_tensor("mm.1.bias", np.zeros(out_d, np.float32))
+    w.add_tensor("mm.3.weight", _r(rng, out_d, out_d))
+    w.add_tensor("mm.3.bias", np.zeros(out_d, np.float32))
+    w.add_tensor("mm.4.weight", np.ones(out_d, np.float32))
+    w.add_tensor("mm.4.bias", np.zeros(out_d, np.float32))
+    w.write()
+    enc = load_mmproj(path)
+    assert enc.config.projector_type == "mlp_norm"
+    out = enc.encode(enc.preprocess(np.zeros((28, 28, 3), np.uint8)))
+    assert out.shape == (4, out_d) and np.isfinite(out).all()
+    # second LN (gamma=1, beta=0) means rows are normalized
+    assert np.allclose(out.mean(-1), 0.0, atol=1e-4)
+
+
+def test_mobilevlm_ldp_projector(tmp_path):
+    """MobileVLM LDP: MLP + two mobile blocks; stride-2 second block quarters
+    the token count (clip.cpp:1251-1360)."""
+    from llamacog_tpu.mtmd.clip import load_mmproj
+
+    rng = np.random.default_rng(41)
+    E, C = 32, 16
+    path = str(tmp_path / "ldp.gguf")
+    w = GGUFWriter(path)
+    _base_clip_md(w, E=E, L=2, proj="ldp", proj_dim=C)
+    _rand_vit_tensors(w, rng, E=E, L=2, with_cls=True)
+    w.add_tensor("mm.model.mlp.1.weight", _r(rng, C, E))
+    w.add_tensor("mm.model.mlp.1.bias", np.zeros(C, np.float32))
+    w.add_tensor("mm.model.mlp.3.weight", _r(rng, C, C))
+    w.add_tensor("mm.model.mlp.3.bias", np.zeros(C, np.float32))
+    for bi in (1, 2):
+        base = f"mm.model.mb_block.{bi}.block"
+        w.add_tensor(f"{base}.0.0.weight", _r(rng, C, 1, 3, 3))
+        w.add_tensor(f"{base}.0.1.weight", np.ones(C, np.float32))
+        w.add_tensor(f"{base}.0.1.bias", np.zeros(C, np.float32))
+        w.add_tensor(f"{base}.1.fc1.weight", _r(rng, C // 4, C))
+        w.add_tensor(f"{base}.1.fc1.bias", np.zeros(C // 4, np.float32))
+        w.add_tensor(f"{base}.1.fc2.weight", _r(rng, C, C // 4))
+        w.add_tensor(f"{base}.1.fc2.bias", np.zeros(C, np.float32))
+        w.add_tensor(f"{base}.2.0.weight", _r(rng, C, C))
+        w.add_tensor(f"{base}.2.1.weight", np.ones(C, np.float32))
+        w.add_tensor(f"{base}.2.1.bias", np.zeros(C, np.float32))
+    w.write()
+    enc = load_mmproj(path)
+    out = enc.encode(enc.preprocess(np.zeros((28, 28, 3), np.uint8)))
+    assert out.shape == (1, C) and np.isfinite(out).all()  # 2x2 -> 1x1
+
+
+def test_mobilevlm_ldpv2_projector(tmp_path):
+    """MobileVLM-v2 LDPv2: MLP, 2x2 avg pool, PEG depthwise conv + residual
+    (clip.cpp:1361-1390)."""
+    from llamacog_tpu.mtmd.clip import load_mmproj
+
+    rng = np.random.default_rng(42)
+    E, C = 32, 16
+    path = str(tmp_path / "ldpv2.gguf")
+    w = GGUFWriter(path)
+    _base_clip_md(w, E=E, L=2, proj="ldpv2", proj_dim=C)
+    _rand_vit_tensors(w, rng, E=E, L=2, with_cls=True)
+    w.add_tensor("mm.model.mlp.0.weight", _r(rng, C, E))
+    w.add_tensor("mm.model.mlp.0.bias", np.zeros(C, np.float32))
+    w.add_tensor("mm.model.mlp.2.weight", _r(rng, C, C))
+    w.add_tensor("mm.model.mlp.2.bias", np.zeros(C, np.float32))
+    w.add_tensor("mm.model.peg.0.weight", _r(rng, C, 1, 3, 3))
+    w.add_tensor("mm.model.peg.0.bias", np.zeros(C, np.float32))
+    w.write()
+    enc = load_mmproj(path)
+    out = enc.encode(enc.preprocess(np.zeros((28, 28, 3), np.uint8)))
+    assert out.shape == (1, C) and np.isfinite(out).all()
+
+
+def test_glm_edge_adapter_projector(tmp_path):
+    """GLM-Edge adapter: stride-2 conv + gated MLP + BOI/EOI splice
+    (clip.cpp:1391-1418)."""
+    from llamacog_tpu.mtmd.clip import load_mmproj
+
+    rng = np.random.default_rng(43)
+    E, H4, out_d = 32, 64, 48
+    path = str(tmp_path / "glm.gguf")
+    w = GGUFWriter(path)
+    _base_clip_md(w, E=E, proj="adapter", proj_dim=out_d)
+    _rand_vit_tensors(w, rng, E=E)  # no CLS (glm-edge siglip-style tower)
+    w.add_tensor("adapter.conv.weight", _r(rng, E, E, 2, 2))
+    w.add_tensor("adapter.conv.bias", np.zeros(E, np.float32))
+    w.add_tensor("adapter.linear.linear.weight", _r(rng, out_d, E))
+    w.add_tensor("adapter.linear.norm1.weight", np.ones(out_d, np.float32))
+    w.add_tensor("adapter.linear.norm1.bias", np.zeros(out_d, np.float32))
+    w.add_tensor("adapter.linear.dense_h_to_4h.weight", _r(rng, H4, out_d))
+    w.add_tensor("adapter.linear.gate.weight", _r(rng, H4, out_d))
+    w.add_tensor("adapter.linear.dense_4h_to_h.weight", _r(rng, out_d, H4))
+    w.add_tensor("adapter.boi", _r(rng, out_d))
+    w.add_tensor("adapter.eoi", _r(rng, out_d))
+    w.write()
+    enc = load_mmproj(path)
+    out = enc.encode(enc.preprocess(np.zeros((28, 28, 3), np.uint8)))
+    # 2x2 grid -> stride-2 conv -> 1 token, plus BOI and EOI
+    assert out.shape == (3, out_d) and np.isfinite(out).all()
+    np.testing.assert_allclose(out[0], np.asarray(enc.params["glm_boi"]),
+                               atol=1e-6)
+    np.testing.assert_allclose(out[-1], np.asarray(enc.params["glm_eoi"]),
+                               atol=1e-6)
+
+
+def test_idefics3_projector(tmp_path):
+    """Idefics3: pixel shuffle then a single mm.model.fc projection."""
+    from llamacog_tpu.mtmd.clip import load_mmproj
+
+    rng = np.random.default_rng(44)
+    E, out_d, sf = 32, 48, 2
+    path = str(tmp_path / "idefics3.gguf")
+    w = GGUFWriter(path)
+    _base_clip_md(w, image_size=56, E=E, proj="idefics3", proj_dim=out_d)
+    w.add("clip.vision.projector.scale_factor", sf)
+    _rand_vit_tensors(w, rng, E=E, n_pos=16)
+    w.add_tensor("mm.model.fc.weight", _r(rng, out_d, sf * sf * E))
+    w.write()
+    enc = load_mmproj(path)
+    out = enc.encode(enc.preprocess(np.zeros((56, 56, 3), np.uint8)))
+    assert out.shape == (4, out_d) and np.isfinite(out).all()  # 16/sf^2
+
+
+def test_llama4_projector(tmp_path):
+    """Llama4: CLS appended last, 2D rope (non-interleaved freq), pixel
+    shuffle, bias-free gelu MLP, fc projection (clip.cpp build_llama4:962)."""
+    from llamacog_tpu.mtmd.clip import load_mmproj
+
+    rng = np.random.default_rng(45)
+    E, out_d, sf = 32, 48, 2
+    path = str(tmp_path / "llama4.gguf")
+    w = GGUFWriter(path)
+    _base_clip_md(w, image_size=56, E=E, proj="llama4", proj_dim=out_d)
+    w.add("clip.vision.projector.scale_factor", sf)
+    _rand_vit_tensors(w, rng, E=E, n_pos=16, with_cls=True)
+    w.add_tensor("mm.model.mlp.1.weight", _r(rng, E, sf * sf * E))
+    w.add_tensor("mm.model.mlp.2.weight", _r(rng, E, E))
+    w.add_tensor("mm.model.fc.weight", _r(rng, out_d, E))
+    w.write()
+    enc = load_mmproj(path)
+    out = enc.encode(enc.preprocess(np.zeros((56, 56, 3), np.uint8)))
+    assert out.shape == (4, out_d) and np.isfinite(out).all()
