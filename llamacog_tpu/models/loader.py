@@ -113,11 +113,15 @@ _MODEL_TENSORS = {
 
 
 class Model:
-    def __init__(self, config: ModelConfig, params: dict, vocab: Vocab | None, tokenizer):
+    def __init__(self, config: ModelConfig, params: dict, vocab: Vocab | None, tokenizer,
+                 metadata: dict | None = None, path: str | None = None):
         self.config = config
         self.params = params
         self.vocab = vocab
         self.tokenizer = tokenizer
+        # retained for tools/save_model.py (llama_model_save_to_file parity)
+        self.metadata = metadata or {}
+        self.path = path
 
 
 def _fuse_rows(tensors: list) -> "QuantTensor | jnp.ndarray | None":
@@ -199,7 +203,8 @@ def load_model(
             except NotImplementedError:
                 tokenizer = None
         reader.close()
-        return Model(cfg, params, vocab, tokenizer)
+        return Model(cfg, params, vocab, tokenizer,
+                 metadata=dict(reader.metadata), path=path)
     params: dict = {"layers": []}
     params["tok_embd"] = _load_tensor(reader, "token_embd.weight", mode, dtype)
     if "output_norm.weight" in reader.tensors:
@@ -284,4 +289,5 @@ def load_model(
         except NotImplementedError:
             tokenizer = None
     reader.close()
-    return Model(cfg, params, vocab, tokenizer)
+    return Model(cfg, params, vocab, tokenizer,
+                 metadata=dict(reader.metadata), path=path)

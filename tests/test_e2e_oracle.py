@@ -146,3 +146,24 @@ def test_yarn_scaled_context_matches_reference_cli(llama_cli, tmp_path):
     toks = [t for t in res.tokens if t not in eog]
     ours = b"".join(m.vocab.token_to_piece(t) for t in toks)
     assert ours == ref, f"ref={ref!r}\nours={ours!r}"
+
+
+def test_saved_model_loads_in_reference_cli(llama_cli, tmp_path):
+    """tools/save_model output must be loadable by stock llama.cpp and give
+    the same greedy tokens as the original file (proves metadata + tensor
+    round-trip fidelity, llama_model_save_to_file parity)."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.gguf import GGMLType
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.tools.save_model import save_model
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    src = str(tmp_path / "orig.gguf")
+    make_tiny_llama_gguf(src, n_vocab=256, n_embd=64, n_layer=2, n_head=4,
+                         n_head_kv=2, n_ff=128, seed=5,
+                         quant_type=GGMLType.F32)
+    m = load_model(src, mode="dequant", dtype=jnp.float32, fuse=False)
+    dst = str(tmp_path / "resaved.gguf")
+    save_model(m, dst)
+    assert _ref_generate(llama_cli, dst) == _ref_generate(llama_cli, src)
