@@ -358,6 +358,12 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
     elif a == "dbrx":
         # llm_build_dbrx: LayerNorm no-bias, fused QKV with clamp_kqv, MoE
         cfg.norm_type = "layer"
+    elif a == "phimoe":
+        # shares llm_build_phi3 (llama-model.cpp:13933): RMS norms carry
+        # biases (tensor-driven), softmax router with top-k weight renorm
+        # (build_moe_ffn norm_w=true, :7746-7757); longrope factors as phi3
+        if f"{a}.expert_weights_norm" not in cfg.metadata:
+            cfg.expert_weights_norm = True
     elif a == "glm4":
         # llm_build_glm4: post+pre norms, partial interleaved rope, fused
         # gate_up handled by row-count detection

@@ -61,7 +61,7 @@ def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
 def _norm(x: jnp.ndarray, layer: dict, key: str, cfg: ModelConfig) -> jnp.ndarray:
     if cfg.norm_type == "layer":
         return layer_norm(x, layer[key], layer.get(key + "_b"), cfg.norm_eps)
-    return rms_norm(x, layer[key], cfg.rms_norm_eps)
+    return rms_norm(x, layer[key], cfg.rms_norm_eps, layer.get(key + "_b"))
 
 
 def _linear(x: jnp.ndarray, layer: dict, key: str) -> jnp.ndarray:
@@ -643,7 +643,8 @@ def forward(
     if cfg.norm_type == "layer":
         x = layer_norm(x, params["output_norm"], params.get("output_norm_b"), cfg.norm_eps)
     else:
-        x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps)
+        x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps,
+                     params.get("output_norm_b"))
     if return_hidden:
         return x.astype(jnp.float32), cache
     out_w = params.get("output", params["tok_embd"])

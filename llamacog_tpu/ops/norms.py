@@ -6,10 +6,13 @@ import jax
 import jax.numpy as jnp
 
 
-def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float,
+             bias: jnp.ndarray | None = None) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     out = xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    if bias is not None:  # ggml build_norm RMS + bias (phimoe)
+        out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)
 
 

@@ -283,3 +283,76 @@ def make_tiny_wavtokenizer_gguf(
         w.add_tensor(p2 + "gamma.weight", rand(n_embd))
     w.write()
     return str(path)
+
+
+def make_tiny_phimoe_gguf(
+    path,
+    n_vocab: int = 256,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 96,
+    n_ctx: int = 256,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    seed: int = 0,
+) -> str:
+    """Tiny random phimoe GGUF (llama-model.cpp:2678 tensor set: RMS norms
+    with biases, q/k/v/o biases, output bias, softmax-routed MoE)."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+    a = "phimoe"
+
+    w = GGUFWriter(path)
+    w.add("general.architecture", a)
+    w.add("general.name", "tiny-phimoe")
+    w.add(f"{a}.context_length", n_ctx)
+    w.add(f"{a}.embedding_length", n_embd)
+    w.add(f"{a}.block_count", n_layer)
+    w.add(f"{a}.feed_forward_length", n_ff)
+    w.add(f"{a}.attention.head_count", n_head)
+    w.add(f"{a}.attention.head_count_kv", n_head_kv)
+    w.add(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{a}.rope.freq_base", 10000.0)
+    w.add(f"{a}.vocab_size", n_vocab)
+    w.add(f"{a}.expert_count", n_expert)
+    w.add(f"{a}.expert_used_count", n_expert_used)
+    toks = ["<unk>", "<s>", "</s>"] + [f"<0x{i:02X}>" for i in range(n_vocab - 3)]
+    w.add("tokenizer.ggml.model", "llama")
+    w.add("tokenizer.ggml.tokens", toks)
+    w.add("tokenizer.ggml.scores", np.zeros(n_vocab, dtype=np.float32))
+    w.add("tokenizer.ggml.token_type",
+          np.array([2, 3, 3] + [6] * (n_vocab - 3), np.int32))
+    w.add("tokenizer.ggml.bos_token_id", 1)
+    w.add("tokenizer.ggml.eos_token_id", 2)
+    w.add("tokenizer.ggml.unknown_token_id", 0)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand(n_vocab, n_embd))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("output_norm.bias", rand(n_embd))
+    w.add_tensor("output.weight", rand(n_vocab, n_embd))
+    w.add_tensor("output.bias", rand(n_vocab))
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "attn_norm.bias", rand(n_embd))
+        w.add_tensor(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
+        w.add_tensor(p + "attn_q.bias", rand(n_head * head_dim))
+        w.add_tensor(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd))
+        w.add_tensor(p + "attn_k.bias", rand(n_head_kv * head_dim))
+        w.add_tensor(p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd))
+        w.add_tensor(p + "attn_v.bias", rand(n_head_kv * head_dim))
+        w.add_tensor(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
+        w.add_tensor(p + "attn_output.bias", rand(n_embd))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "ffn_norm.bias", rand(n_embd))
+        w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
+        w.add_tensor(p + "ffn_gate_exps.weight", rand(n_expert, n_ff, n_embd))
+        w.add_tensor(p + "ffn_up_exps.weight", rand(n_expert, n_ff, n_embd))
+        w.add_tensor(p + "ffn_down_exps.weight", rand(n_expert, n_embd, n_ff))
+    w.write()
+    return str(path)

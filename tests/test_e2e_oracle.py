@@ -167,3 +167,18 @@ def test_saved_model_loads_in_reference_cli(llama_cli, tmp_path):
     dst = str(tmp_path / "resaved.gguf")
     save_model(m, dst)
     assert _ref_generate(llama_cli, dst) == _ref_generate(llama_cli, src)
+
+
+def test_phimoe_matches_reference_cli(llama_cli, tmp_path):
+    """phimoe (Phi-3.5-MoE): RMS norms with biases, qkv/output biases,
+    softmax-routed MoE with weight renorm — greedy tokens must match the
+    compiled reference (llm_build_phi3 shared graph, llama-model.cpp:13933).
+    No HF oracle is possible here: HF phimoe routes with sparsemixer, which
+    the reference intentionally approximates with softmax top-k."""
+    from llamacog_tpu.utils.testing import make_tiny_phimoe_gguf
+
+    path = str(tmp_path / "phimoe.gguf")
+    make_tiny_phimoe_gguf(path, seed=13)
+    ref = _ref_generate(llama_cli, path)
+    ours = _our_generate(path)
+    assert ours == ref, f"ref={ref!r}\nours={ours!r}"
