@@ -81,6 +81,8 @@ class ModelConfig:
     post_norms: bool = False  # gemma2/3: attn_post_norm / ffn_post_norm
     post_norm_only: bool = False  # olmo2: no pre-norms, norm the branch outputs
     qk_norm_full: bool = False  # olmo2: q/k norm over the full projection
+    qk_norm_layer: bool = False  # chameleon: per-head LayerNorm q/k ([H,D] w)
+    nonparam_norms: bool = False  # olmo: LayerNorm with no weight/bias tensors
     logit_scale: float = 1.0  # command-r: multiplier; granite: divisor (see defaults)
     residual_scale: float = 1.0  # granite: scales attn/ffn branch outputs
     learned_pos_embd: bool = False  # gpt2/bert: position_embd.weight added
@@ -359,6 +361,32 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
     elif a == "dbrx":
         # llm_build_dbrx: LayerNorm no-bias, fused QKV with clamp_kqv, MoE
         cfg.norm_type = "layer"
+    elif a == "refact":
+        # llm_build_refact (llama-model.cpp:5943): llama block, no rope,
+        # ALiBi with a hardcoded max bias (load_hparams :1186)
+        cfg.rope.enabled = False
+        cfg.use_alibi = True
+        cfg.max_alibi_bias = 8.0
+    elif a == "olmo":
+        # llm_build_olmo (llama-model.cpp:9582): non-parametric LayerNorm
+        # (build_norm with NULL weight/bias), optional clamp_kqv
+        cfg.norm_type = "layer"
+        cfg.nonparam_norms = True
+    elif a == "chameleon":
+        # llm_build_chameleon (llama-model.cpp:12821): per-head LayerNorm on
+        # q/k ([head_dim, n_head] weights, optional bias) applied before
+        # rope; optional swin post-norm ordering; image-token logits
+        # suppressed (ids 4..8196, :12979-12990). The reference never reads
+        # a LayerNorm eps for this arch, so the qk norm runs with eps 0.
+        cfg.qk_norm_layer = True
+        cfg.norm_eps = 0.0
+        if bool(cfg.metadata.get(f"{a}.swin_norm", False)):
+            cfg.post_norm_only = True
+            cfg.post_norms = True
+    elif a == "arctic":
+        # llm_build_arctic (:10349): MoE branch renormalizes top-k weights
+        if f"{a}.expert_weights_norm" not in cfg.metadata:
+            cfg.expert_weights_norm = True
     elif a == "arcee":
         # llm_build_arcee (llama-model.cpp:13616): llama graph but the FFN is
         # gateless relu^2 (LLM_FFN_RELU_SQR, :13719)

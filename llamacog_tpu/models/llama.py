@@ -60,7 +60,8 @@ def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
 
 def _norm(x: jnp.ndarray, layer: dict, key: str, cfg: ModelConfig) -> jnp.ndarray:
     if cfg.norm_type == "layer":
-        return layer_norm(x, layer[key], layer.get(key + "_b"), cfg.norm_eps)
+        # weight may be absent entirely (olmo's non-parametric LayerNorm)
+        return layer_norm(x, layer.get(key), layer.get(key + "_b"), cfg.norm_eps)
     return rms_norm(x, layer[key], cfg.rms_norm_eps, layer.get(key + "_b"))
 
 
@@ -483,6 +484,7 @@ def forward(
     )
     rdim = cfg.rope.dim or Dk
     for il, layer in enumerate(params["layers"]):
+        x_in = x  # layer input (arctic's parallel MoE branch reads it)
         # olmo2: post-norm design — attention reads the raw residual stream
         h = x if cfg.post_norm_only else _norm(x, layer, "attn_norm", cfg)
         par_ffn_h = h  # parallel residual: FFN input (phi2/falcon-7b share h)
@@ -588,7 +590,14 @@ def forward(
             q = jnp.clip(q, -cfg.attn_clamp, cfg.attn_clamp)
             k = jnp.clip(k, -cfg.attn_clamp, cfg.attn_clamp)
             v = jnp.clip(v, -cfg.attn_clamp, cfg.attn_clamp)
-        if not cfg.qk_norm_full and "attn_q_norm" in layer:
+        if cfg.qk_norm_layer and "attn_q_norm" in layer:
+            # chameleon: per-head LayerNorm, [n_head, head_dim] weights
+            # broadcast over [B,T,H,D] (llm_build_chameleon :12865-12890)
+            q = layer_norm(q, layer["attn_q_norm"], layer.get("attn_q_norm_b"),
+                           cfg.norm_eps)
+            k = layer_norm(k, layer["attn_k_norm"], layer.get("attn_k_norm_b"),
+                           cfg.norm_eps)
+        elif not cfg.qk_norm_full and "attn_q_norm" in layer:
             q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)
         is_swa = cfg.is_swa(il)
@@ -618,11 +627,12 @@ def forward(
                 x = x + params["cvec"][il].astype(x.dtype)
             continue
         x = x + attn
-        if "ffn_norm" in layer:
+        if "ffn_norm" in layer or cfg.nonparam_norms:
             h = _norm(x, layer, "ffn_norm", cfg)
         else:
             h = x
-        if cfg.n_expert > 0 and "ffn_gate_inp" in layer:
+        if (cfg.n_expert > 0 and "ffn_gate_inp" in layer
+                and "ffn_norm_exps" not in layer):
             ffn = _ffn_moe(layer, h, cfg)
         else:
             ffn = _ffn(layer, h, cfg)
@@ -631,6 +641,12 @@ def forward(
         if cfg.residual_scale != 1.0:
             ffn = ffn * jnp.asarray(cfg.residual_scale, ffn.dtype)
         x = x + ffn
+        if "ffn_norm_exps" in layer:
+            # arctic (llm_build_arctic :10330-10352): the dense FFN above is
+            # sequential; a MoE branch reads the rms-normed LAYER INPUT and
+            # its output is added on top
+            moe_h = rms_norm(x_in, layer["ffn_norm_exps"], cfg.rms_norm_eps)
+            x = x + _ffn_moe(layer, moe_h, cfg)
         if "cvec" in params:  # control vector (build_cvec, llama-adapter.cpp:21)
             x = x + params["cvec"][il].astype(x.dtype)
 
@@ -641,7 +657,9 @@ def forward(
         x = jnp.take_along_axis(x, jnp.broadcast_to(idx, (B, 1, x.shape[-1])),
                                 axis=1)
     if cfg.norm_type == "layer":
-        x = layer_norm(x, params["output_norm"], params.get("output_norm_b"), cfg.norm_eps)
+        # output_norm may be absent entirely (olmo's non-parametric LN)
+        x = layer_norm(x, params.get("output_norm"), params.get("output_norm_b"),
+                       cfg.norm_eps)
     else:
         x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps,
                      params.get("output_norm_b"))
@@ -658,4 +676,10 @@ def forward(
         logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0.0:
         logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
+    if cfg.arch == "chameleon" and cfg.n_vocab > 8196:
+        # image-token suppression for text-only output: ids [4, 8196) get
+        # -FLT_MAX (llm_build_chameleon, llama-model.cpp:12979-12990)
+        tok = jnp.arange(cfg.n_vocab)
+        img = (tok >= 4) & (tok < 8196)
+        logits = jnp.where(img, jnp.float32(-3.4028235e38), logits)
     return logits, cache

@@ -63,6 +63,9 @@ _LAYER_TENSORS = {
     "layer_out_norm_b": "layer_output_norm.bias",
     "ffn_norm": "ffn_norm.weight",
     "ffn_norm_b": "ffn_norm.bias",
+    "ffn_norm_exps": "ffn_norm_exps.weight",  # arctic parallel MoE branch
+    "attn_q_norm_b": "attn_q_norm.bias",  # chameleon per-head LN bias
+    "attn_k_norm_b": "attn_k_norm.bias",
     "ffn_gate": "ffn_gate.weight",
     "ffn_up": "ffn_up.weight",
     "ffn_down": "ffn_down.weight",
@@ -279,6 +282,13 @@ def load_model(
             rows = int(np.prod(layer["ffn_up"].shape[:-1]))
             if rows == 2 * cfg.n_ff:
                 layer["ffn_gate_up"] = layer.pop("ffn_up")
+        if cfg.arch == "chameleon" and cfg.post_norm_only:
+            # swin_norm: the same attn_norm/ffn_norm tensors apply to the
+            # branch OUTPUTS (llm_build_chameleon swin branches)
+            if "attn_norm" in layer:
+                layer["attn_post_norm"] = layer.pop("attn_norm")
+            if "ffn_norm" in layer:
+                layer["ffn_post_norm"] = layer.pop("ffn_norm")
         if cfg.arch == "grok":
             # grok's per-branch post-norms are stored under the bert-style
             # names attn_output_norm/layer_output_norm but apply to the

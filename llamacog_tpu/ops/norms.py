@@ -21,7 +21,8 @@ def layer_norm(x, weight, bias, eps: float):
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
     out = (xf - mu) * jax.lax.rsqrt(var + eps)
-    out = out * weight.astype(jnp.float32)
+    if weight is not None:  # olmo: non-parametric LN (build_norm NULL weight)
+        out = out * weight.astype(jnp.float32)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)

@@ -359,12 +359,15 @@ def make_tiny_phimoe_gguf(
 
 
 def _add_tiny_vocab(w, n_vocab: int) -> None:
-    toks = ["<unk>", "<s>", "</s>"] + [f"<0x{i:02X}>" for i in range(n_vocab - 3)]
+    n_byte = min(n_vocab - 3, 256)  # ids above 256 bytes become NORMAL tokens
+    toks = (["<unk>", "<s>", "</s>"] + [f"<0x{i:02X}>" for i in range(n_byte)]
+            + [f"tok{i}" for i in range(n_vocab - 3 - n_byte)])
     w.add("tokenizer.ggml.model", "llama")
     w.add("tokenizer.ggml.tokens", toks)
     w.add("tokenizer.ggml.scores", np.zeros(n_vocab, dtype=np.float32))
     w.add("tokenizer.ggml.token_type",
-          np.array([2, 3, 3] + [6] * (n_vocab - 3), np.int32))
+          np.array([2, 3, 3] + [6] * n_byte + [1] * (n_vocab - 3 - n_byte),
+                   np.int32))
     w.add("tokenizer.ggml.bos_token_id", 1)
     w.add("tokenizer.ggml.eos_token_id", 2)
     w.add("tokenizer.ggml.unknown_token_id", 0)
@@ -397,6 +400,9 @@ def make_tiny_arch_gguf(
     qk_norm: bool = False,      # per-head-dim q/k rms (openelm)
     n_dense_lead: int = 0,      # deepseek: leading dense layers before MoE
     n_ff_meta: int | None = None,  # qwen v1 quirk: metadata n_ff = 2x tensors
+    norms: bool = True,         # olmo: no norm tensors (non-parametric LN)
+    qk_norm_layer: bool = False,  # chameleon: [n_head, head_dim] LN weights
+    moe_extra_dense: bool = False,  # arctic: dense FFN + parallel MoE branch
     post_norms: bool = False,   # grok attn_output_norm/layer_output_norm
     extra_metadata: dict | None = None,
     seed: int = 0,
@@ -432,6 +438,8 @@ def make_tiny_arch_gguf(
         return (rng.standard_normal(shape) * 0.05).astype(np.float32)
 
     def norm_pair(name, bias):
+        if not norms:
+            return
         w.add_tensor(name + ".weight", np.ones(n_embd, dtype=np.float32))
         if bias:
             w.add_tensor(name + ".bias", rand(n_embd))
@@ -457,6 +465,13 @@ def make_tiny_arch_gguf(
         if qk_norm:
             w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, np.float32))
             w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, np.float32))
+        if qk_norm_layer:  # chameleon: per-head LN with weights and biases
+            w.add_tensor(p + "attn_q_norm.weight",
+                         1.0 + rand(n_head, head_dim))
+            w.add_tensor(p + "attn_q_norm.bias", rand(n_head, head_dim))
+            w.add_tensor(p + "attn_k_norm.weight",
+                         1.0 + rand(n_head_kv, head_dim))
+            w.add_tensor(p + "attn_k_norm.bias", rand(n_head_kv, head_dim))
         w.add_tensor(p + "attn_output.weight", rand(n_embd, qdim))
         if o_bias:
             w.add_tensor(p + "attn_output.bias", rand(n_embd))
@@ -467,6 +482,12 @@ def make_tiny_arch_gguf(
                          1.0 + rand(n_embd))
         if ffn_norm:
             norm_pair(p + "ffn_norm", norm_bias)
+        if moe_extra_dense:
+            # arctic: n_embd-wide dense FFN + rms for the parallel MoE branch
+            w.add_tensor(p + "ffn_gate.weight", rand(n_embd, n_embd))
+            w.add_tensor(p + "ffn_up.weight", rand(n_embd, n_embd))
+            w.add_tensor(p + "ffn_down.weight", rand(n_embd, n_embd))
+            w.add_tensor(p + "ffn_norm_exps.weight", np.ones(n_embd, np.float32))
         if n_expert and il >= n_dense_lead:
             w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
             w.add_tensor(p + "ffn_gate_exps.weight", rand(n_expert, ff, n_embd))
@@ -477,7 +498,7 @@ def make_tiny_arch_gguf(
                 w.add_tensor(p + "ffn_gate_shexp.weight", rand(fs, n_embd))
                 w.add_tensor(p + "ffn_up_shexp.weight", rand(fs, n_embd))
                 w.add_tensor(p + "ffn_down_shexp.weight", rand(n_embd, fs))
-        else:
+        elif not moe_extra_dense:
             if gate:
                 w.add_tensor(p + "ffn_gate.weight", rand(ff, n_embd))
                 if ffn_bias:

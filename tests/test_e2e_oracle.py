@@ -70,7 +70,8 @@ def _ref_generate(cli: str, gguf: str) -> bytes:
          "-s", "1", "-c", "256"],
         capture_output=True, timeout=300, check=True,
     )
-    return out.stdout.rstrip(b"\n")
+    txt = out.stdout.rstrip(b"\n")
+    return txt.removesuffix(b" [end of text]")
 
 
 def _our_generate(gguf: str) -> bytes:
@@ -223,6 +224,31 @@ ARCH_ORACLE_SPECS = {
     # embd x78.38, unit attn scale, per-branch post-norms, gelu MoE,
     # logits x0.577 (llm_build_grok :5545)
     "grok": dict(n_expert=4, n_expert_used=2, post_norms=True),
+
+    # non-parametric LayerNorm everywhere (llm_build_olmo :9582)
+    "olmo": dict(norms=False, norm="layer"),
+    # llama block without rope (llm_build_refact :5943; ROPE_TYPE_NONE)
+    "refact": dict(),
+    # per-head LayerNorm on q/k before rope, image-logit suppression
+    # (llm_build_chameleon :12821; vocab > 8196 so the suppression runs)
+    "chameleon": dict(qk_norm_layer=True, n_vocab=8448,
+                      extra_metadata={"chameleon.swin_norm": False}),
+    # sequential dense FFN + parallel MoE on the layer input
+    # (llm_build_arctic :10244)
+    "arctic": dict(seed=2, moe_extra_dense=True, n_expert=4, n_expert_used=2),
+    # deepseek-shaped MoE with shared experts, softmax router
+    # (llm_build_bailingmoe :13322)
+    "bailingmoe": dict(
+        seed=1,
+        n_expert=4, n_expert_used=2, n_expert_shared=1,
+        extra_metadata={
+            "bailingmoe.leading_dense_block_count": 0,
+            "bailingmoe.expert_feed_forward_length": 96,
+            "bailingmoe.expert_shared_count": 1,
+            "bailingmoe.expert_weights_scale": 1.0,
+            "bailingmoe.expert_weights_norm": True,
+        }),
+
 }
 
 
