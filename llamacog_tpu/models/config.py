@@ -68,6 +68,7 @@ class ModelConfig:
     # attention extras
     sliding_window: int = 0
     swa_pattern: int = 1  # every Nth layer is non-SWA (1 = no SWA)
+    swa_type: str = "standard"  # standard | chunked (llama4 8k chunks)
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     # arch-specific graph features (reference: per-arch llm_build_* structs,
@@ -83,6 +84,15 @@ class ModelConfig:
     qk_norm_full: bool = False  # olmo2: q/k norm over the full projection
     qk_norm_layer: bool = False  # chameleon: per-head LayerNorm q/k ([H,D] w)
     nonparam_norms: bool = False  # olmo: LayerNorm with no weight/bias tensors
+    # llama4 (llm_build_llama_iswa, llama-model.cpp:4847): NoPE layers every
+    # Nth layer get a position-temperature Q scale instead of rope; roped
+    # layers optionally L2-normalize q/k (Llama4TextL2Norm)
+    n_no_rope_layer_step: int = 0
+    use_kq_norm: bool = False
+    use_attn_temp: bool = False
+    n_attn_temp_floor_scale: int = 8192
+    f_attn_temp_scale: float = 0.1
+    moe_weight_before: bool = False  # llama4: gate weights scale expert INPUT
     logit_scale: float = 1.0  # command-r: multiplier; granite: divisor (see defaults)
     residual_scale: float = 1.0  # granite: scales attn/ffn branch outputs
     learned_pos_embd: bool = False  # gpt2/bert: position_embd.weight added
@@ -383,6 +393,20 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
         if bool(cfg.metadata.get(f"{a}.swin_norm", False)):
             cfg.post_norm_only = True
             cfg.post_norms = True
+    elif a == "llama4":
+        # llm_build_llama_iswa (llama-model.cpp:4847) + load_hparams (:574):
+        # chunked attention (8k chunks, pattern 3 chunked + 1 full), NoPE
+        # every 4th layer with attn-temperature tuning, L2 q/k norm (off for
+        # the 128E Maverick), sigmoid router with weights applied to the
+        # expert INPUT, interleaved MoE layers
+        cfg.swa_type = "chunked"
+        cfg.sliding_window = 8192
+        cfg.swa_pattern = 4
+        cfg.n_no_rope_layer_step = 4
+        cfg.use_attn_temp = True
+        cfg.use_kq_norm = cfg.n_expert != 128
+        cfg.expert_gating_func = "sigmoid"
+        cfg.moe_weight_before = True
     elif a == "arctic":
         # llm_build_arctic (:10349): MoE branch renormalizes top-k weights
         if f"{a}.expert_weights_norm" not in cfg.metadata:

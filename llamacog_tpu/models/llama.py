@@ -177,6 +177,8 @@ def _ffn_moe_sparse(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
     Sp = S * k
     ids = top_i.reshape(Sp)
     rows = jnp.repeat(xf, k, axis=0)  # [(s,slot)] pair rows
+    if cfg.moe_weight_before:  # llama4: weights scale the expert input
+        rows = rows * gate_w.reshape(Sp, 1).astype(rows.dtype)
     wgu = layer.get("ffn_gate_up_exps")
     from ..ops import linear as _lin
 
@@ -227,7 +229,10 @@ def _ffn_moe_sparse(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
         down_pad = _matmul_ragged(h, tile_expert, wd, tt)  # [s_pad, E]
         inv = jnp.argsort(order, stable=True)
         down = down_pad[dest][inv]  # back to (s,slot) pair order
-    out = (down.reshape(S, k, E) * gate_w[..., None]).sum(axis=1)
+    if cfg.moe_weight_before:
+        out = down.reshape(S, k, E).sum(axis=1)
+    else:
+        out = (down.reshape(S, k, E) * gate_w[..., None]).sum(axis=1)
     return out.reshape(B, T, E)
 
 
@@ -255,17 +260,28 @@ def _ffn_moe(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
             xrep = jnp.repeat(xr, n_exp, axis=0)
             _hk(wg, xrep, all_ids)
             _hk(wu, xrep, all_ids)
-        gate = jnp.einsum("bte,nfe->btnf", x, wg)
-        up = jnp.einsum("bte,nfe->btnf", x, wu)
-        act = _act(gate, cfg.ffn_act).astype(x.dtype) * up
-        if _hk is not None:
-            _hk(wd, act.reshape(-1, act.shape[-1]),
-                jnp.tile(jnp.arange(n_exp), B * T))
-        expert_out = jnp.einsum("btnf,nef->btne", act, wd)  # [B,T,n_exp,E]
-        # combine selected experts
         onehot = jax.nn.one_hot(top_i, n_exp, dtype=gate_w.dtype) * gate_w[..., None]
         comb = onehot.sum(axis=2)  # [B,T,n_exp]
-        out = jnp.einsum("btne,btn->bte", expert_out.astype(jnp.float32), comb)
+        if cfg.moe_weight_before:
+            # llama4: gating weights scale the expert INPUT, outputs sum
+            # unweighted (build_moe_ffn weight_before_ffn, llama-graph.cpp);
+            # unselected experts see zero input and contribute zero
+            xin = x[:, :, None, :] * comb[..., None].astype(x.dtype)
+            gate = jnp.einsum("btne,nfe->btnf", xin, wg)
+            up = jnp.einsum("btne,nfe->btnf", xin, wu)
+            act = _act(gate, cfg.ffn_act).astype(x.dtype) * up
+            expert_out = jnp.einsum("btnf,nef->btne", act, wd)
+            out = expert_out.astype(jnp.float32).sum(axis=2)
+        else:
+            gate = jnp.einsum("bte,nfe->btnf", x, wg)
+            up = jnp.einsum("bte,nfe->btnf", x, wu)
+            act = _act(gate, cfg.ffn_act).astype(x.dtype) * up
+            if _hk is not None:
+                _hk(wd, act.reshape(-1, act.shape[-1]),
+                    jnp.tile(jnp.arange(n_exp), B * T))
+            expert_out = jnp.einsum("btnf,nef->btne", act, wd)  # [B,T,n_exp,E]
+            # combine selected experts
+            out = jnp.einsum("btne,btn->bte", expert_out.astype(jnp.float32), comb)
     if "ffn_up_shexp" in layer:  # shared expert branch
         shexp = {
             "ffn_gate": layer["ffn_gate_shexp"],
@@ -333,6 +349,21 @@ def _build_masks(cfg: ModelConfig, write_pos: jnp.ndarray, t: int, s_max: int):
         )
     if w <= 0:
         return (mask, intra), (mask, intra)
+    if cfg.swa_type == "chunked":
+        # llama4: attend only within the query's w-sized chunk —
+        # pos_k >= floor(pos_q / w) * w (LLAMA_SWA_TYPE_CHUNKED masking)
+        pos_q = write_pos[:, None, None] + ti[None, :, None]  # [B,T,1]
+        chunk_start = (pos_q // w) * w
+        pos_k = jnp.arange(s_max)[None, None, :]
+        swa_mask = jnp.where(
+            (mask > -1e29) & (pos_k >= chunk_start), 0.0, -jnp.inf
+        ).astype(jnp.float32)
+        # intra-block chunking depends on absolute positions → [B,T,T]
+        pos_kc = write_pos[:, None, None] + ti[None, None, :]
+        intra_swa = jnp.where(
+            (ok[None]) & (pos_kc >= chunk_start), 0.0, -jnp.inf
+        ).astype(jnp.float32)
+        return (mask, intra), (swa_mask, intra_swa)
     swa_mask = build_causal_mask(write_pos, t, s_max, seq_len=write_pos, sliding_window=w)
     ok_swa = ok & (ti[None, :] > ti[:, None] - w)
     intra_swa = jnp.where(ok_swa, 0.0, -jnp.inf).astype(jnp.float32)
@@ -384,14 +415,13 @@ def forward(
         kv_cap = None  # ring/SWA caches keep full reads
     s_eff = kv_cap if kv_cap is not None else int(cache.max_seq)
 
-    use_flash_q8 = flash_q8.decode_supported(cfg, cache, T)
-    use_flash_q8_prefill = not use_flash_q8 and flash_q8.prefill_supported(
-        cfg, cache, T, s_eff
-    )
-    use_flash = flash_decode.supported(cfg, cache, T)
-    use_flash_prefill = not use_flash and flash_prefill.supported(
-        cfg, cache, T, s_eff
-    )
+    chunked_swa = cfg.swa_type == "chunked" and cfg.sliding_window > 0
+    use_flash_q8 = not chunked_swa and flash_q8.decode_supported(cfg, cache, T)
+    use_flash_q8_prefill = (not chunked_swa and not use_flash_q8
+                            and flash_q8.prefill_supported(cfg, cache, T, s_eff))
+    use_flash = not chunked_swa and flash_decode.supported(cfg, cache, T)
+    use_flash_prefill = (not chunked_swa and not use_flash
+                         and flash_prefill.supported(cfg, cache, T, s_eff))
     any_flash = use_flash or use_flash_prefill or use_flash_q8 or use_flash_q8_prefill
     if any_flash:
         mask = intra = swa_mask = intra_swa = None
@@ -601,10 +631,25 @@ def forward(
             q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)
         is_swa = cfg.is_swa(il)
-        if rtab is not None:
+        # llama4 NoPE layers: every n_no_rope_layer_step-th layer skips rope
+        # and scales Q by the position temperature instead
+        # (llm_build_llama_iswa :4875,4925-4930)
+        use_rope_l = not (cfg.n_no_rope_layer_step > 0
+                          and (il + 1) % cfg.n_no_rope_layer_step == 0)
+        if rtab is not None and use_rope_l:
             tab = rtab_swa if is_swa else rtab
             q = apply_rope_tables(q, tab, rdim, interleaved=cfg.rope.interleaved)
             k = apply_rope_tables(k, tab, rdim, interleaved=cfg.rope.interleaved)
+            if cfg.use_kq_norm:  # Llama4TextL2Norm (weightless rms)
+                q = rms_norm(q, None, cfg.rms_norm_eps)
+                k = rms_norm(k, None, cfg.rms_norm_eps)
+        elif not use_rope_l and cfg.use_attn_temp:
+            # build_inp_attn_scale (llama-graph.cpp:58-62)
+            tsc = (jnp.log(jnp.floor(
+                (positions.astype(jnp.float32) + 1.0)
+                / cfg.n_attn_temp_floor_scale) + 1.0)
+                * cfg.f_attn_temp_scale + 1.0)
+            q = q * tsc[:, :, None, None].astype(q.dtype)
         if k.shape[2] < Hkv:  # per-layer KV heads: pad to the cache width
             pad = [(0, 0)] * 4
             pad[2] = (0, Hkv - k.shape[2])

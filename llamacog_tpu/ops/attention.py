@@ -51,8 +51,10 @@ def masked_attention(
     full_mask = mask
     if k_cur is not None:
         im = intra_mask if intra_mask is not None else jnp.zeros((T, T), jnp.float32)
+        if im.ndim == 2:  # chunked-SWA intra masks are per-row [B,T,T]
+            im = im[None]
         full_mask = jnp.concatenate(
-            [mask, jnp.broadcast_to(im[None], (B, T, T))], axis=-1
+            [mask, jnp.broadcast_to(im, (B, T, T))], axis=-1
         )
     allowed = full_mask[:, None, None, :, :] > -1e29
     if alibi_slopes is not None:

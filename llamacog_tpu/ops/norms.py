@@ -10,7 +10,9 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float,
              bias: jnp.ndarray | None = None) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    out = xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    out = xf * jax.lax.rsqrt(var + eps)
+    if weight is not None:  # llama4 L2 q/k norm is weightless ggml_rms_norm
+        out = out * weight.astype(jnp.float32)
     if bias is not None:  # ggml build_norm RMS + bias (phimoe)
         out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)

@@ -75,7 +75,10 @@ class Engine:
             self._init_recurrent()
             return
         if (kv_type == "dense" and config.sliding_window > 0
-                and config.swa_pattern > 1 and config.sliding_window < max_seq):
+                and config.swa_pattern > 1 and config.sliding_window < max_seq
+                and config.swa_type != "chunked"):
+            # chunked attention (llama4) keeps the full store: the ring-mask
+            # math assumes sliding-window semantics
             # iswa cache: SWA layers get a window-sized ring instead of a
             # full-length store (llama_kv_cache_unified_iswa role)
             from .kv_cache import SwaKVCache

@@ -399,6 +399,7 @@ def make_tiny_arch_gguf(
     n_expert_shared: int = 0,
     qk_norm: bool = False,      # per-head-dim q/k rms (openelm)
     n_dense_lead: int = 0,      # deepseek: leading dense layers before MoE
+    moe_layer_step: int = 0,    # llama4: MoE only on every Nth layer
     n_ff_meta: int | None = None,  # qwen v1 quirk: metadata n_ff = 2x tensors
     norms: bool = True,         # olmo: no norm tensors (non-parametric LN)
     qk_norm_layer: bool = False,  # chameleon: [n_head, head_dim] LN weights
@@ -488,7 +489,9 @@ def make_tiny_arch_gguf(
             w.add_tensor(p + "ffn_up.weight", rand(n_embd, n_embd))
             w.add_tensor(p + "ffn_down.weight", rand(n_embd, n_embd))
             w.add_tensor(p + "ffn_norm_exps.weight", np.ones(n_embd, np.float32))
-        if n_expert and il >= n_dense_lead:
+        is_moe = bool(n_expert) and il >= n_dense_lead and (
+            moe_layer_step == 0 or (il + 1) % moe_layer_step == 0)
+        if is_moe:
             w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
             w.add_tensor(p + "ffn_gate_exps.weight", rand(n_expert, ff, n_embd))
             w.add_tensor(p + "ffn_up_exps.weight", rand(n_expert, ff, n_embd))
@@ -498,7 +501,7 @@ def make_tiny_arch_gguf(
                 w.add_tensor(p + "ffn_gate_shexp.weight", rand(fs, n_embd))
                 w.add_tensor(p + "ffn_up_shexp.weight", rand(fs, n_embd))
                 w.add_tensor(p + "ffn_down_shexp.weight", rand(n_embd, fs))
-        elif not moe_extra_dense:
+        elif not moe_extra_dense:  # dense layer
             if gate:
                 w.add_tensor(p + "ffn_gate.weight", rand(ff, n_embd))
                 if ffn_bias:

@@ -236,6 +236,15 @@ ARCH_ORACLE_SPECS = {
     # sequential dense FFN + parallel MoE on the layer input
     # (llm_build_arctic :10244)
     "arctic": dict(seed=2, moe_extra_dense=True, n_expert=4, n_expert_used=2),
+    # iSWA chunked attention (inactive at tiny ctx), NoPE 4th layer with
+    # attn-temperature scale, L2 q/k norm, sigmoid router with
+    # weight-before-FFN MoE on every 2nd layer + shared expert
+    # (llm_build_llama_iswa :4847)
+    "llama4": dict(
+        n_layer=4, n_expert=4, n_expert_used=2, n_expert_shared=1,
+        moe_layer_step=2,
+        extra_metadata={"llama4.expert_feed_forward_length": 96,
+                        "llama4.interleave_moe_layer_step": 2}),
     # deepseek-shaped MoE with shared experts, softmax router
     # (llm_build_bailingmoe :13322)
     "bailingmoe": dict(

@@ -93,3 +93,37 @@ def test_moe_forward(tmp_path):
     assert np.isfinite(logits).all()
     r = e.generate_greedy([1, 2, 3], 4)
     assert len(r.tokens) == 4
+
+
+def test_llama4_chunked_attention_decode_matches_prefill(tmp_path):
+    """Chunked SWA (llama4): decode must agree with one-shot prefill across a
+    chunk boundary. The real chunk size is a hardcoded 8192 (load_hparams
+    :580), so shrink the window on the loaded config to force boundaries."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.engine import Engine
+    from llamacog_tpu.utils.testing import make_tiny_arch_gguf
+
+    path = str(tmp_path / "llama4.gguf")
+    make_tiny_arch_gguf(
+        path, "llama4", seed=5, n_layer=4, n_expert=4, n_expert_used=2,
+        n_expert_shared=1, moe_layer_step=2,
+        extra_metadata={"llama4.expert_feed_forward_length": 96,
+                        "llama4.interleave_moe_layer_step": 2})
+    m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+    assert m.config.swa_type == "chunked" and m.config.use_kq_norm
+    m.config.sliding_window = 8  # tiny chunks: tokens 8.. start a new chunk
+    tokens = list(range(3, 23))  # crosses the pos-8 and pos-16 boundaries
+    eng = Engine(m.params, m.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    full = eng.prefill_logits(tokens)
+    eng2 = Engine(m.params, m.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    eng2.prefill(tokens[:6])
+    for i, t in enumerate(tokens[6:14]):
+        logits = eng2.decode_one(np.array([t]))
+        np.testing.assert_allclose(logits[0], full[6 + i], atol=2e-4)
+    # chunking must actually change the output vs standard sliding window
+    m.config.swa_type = "standard"
+    eng3 = Engine(m.params, m.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    sliding = eng3.prefill_logits(tokens)
+    assert np.abs(sliding[12:] - full[12:]).max() > 1e-5
