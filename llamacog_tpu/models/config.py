@@ -458,13 +458,16 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
         # gate_up handled by row-count detection
         cfg.post_norms = True
         cfg.rope.interleaved = True
-    elif a in ("baichuan", "internlm2", "orion", "exaone", "minicpm"):
+    elif a in ("baichuan", "internlm2", "orion", "exaone", "minicpm",
+               "minicpm3"):
+        # minicpm3 = minicpm scalings + deepseek2-style MLA (hardcoded
+        # scale_embd/scale_depth, llm_build_minicpm3 :8389-8392)
         # llama-graph clones: baichuan(7B rope) / internlm2 / exaone are
         # flag-identical to llama; orion uses LayerNorm; minicpm adds the
         # embedding/residual/logit scalings (read from metadata like granite)
         if a == "orion":
             cfg.norm_type = "layer"
-        if a == "minicpm":
+        if a in ("minicpm", "minicpm3"):
             # defaults per llama-model.cpp minicpm: scale_embd 12,
             # scale_depth 1.4/sqrt(L), logits scaled by 256/n_embd
             if cfg.embd_scale == 1.0:

@@ -400,6 +400,9 @@ def make_tiny_arch_gguf(
     qk_norm: bool = False,      # per-head-dim q/k rms (openelm)
     n_dense_lead: int = 0,      # deepseek: leading dense layers before MoE
     moe_layer_step: int = 0,    # llama4: MoE only on every Nth layer
+    exp_probs_b: bool = False,  # deepseek-v3/dots1 selection-bias tensor
+    mla: tuple | None = None,   # (q_lora, kv_lora, qk_rope, qk_nope, v_dim):
+    # deepseek2/minicpm3 multi-head latent attention projections
     n_ff_meta: int | None = None,  # qwen v1 quirk: metadata n_ff = 2x tensors
     norms: bool = True,         # olmo: no norm tensors (non-parametric LN)
     qk_norm_layer: bool = False,  # chameleon: [n_head, head_dim] LN weights
@@ -454,7 +457,17 @@ def make_tiny_arch_gguf(
         p = f"blk.{il}."
         norm_pair(p + "attn_norm", norm_bias)
         qdim, kvdim = n_head * head_dim, n_head_kv * head_dim
-        if qkv == "fused":
+        if mla is not None:
+            qlr, kvlr, rope_d, nope_d, vd = mla
+            kl = rope_d + nope_d
+            w.add_tensor(p + "attn_q_a.weight", rand(qlr, n_embd))
+            w.add_tensor(p + "attn_q_a_norm.weight", np.ones(qlr, np.float32))
+            w.add_tensor(p + "attn_q_b.weight", rand(n_head * kl, qlr))
+            w.add_tensor(p + "attn_kv_a_mqa.weight", rand(kvlr + rope_d, n_embd))
+            w.add_tensor(p + "attn_kv_a_norm.weight", np.ones(kvlr, np.float32))
+            w.add_tensor(p + "attn_kv_b.weight", rand(n_head * (nope_d + vd), kvlr))
+            w.add_tensor(p + "attn_output.weight", rand(n_embd, n_head * vd))
+        elif qkv == "fused":
             w.add_tensor(p + "attn_qkv.weight", rand(qdim + 2 * kvdim, n_embd))
             if qkv_bias:
                 w.add_tensor(p + "attn_qkv.bias", rand(qdim + 2 * kvdim))
@@ -463,7 +476,7 @@ def make_tiny_arch_gguf(
                 w.add_tensor(p + nm + ".weight", rand(d, n_embd))
                 if qkv_bias:
                     w.add_tensor(p + nm + ".bias", rand(d))
-        if qk_norm:
+        if qk_norm and mla is None:
             w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, np.float32))
             w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, np.float32))
         if qk_norm_layer:  # chameleon: per-head LN with weights and biases
@@ -473,7 +486,8 @@ def make_tiny_arch_gguf(
             w.add_tensor(p + "attn_k_norm.weight",
                          1.0 + rand(n_head_kv, head_dim))
             w.add_tensor(p + "attn_k_norm.bias", rand(n_head_kv, head_dim))
-        w.add_tensor(p + "attn_output.weight", rand(n_embd, qdim))
+        if mla is None:
+            w.add_tensor(p + "attn_output.weight", rand(n_embd, qdim))
         if o_bias:
             w.add_tensor(p + "attn_output.bias", rand(n_embd))
         if post_norms:
@@ -493,6 +507,8 @@ def make_tiny_arch_gguf(
             moe_layer_step == 0 or (il + 1) % moe_layer_step == 0)
         if is_moe:
             w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
+            if exp_probs_b:
+                w.add_tensor(p + "exp_probs_b.bias", rand(n_expert))
             w.add_tensor(p + "ffn_gate_exps.weight", rand(n_expert, ff, n_embd))
             w.add_tensor(p + "ffn_up_exps.weight", rand(n_expert, ff, n_embd))
             w.add_tensor(p + "ffn_down_exps.weight", rand(n_expert, n_embd, ff))

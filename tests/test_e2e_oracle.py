@@ -245,6 +245,20 @@ ARCH_ORACLE_SPECS = {
         moe_layer_step=2,
         extra_metadata={"llama4.expert_feed_forward_length": 96,
                         "llama4.interleave_moe_layer_step": 2}),
+    # qwen3-style per-head q/k norm + deepseek-v3-style MoE: sigmoid router
+    # with selection-bias tensor, shared expert, dense lead layer
+    # (llm_build_dots1 :13466)
+    "dots1": dict(  # the reference loads MHA-shaped k/v for dots1
+        qk_norm=True, n_head_kv=4, n_expert=4, n_expert_used=2,
+        n_expert_shared=1, n_dense_lead=1, exp_probs_b=True,
+        extra_metadata={
+            "dots1.leading_dense_block_count": 1,
+            "dots1.expert_feed_forward_length": 96,
+            "dots1.expert_shared_count": 1,
+            "dots1.expert_weights_scale": 1.0,
+            "dots1.expert_weights_norm": True,
+            "dots1.expert_gating_func": 2,
+        }),
     # deepseek-shaped MoE with shared experts, softmax router
     # (llm_build_bailingmoe :13322)
     "bailingmoe": dict(
