@@ -411,6 +411,10 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
         # llm_build_arctic (:10349): MoE branch renormalizes top-k weights
         if f"{a}.expert_weights_norm" not in cfg.metadata:
             cfg.expert_weights_norm = True
+    elif a == "plm":
+        # llm_build_plm (llama-model.cpp:13150): MLA with direct wq +
+        # compressed kv, gateless relu^2 FFN
+        cfg.ffn_act = "relu2"
     elif a == "arcee":
         # llm_build_arcee (llama-model.cpp:13616): llama graph but the FFN is
         # gateless relu^2 (LLM_FFN_RELU_SQR, :13719)

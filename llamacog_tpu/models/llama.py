@@ -67,6 +67,9 @@ def _norm(x: jnp.ndarray, layer: dict, key: str, cfg: ModelConfig) -> jnp.ndarra
 
 def _linear(x: jnp.ndarray, layer: dict, key: str) -> jnp.ndarray:
     out = qmatmul(x, layer[key])
+    sc = layer.get(key + "_scale")
+    if sc is not None:  # bitnet per-projection scalar scale
+        out = out * sc.astype(out.dtype)
     b = layer.get(key + "_b")
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -91,6 +94,8 @@ def _ffn(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     else:
         up = _linear(x, layer, "ffn_up")
         h = _act(up, cfg.ffn_act).astype(x.dtype)
+    if "ffn_sub_norm" in layer:  # bitnet: norm before down (:10929)
+        h = rms_norm(h, layer["ffn_sub_norm"], cfg.rms_norm_eps)
     return _linear(h, layer, "ffn_down")
 
 
@@ -659,7 +664,10 @@ def forward(
             new_ks.append(k)
             new_vs.append(v)
         attn = _attend(q, k, v, il, is_swa)
-        attn = _linear(attn.reshape(B, T, H * Dv), layer, "attn_output")
+        attn = attn.reshape(B, T, H * Dv)
+        if "attn_sub_norm" in layer:  # bitnet: norm before wo (:10892)
+            attn = rms_norm(attn, layer["attn_sub_norm"], cfg.rms_norm_eps)
+        attn = _linear(attn, layer, "attn_output")
         if cfg.post_norms and "attn_post_norm" in layer:
             attn = _norm(attn, layer, "attn_post_norm", cfg)
         if cfg.residual_scale != 1.0:  # granite branch scaling

@@ -64,6 +64,17 @@ _LAYER_TENSORS = {
     "ffn_norm": "ffn_norm.weight",
     "ffn_norm_b": "ffn_norm.bias",
     "ffn_norm_exps": "ffn_norm_exps.weight",  # arctic parallel MoE branch
+    # bitnet (llm_build_bitnet :10807): rms sub-norms before the wo/down
+    # projections and optional per-projection scalar scales
+    "attn_sub_norm": "attn_sub_norm.weight",
+    "ffn_sub_norm": "ffn_sub_norm.weight",
+    "attn_q_scale": "attn_q.scale",
+    "attn_k_scale": "attn_k.scale",
+    "attn_v_scale": "attn_v.scale",
+    "attn_output_scale": "attn_output.scale",
+    "ffn_gate_scale": "ffn_gate.scale",
+    "ffn_up_scale": "ffn_up.scale",
+    "ffn_down_scale": "ffn_down.scale",
     "attn_q_norm_b": "attn_q_norm.bias",  # chameleon per-head LN bias
     "attn_k_norm_b": "attn_k_norm.bias",
     "ffn_gate": "ffn_gate.weight",
@@ -237,6 +248,8 @@ def load_model(
             fuse_qkv = False  # olmo2: full-projection q/k norm needs separate q/k
         else:
             fuse_qkv = fuse
+        if "attn_q_scale" in layer:
+            fuse_qkv = False  # bitnet per-projection scales must stay split
         if fuse_qkv and all(k in layer for k in ("attn_q", "attn_k", "attn_v")):
             fused = _fuse_rows([layer["attn_q"], layer["attn_k"], layer["attn_v"]])
             if fused is not None:
@@ -271,7 +284,8 @@ def load_model(
                     )
                 layer["ffn_gate_up_exps"] = _QT(ge.kind, (n_exp, 2 * F, E), planes)
                 del layer["ffn_gate_exps"], layer["ffn_up_exps"]
-        if fuse and "ffn_gate" in layer and "ffn_up" in layer and "ffn_gate_b" not in layer:
+        if (fuse and "ffn_gate" in layer and "ffn_up" in layer
+                and "ffn_gate_b" not in layer and "ffn_gate_scale" not in layer):
             fused = _fuse_rows([layer["ffn_gate"], layer["ffn_up"]])
             if fused is not None:
                 layer["ffn_gate_up"] = fused

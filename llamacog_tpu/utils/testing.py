@@ -401,6 +401,7 @@ def make_tiny_arch_gguf(
     n_dense_lead: int = 0,      # deepseek: leading dense layers before MoE
     moe_layer_step: int = 0,    # llama4: MoE only on every Nth layer
     exp_probs_b: bool = False,  # deepseek-v3/dots1 selection-bias tensor
+    subnorm_scales: bool = False,  # bitnet sub-norms + per-projection scales
     mla: tuple | None = None,   # (q_lora, kv_lora, qk_rope, qk_nope, v_dim):
     # deepseek2/minicpm3 multi-head latent attention projections
     n_ff_meta: int | None = None,  # qwen v1 quirk: metadata n_ff = 2x tensors
@@ -460,9 +461,13 @@ def make_tiny_arch_gguf(
         if mla is not None:
             qlr, kvlr, rope_d, nope_d, vd = mla
             kl = rope_d + nope_d
-            w.add_tensor(p + "attn_q_a.weight", rand(qlr, n_embd))
-            w.add_tensor(p + "attn_q_a_norm.weight", np.ones(qlr, np.float32))
-            w.add_tensor(p + "attn_q_b.weight", rand(n_head * kl, qlr))
+            if qlr:  # deepseek2/minicpm3 low-rank q; plm keeps a direct wq
+                w.add_tensor(p + "attn_q_a.weight", rand(qlr, n_embd))
+                w.add_tensor(p + "attn_q_a_norm.weight",
+                             np.ones(qlr, np.float32))
+                w.add_tensor(p + "attn_q_b.weight", rand(n_head * kl, qlr))
+            else:
+                w.add_tensor(p + "attn_q.weight", rand(n_head * kl, n_embd))
             w.add_tensor(p + "attn_kv_a_mqa.weight", rand(kvlr + rope_d, n_embd))
             w.add_tensor(p + "attn_kv_a_norm.weight", np.ones(kvlr, np.float32))
             w.add_tensor(p + "attn_kv_b.weight", rand(n_head * (nope_d + vd), kvlr))
@@ -488,6 +493,11 @@ def make_tiny_arch_gguf(
             w.add_tensor(p + "attn_k_norm.bias", rand(n_head_kv, head_dim))
         if mla is None:
             w.add_tensor(p + "attn_output.weight", rand(n_embd, qdim))
+        if subnorm_scales:
+            w.add_tensor(p + "attn_sub_norm.weight", 1.0 + rand(qdim))
+            for nm in ("attn_q", "attn_k", "attn_v", "attn_output"):
+                w.add_tensor(p + nm + ".scale",
+                             np.asarray([1.0 + 0.1 * il], np.float32))
         if o_bias:
             w.add_tensor(p + "attn_output.bias", rand(n_embd))
         if post_norms:
@@ -518,6 +528,11 @@ def make_tiny_arch_gguf(
                 w.add_tensor(p + "ffn_up_shexp.weight", rand(fs, n_embd))
                 w.add_tensor(p + "ffn_down_shexp.weight", rand(n_embd, fs))
         elif not moe_extra_dense:  # dense layer
+            if subnorm_scales:
+                w.add_tensor(p + "ffn_sub_norm.weight", 1.0 + rand(ff))
+                for nm in ("ffn_gate", "ffn_up", "ffn_down"):
+                    w.add_tensor(p + nm + ".scale",
+                                 np.asarray([1.0 - 0.05 * il], np.float32))
             if gate:
                 w.add_tensor(p + "ffn_gate.weight", rand(ff, n_embd))
                 if ffn_bias:

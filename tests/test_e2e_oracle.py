@@ -245,6 +245,9 @@ ARCH_ORACLE_SPECS = {
         moe_layer_step=2,
         extra_metadata={"llama4.expert_feed_forward_length": 96,
                         "llama4.interleave_moe_layer_step": 2}),
+    # rms sub-norms before wo/ffn_down + per-projection scalar scales,
+    # tied lm head (llm_build_bitnet :10807)
+    "bitnet": dict(subnorm_scales=True, output=False),
     # qwen3-style per-head q/k norm + deepseek-v3-style MoE: sigmoid router
     # with selection-bias tensor, shared expert, dense lead layer
     # (llm_build_dots1 :13466)

@@ -161,3 +161,34 @@ def test_minicpm3_mla_decode_matches_prefill(tmp_path):
     for i, t in enumerate(tokens[5:9]):
         logits = eng2.decode_one(np.array([t]))
         np.testing.assert_allclose(logits[0], full[5 + i], atol=2e-4)
+
+
+def test_plm_mla_decode_matches_prefill(tmp_path):
+    """plm: MLA with a direct wq + compressed kv, relu^2 gateless FFN, tied
+    lm head (llm_build_plm :13150). Like minicpm3, the reference crashes on
+    this arch (same 2-D V defect), so coverage is internal consistency."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.engine import Engine
+    from llamacog_tpu.utils.testing import make_tiny_arch_gguf
+
+    path = str(tmp_path / "plm.gguf")
+    make_tiny_arch_gguf(
+        path, "plm", seed=8, n_head_kv=4, gate=False, output=False,
+        mla=(0, 32, 16, 16, 16),
+        extra_metadata={"plm.attention.kv_lora_rank": 32,
+                        "plm.attention.key_length": 32,
+                        "plm.attention.value_length": 16,
+                        "plm.rope.dimension_count": 16})
+    m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+    assert m.config.ffn_act == "relu2" and m.config.n_lora_kv == 32
+    assert m.config.n_lora_q == 0  # direct wq, no q compression
+    tokens = list(range(3, 15))
+    eng = Engine(m.params, m.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    full = eng.prefill_logits(tokens)
+    eng2 = Engine(m.params, m.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    eng2.prefill(tokens[:5])
+    for i, t in enumerate(tokens[5:9]):
+        logits = eng2.decode_one(np.array([t]))
+        np.testing.assert_allclose(logits[0], full[5 + i], atol=2e-4)
