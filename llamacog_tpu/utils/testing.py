@@ -122,7 +122,7 @@ def make_tiny_rwkv_gguf(
     w.add(f"{arch}.context_length", 256)
     w.add(f"{arch}.embedding_length", n_embd)
     w.add(f"{arch}.block_count", n_layer)
-    w.add(f"{arch}.feed_forward_length", n_ff_meta if n_ff_meta else n_ff)
+    w.add(f"{arch}.feed_forward_length", n_ff)
     w.add(f"{arch}.attention.head_count", 0)
     w.add(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     w.add(f"{arch}.wkv.head_size", head_size)
@@ -230,7 +230,7 @@ def make_tiny_wavtokenizer_gguf(
     w.add(f"{arch}.vocab_size", n_vocab)
     w.add(f"{arch}.features_length", n_feat)
     w.add(f"{arch}.embedding_length", n_embd_out)
-    w.add(f"{arch}.feed_forward_length", n_ff_meta if n_ff_meta else n_ff)
+    w.add(f"{arch}.feed_forward_length", n_ff)
     w.add(f"{arch}.posnet.embedding_length", n_embd)
     w.add(f"{arch}.posnet.block_count", 6)
     w.add(f"{arch}.convnext.embedding_length", n_embd)
