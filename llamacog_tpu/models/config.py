@@ -97,6 +97,9 @@ class ModelConfig:
     residual_scale: float = 1.0  # granite: scales attn/ffn branch outputs
     learned_pos_embd: bool = False  # gpt2/bert: position_embd.weight added
     causal: bool = True  # False for encoder models (bert)
+    # nomic-bert-moe: layers with il % n == 1 use a (gateless) MoE FFN
+    # (llama_hparams.moe_every_n_layers, src/llama-hparams.h:73)
+    moe_every_n_layers: int = 0
     # ALiBi (bloom/mpt): scores += slope_h * -(pos_q - pos_k); slopes from
     # max_alibi_bias per ggml soft_max_ext semantics
     use_alibi: bool = False
@@ -207,6 +210,7 @@ class ModelConfig:
             n_ff_exp=int(g("expert_feed_forward_length", 0) or 0),
             n_ff_shexp=int(g("expert_shared_feed_forward_length", 0) or 0),
             n_expert_shared=int(g("expert_shared_count", 0) or 0),
+            moe_every_n_layers=int(g("moe_every_n_layers", 0) or 0),
             sliding_window=int(g("attention.sliding_window", 0) or 0),
             attn_logit_softcap=float(g("attn_logit_softcapping", 0.0) or 0.0),
             final_logit_softcap=float(g("final_logit_softcapping", 0.0) or 0.0),
@@ -480,10 +484,24 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
                 cfg.residual_scale = 1.4 / math.sqrt(cfg.n_layer)
             if cfg.logit_scale == 1.0:
                 cfg.logit_scale = 256.0 / cfg.n_embd
-    elif a in ("bert", "nomic-bert"):
+    elif a in ("bert", "nomic-bert", "nomic-bert-moe", "jina-bert-v2"):
+        # llm_build_bert (llama-model.cpp:6042) covers all four: post-LN
+        # encoder; bert = learned positions, nomic = NEOX rope (+ gated-silu
+        # FFN), nomic-moe = rope + gateless-GELU MoE every 2nd layer
+        # (moe_every_n_layers), jina = ALiBi (f_max_alibi_bias hardcoded 8.0,
+        # load_hparams :733) + gelu-gated / GEGLU FFN
         cfg.norm_type = "layer"
         cfg.causal = False
         cfg.learned_pos_embd = a == "bert"
         cfg.ffn_act = "gelu"
         if a == "bert":
             cfg.rope.enabled = False
+        elif a == "jina-bert-v2":
+            cfg.rope.enabled = False
+            cfg.use_alibi = True
+            cfg.max_alibi_bias = 8.0
+    elif a == "neo-bert":
+        # llm_build_neo_bert (llama-model.cpp:6228): pre-norm RMS encoder,
+        # fused bias-free qkv, NORM rope, packed-swiglu FFN (single ffn_up of
+        # width 2*n_ff split in half), final enc.output_norm
+        cfg.causal = False

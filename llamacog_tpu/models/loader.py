@@ -123,6 +123,7 @@ _MODEL_TENSORS = {
     "cls_b": "cls.bias",
     "cls_out": "cls.output.weight",
     "cls_out_b": "cls.output.bias",
+    "output_norm_enc": "enc.output_norm.weight",  # neo-bert final RMS norm
 }
 
 

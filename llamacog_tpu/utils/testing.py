@@ -544,3 +544,134 @@ def make_tiny_arch_gguf(
                 w.add_tensor(p + "ffn_down.bias", rand(n_embd))
     w.write()
     return str(path)
+
+
+def make_tiny_bert_gguf(
+    path,
+    arch: str,  # "bert" | "nomic-bert" | "nomic-bert-moe" | "jina-bert-v2" | "neo-bert"
+    *,
+    n_vocab: int = 256,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    n_head_kv: int | None = None,
+    n_ff: int = 96,
+    n_ctx: int = 128,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    moe_every_n_layers: int = 2,
+    jina_gate: bool = True,  # False -> GEGLU split of a doubled ffn_up
+    pooling_type: int = 1,  # LLAMA_POOLING_TYPE_MEAN
+    seed: int = 0,
+) -> str:
+    """Tiny random GGUF for the BERT-family encoders, following the per-arch
+    create_tensor lists (src/llama-model.cpp:2167-2301 bert/nomic/jina,
+    :2230-2255 neo-bert). Used by the llama-embedding oracle tests."""
+    rng = np.random.default_rng(seed)
+    if n_head_kv is None:
+        n_head_kv = n_head
+    head_dim = n_embd // n_head
+    kvdim = n_head_kv * head_dim
+    neo = arch == "neo-bert"
+    jina = arch == "jina-bert-v2"
+    moe = arch == "nomic-bert-moe"
+
+    w = GGUFWriter(path)
+    w.add("general.architecture", arch)
+    w.add("general.name", f"tiny-{arch}")
+    w.add(f"{arch}.context_length", n_ctx)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_epsilon", 1e-12)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.attention.causal", False)
+    w.add(f"{arch}.pooling_type", pooling_type)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    if not (neo or moe):
+        w.add("tokenizer.ggml.token_type_count", 2)
+    if not (jina or arch == "bert"):
+        w.add(f"{arch}.rope.freq_base", 10000.0)
+    if moe:
+        w.add(f"{arch}.expert_count", n_expert)
+        w.add(f"{arch}.expert_used_count", n_expert_used)
+        w.add(f"{arch}.moe_every_n_layers", moe_every_n_layers)
+    _add_tiny_vocab(w, n_vocab)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand(n_vocab, n_embd))
+    if neo:
+        w.add_tensor("enc.output_norm.weight", (1.0 + rand(n_embd)))
+    else:
+        if not moe:  # type_embd optional; exercise presence on bert/nomic/jina
+            w.add_tensor("token_types.weight", rand(2, n_embd))
+        if arch == "bert":
+            w.add_tensor("position_embd.weight", rand(n_ctx, n_embd))
+        w.add_tensor("token_embd_norm.weight", 1.0 + rand(n_embd))
+        w.add_tensor("token_embd_norm.bias", rand(n_embd))
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        if neo:
+            w.add_tensor(p + "attn_norm.weight", 1.0 + rand(n_embd))
+            w.add_tensor(p + "attn_qkv.weight", rand(n_embd + 2 * kvdim, n_embd))
+            w.add_tensor(p + "attn_output.weight", rand(n_embd, n_embd))
+            w.add_tensor(p + "ffn_norm.weight", 1.0 + rand(n_embd))
+            w.add_tensor(p + "ffn_up.weight", rand(2 * n_ff, n_embd))
+            w.add_tensor(p + "ffn_down.weight", rand(n_embd, n_ff))
+            continue
+        if jina:
+            for nm, d in (("attn_q", n_embd), ("attn_k", kvdim), ("attn_v", kvdim)):
+                w.add_tensor(p + nm + ".weight", rand(d, n_embd))
+                w.add_tensor(p + nm + ".bias", rand(d))
+            # optional full-width q/k LayerNorms — exercise them
+            w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand(n_embd))
+            w.add_tensor(p + "attn_q_norm.bias", rand(n_embd))
+            w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand(kvdim))
+            w.add_tensor(p + "attn_k_norm.bias", rand(kvdim))
+        elif arch == "bert":
+            for nm, d in (("attn_q", n_embd), ("attn_k", kvdim), ("attn_v", kvdim)):
+                w.add_tensor(p + nm + ".weight", rand(d, n_embd))
+                w.add_tensor(p + nm + ".bias", rand(d))
+        else:  # nomic: fused qkv; moe variant adds the bias
+            w.add_tensor(p + "attn_qkv.weight", rand(n_embd + 2 * kvdim, n_embd))
+            if moe:
+                w.add_tensor(p + "attn_qkv.bias", rand(n_embd + 2 * kvdim))
+        w.add_tensor(p + "attn_output.weight", rand(n_embd, n_embd))
+        if arch == "bert" or moe or jina:
+            w.add_tensor(p + "attn_output.bias", rand(n_embd))
+        w.add_tensor(p + "attn_output_norm.weight", 1.0 + rand(n_embd))
+        w.add_tensor(p + "attn_output_norm.bias", rand(n_embd))
+        if jina:
+            # attn_norm_2 second residual norm (TENSOR_NOT_REQUIRED — present
+            # in jina-embeddings-v2-base-code checkpoints)
+            w.add_tensor(p + "attn_norm_2.weight", 1.0 + rand(n_embd))
+            w.add_tensor(p + "attn_norm_2.bias", rand(n_embd))
+        if moe and il % moe_every_n_layers == 1:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
+            w.add_tensor(p + "ffn_up_exps.weight", rand(n_expert, n_ff, n_embd))
+            w.add_tensor(p + "ffn_down_exps.weight", rand(n_expert, n_embd, n_ff))
+        elif jina:
+            if jina_gate:
+                w.add_tensor(p + "ffn_gate.weight", rand(n_ff, n_embd))
+                w.add_tensor(p + "ffn_up.weight", rand(n_ff, n_embd))
+            else:
+                w.add_tensor(p + "ffn_up.weight", rand(2 * n_ff, n_embd))
+            w.add_tensor(p + "ffn_down.weight", rand(n_embd, n_ff))
+            w.add_tensor(p + "ffn_down.bias", rand(n_embd))
+        elif arch == "nomic-bert":
+            w.add_tensor(p + "ffn_gate.weight", rand(n_ff, n_embd))
+            w.add_tensor(p + "ffn_up.weight", rand(n_ff, n_embd))
+            w.add_tensor(p + "ffn_down.weight", rand(n_embd, n_ff))
+        else:  # bert / nomic-moe dense layers: gelu MLP with biases
+            w.add_tensor(p + "ffn_up.weight", rand(n_ff, n_embd))
+            w.add_tensor(p + "ffn_up.bias", rand(n_ff))
+            w.add_tensor(p + "ffn_down.weight", rand(n_embd, n_ff))
+            w.add_tensor(p + "ffn_down.bias", rand(n_embd))
+        w.add_tensor(p + "layer_output_norm.weight", 1.0 + rand(n_embd))
+        w.add_tensor(p + "layer_output_norm.bias", rand(n_embd))
+    w.write()
+    return str(path)

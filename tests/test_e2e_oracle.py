@@ -289,3 +289,83 @@ def test_arch_matches_reference_cli(llama_cli, tmp_path, arch):
     ref = _ref_generate(llama_cli, path)
     ours = _our_generate(path)
     assert ours == ref, f"{arch}: ref={ref!r}\nours={ours!r}"
+
+
+# ---------------------------------------------------------------------------
+# Encoder (BERT-family) oracle: pooled embeddings must match the compiled
+# reference llama-embedding on the same tiny GGUF (llm_build_bert
+# llama-model.cpp:6042 / llm_build_neo_bert :6228).
+# ---------------------------------------------------------------------------
+
+def _find_or_build_embedding() -> str | None:
+    env = os.environ.get("LLAMACOG_LLAMA_EMBEDDING")
+    if env and os.path.isfile(env):
+        return env
+    for cand in (BUILD / "bin" / "llama-embedding",
+                 pathlib.Path("/tmp/llamacpp_build/bin/llama-embedding")):
+        if cand.is_file():
+            return str(cand)
+    if _find_or_build_cli() is None:  # sets up the cmake build dir
+        return None
+    build_dir = (BUILD if (BUILD / "CMakeCache.txt").is_file()
+                 else pathlib.Path("/tmp/llamacpp_build"))
+    try:
+        subprocess.run(
+            ["cmake", "--build", ".", "--target", "llama-embedding", "-j2"],
+            cwd=build_dir, check=True, capture_output=True, timeout=1200,
+        )
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            FileNotFoundError):
+        return None
+    p = build_dir / "bin" / "llama-embedding"
+    return str(p) if p.is_file() else None
+
+
+@pytest.fixture(scope="module")
+def llama_embedding():
+    binp = _find_or_build_embedding()
+    if binp is None:
+        pytest.skip("reference llama-embedding unavailable")
+    return binp
+
+
+BERT_ORACLE_ARCHES = [
+    "bert",            # learned positions + token types, GELU MLP w/ biases
+    "nomic-bert",      # NEOX rope, fused qkv, silu-gated FFN
+    "nomic-bert-moe",  # + qkv bias, gateless-GELU MoE every 2nd layer
+    "jina-bert-v2",    # ALiBi, q/k LayerNorms, attn_norm_2, GELU-gated FFN
+    "jina-bert-v2-geglu",  # gateless GEGLU variant (doubled ffn_up split)
+    "neo-bert",        # pre-norm RMS, NORM rope, packed-swiglu, enc norm
+]
+
+
+@pytest.mark.parametrize("arch", BERT_ORACLE_ARCHES)
+def test_bert_family_matches_reference_embedding(llama_embedding, tmp_path, arch):
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llamacog_tpu.models.bert import BertEncoder
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.utils.testing import make_tiny_bert_gguf
+
+    geglu = arch == "jina-bert-v2-geglu"
+    real_arch = "jina-bert-v2" if geglu else arch
+    path = str(tmp_path / f"{arch}.gguf")
+    make_tiny_bert_gguf(path, real_arch, seed=29, jina_gate=not geglu)
+
+    out = subprocess.run(
+        [llama_embedding, "-m", path, "-p", PROMPT, "--pooling", "mean",
+         "--embd-normalize", "-1", "--embd-output-format", "array"],
+        capture_output=True, timeout=300, check=True,
+    )
+    line = next(l for l in out.stdout.decode().splitlines()
+                if l.startswith("[["))
+    ref = np.asarray(json.loads(line)[0], np.float32)
+
+    m = load_model(path, dtype=jnp.float32)
+    ids = m.tokenizer.tokenize(PROMPT, add_special=True, parse_special=True)
+    enc = BertEncoder(m.params, m.config)
+    ours = enc.embed([list(ids)], pooling="mean")[0]
+    np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)
