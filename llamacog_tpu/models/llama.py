@@ -399,6 +399,11 @@ def forward(
     kv_cap: int | None = None,  # STATIC bound on the attended cache prefix
     # (the reference's padded n_kv heuristic, llama-kv-cache-unified.h:297):
     # a 16k-allocated cache at depth 1k must not read 16k of K/V per step
+    layer_offset: int = 0,  # pipeline parallelism: params["layers"] is a
+    # contiguous stage slice; absolute layer index = local + offset (keeps
+    # SWA patterns / NoPE steps / per-layer head arrays correct per stage)
+    return_raw: bool = False,  # pipeline stages: return the residual stream
+    # before the final norm/head (the inter-stage activation handoff)
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (logits [B, T, V] f32, updated cache); with return_hidden,
     the first element is the final-norm hidden state [B, T, E] instead
@@ -446,7 +451,9 @@ def forward(
     alibi = _alibi_slopes(H, cfg.max_alibi_bias) if cfg.use_alibi else None
 
     def _attend(q, k, v, il, is_swa):
-        """Attention over row `il`'s cache + the current block, picking the
+        """Attention over cache row `il` (LOCAL layer index — pipeline stages
+        hold a stage-sliced cache, so absolute indices would clamp onto the
+        wrong row) + the current block, picking the
         best kernel: flash reading quantized KV planes directly (never
         materializing a dequantized cache), dense flash, or the XLA masked
         fallback."""
@@ -518,7 +525,8 @@ def forward(
         else rtab
     )
     rdim = cfg.rope.dim or Dk
-    for il, layer in enumerate(params["layers"]):
+    for il_loc, layer in enumerate(params["layers"]):
+        il = il_loc + layer_offset  # absolute index for per-layer config
         x_in = x  # layer input (arctic's parallel MoE branch reads it)
         # olmo2: post-norm design — attention reads the raw residual stream
         h = x if cfg.post_norm_only else _norm(x, layer, "attn_norm", cfg)
@@ -566,7 +574,7 @@ def forward(
             )
             new_ks.append(k)
             new_vs.append(v)
-            attn = _attend(q, k, v, il, is_swa)
+            attn = _attend(q, k, v, il_loc, is_swa)
             attn = _linear(attn.reshape(B, T, H * Dv), layer, "attn_output")
             if cfg.post_norms and "attn_post_norm" in layer:
                 attn = _norm(attn, layer, "attn_post_norm", cfg)
@@ -578,7 +586,7 @@ def forward(
                 ffn = _ffn(layer, h, cfg)
             x = x + ffn
             if "cvec" in params:
-                x = x + params["cvec"][il].astype(x.dtype)
+                x = x + params["cvec"][il_loc].astype(x.dtype)
             continue
         if not any(kk in layer for kk in ("attn_qkv", "attn_q")):
             # attention-free layer (per-layer head arrays with 0 KV heads,
@@ -663,7 +671,7 @@ def forward(
         else:
             new_ks.append(k)
             new_vs.append(v)
-        attn = _attend(q, k, v, il, is_swa)
+        attn = _attend(q, k, v, il_loc, is_swa)
         attn = attn.reshape(B, T, H * Dv)
         if "attn_sub_norm" in layer:  # bitnet: norm before wo (:10892)
             attn = rms_norm(attn, layer["attn_sub_norm"], cfg.rms_norm_eps)
@@ -677,7 +685,7 @@ def forward(
             ffn = _ffn(layer, par_ffn_h, cfg)
             x = x + attn + ffn
             if "cvec" in params:
-                x = x + params["cvec"][il].astype(x.dtype)
+                x = x + params["cvec"][il_loc].astype(x.dtype)
             continue
         x = x + attn
         if "ffn_norm" in layer or cfg.nonparam_norms:
@@ -701,10 +709,12 @@ def forward(
             moe_h = rms_norm(x_in, layer["ffn_norm_exps"], cfg.rms_norm_eps)
             x = x + _ffn_moe(layer, moe_h, cfg)
         if "cvec" in params:  # control vector (build_cvec, llama-adapter.cpp:21)
-            x = x + params["cvec"][il].astype(x.dtype)
+            x = x + params["cvec"][il_loc].astype(x.dtype)
 
     cache = cache.write_all(jnp.stack(new_ks), jnp.stack(new_vs), write_pos,
                             active=write_mask, n_new=n_new)
+    if return_raw:  # pipeline stage handoff: pre-final-norm residual stream
+        return x, cache
     if logits_last is not None and not return_hidden:
         idx = logits_last.reshape(B, 1, 1).astype(jnp.int32)
         x = jnp.take_along_axis(x, jnp.broadcast_to(idx, (B, 1, x.shape[-1])),
