@@ -184,14 +184,40 @@ def _load_tensor(reader, name, mode, dtype):
     return qt
 
 
+def parse_kv_overrides(specs) -> dict:
+    """Parse --override-kv specs `KEY=TYPE:VALUE` (the reference's
+    common_params_parser kv-override syntax, common/arg.cpp `--override-kv`;
+    types int/float/bool/str as in llama_model_kv_override)."""
+    out: dict = {}
+    for spec in specs or ():
+        key, _, rest = spec.partition("=")
+        typ, _, val = rest.partition(":")
+        if not key or not val and typ != "str":
+            raise ValueError(f"bad kv override '{spec}' (want KEY=TYPE:VALUE)")
+        if typ == "int":
+            out[key] = int(val)
+        elif typ == "float":
+            out[key] = float(val)
+        elif typ == "bool":
+            out[key] = val.lower() in ("1", "true", "yes", "on")
+        elif typ == "str":
+            out[key] = val
+        else:
+            raise ValueError(f"bad kv override type '{typ}' in '{spec}'")
+    return out
+
+
 def load_model(
     path: str,
     mode: str = "quantized",  # "quantized" | "dequant"
     dtype=jnp.bfloat16,
     with_tokenizer: bool = True,
     fuse: bool = True,
+    kv_overrides: dict | None = None,
 ) -> Model:
     reader = GGUFModelReader(path)
+    if kv_overrides:
+        reader.metadata.update(kv_overrides)
     cfg = ModelConfig.from_metadata(reader.metadata)
     if cfg.arch in ("t5", "t5encoder", "rwkv6", "rwkv7", "rwkv6qwen2", "arwkv7"):
         def lt(name, optional=False):

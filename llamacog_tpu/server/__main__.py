@@ -8,6 +8,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="llamacog-server")
     p.add_argument("-m", "--model", required=True)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--override-kv", action="append", default=[],
+                   metavar="KEY=TYPE:VALUE",
+                   help="override a GGUF metadata key (types int/float/bool/str)")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("-c", "--ctx-size", type=int, default=2048)
     p.add_argument("-np", "--n-slots", type=int, default=4)
@@ -51,7 +54,10 @@ def main(argv=None) -> int:
     from .server import serve
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    model = load_model(args.model, mode=args.mode, dtype=dtype)
+    from ..models.loader import parse_kv_overrides
+
+    model = load_model(args.model, mode=args.mode, dtype=dtype,
+                       kv_overrides=parse_kv_overrides(args.override_kv))
     loras = []
     if args.lora:
         from ..runtime.lora import load_lora

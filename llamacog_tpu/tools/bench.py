@@ -14,21 +14,29 @@ import time
 import numpy as np
 
 
-def run_pp(engine, n_tokens: int, reps: int) -> list[float]:
+def _fill_depth(engine, depth: int) -> None:
+    """Pre-populate row 0's cache with `depth` tokens (llama-bench -d:
+    measurements at an existing KV depth, tools/llama-bench README "-d")."""
+    engine.clear_row(0)
+    if depth > 0:
+        engine.prefill(list((np.arange(depth) % 97 + 3).astype(int)))
+
+
+def run_pp(engine, n_tokens: int, reps: int, depth: int = 0) -> list[float]:
     res = []
     toks = list((np.arange(n_tokens) % 100 + 3).astype(int))
     for _ in range(reps):
-        engine.clear_row(0)
+        _fill_depth(engine, depth)
         t0 = time.time()
         engine.prefill(toks)
         res.append(n_tokens / (time.time() - t0))
     return res
 
 
-def run_tg(engine, n_tokens: int, reps: int) -> list[float]:
+def run_tg(engine, n_tokens: int, reps: int, depth: int = 0) -> list[float]:
     res = []
     for _ in range(reps):
-        engine.clear_row(0)
+        _fill_depth(engine, depth)
         engine.prefill([3, 4, 5, 6])
         tok = np.array([5] * engine.batch_size)
         t0 = time.time()
@@ -45,9 +53,11 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--pp", type=int, nargs="*", default=[128, 512])
     p.add_argument("-n", "--tg", type=int, nargs="*", default=[32, 128])
     p.add_argument("-r", "--reps", type=int, default=3)
+    p.add_argument("-d", "--depth", type=int, nargs="*", default=[0],
+                   help="KV depths to test at (llama-bench -d sweep)")
     p.add_argument("-c", "--ctx-size", type=int, default=2048)
     p.add_argument("--mode", choices=("quantized", "dequant"), default="quantized")
-    p.add_argument("-o", "--output", choices=("md", "json", "csv"), default="md")
+    p.add_argument("-o", "--output", choices=("md", "json", "csv", "sql"), default="md")
     p.add_argument("--device", choices=("auto", "cpu", "tpu"), default="auto")
     p.add_argument("--kv-type", default="dense")
     args = p.parse_args(argv)
@@ -68,16 +78,18 @@ def main(argv=None) -> int:
     load_s = time.time() - t0
 
     rows = []
-    for n in args.pp:
-        run_pp(engine, n, 1)  # warmup/compile
-        vals = run_pp(engine, n, args.reps)
-        rows.append(("pp" + str(n), statistics.mean(vals),
-                     statistics.stdev(vals) if len(vals) > 1 else 0.0))
-    for n in args.tg:
-        run_tg(engine, min(n, 4), 1)  # warmup/compile
-        vals = run_tg(engine, n, args.reps)
-        rows.append(("tg" + str(n), statistics.mean(vals),
-                     statistics.stdev(vals) if len(vals) > 1 else 0.0))
+    for d in args.depth:
+        tag = f" @ d{d}" if d else ""
+        for n in args.pp:
+            run_pp(engine, n, 1, d)  # warmup/compile
+            vals = run_pp(engine, n, args.reps, d)
+            rows.append((f"pp{n}{tag}", statistics.mean(vals),
+                         statistics.stdev(vals) if len(vals) > 1 else 0.0))
+        for n in args.tg:
+            run_tg(engine, min(n, 4), 1, d)  # warmup/compile
+            vals = run_tg(engine, n, args.reps, d)
+            rows.append((f"tg{n}{tag}", statistics.mean(vals),
+                         statistics.stdev(vals) if len(vals) > 1 else 0.0))
 
     meta = {
         "model": model.config.metadata.get("general.name", args.model),
@@ -88,6 +100,14 @@ def main(argv=None) -> int:
         print(json.dumps({"meta": meta,
                           "results": [{"test": t, "t/s": round(m, 2),
                                        "stddev": round(s, 2)} for t, m, s in rows]}))
+    elif args.output == "sql":
+        # llama-bench --output sql role: one table, one INSERT per test
+        print("CREATE TABLE IF NOT EXISTS test (model TEXT, backend TEXT, "
+              "test TEXT, avg_ts REAL, stddev_ts REAL);")
+        for t, m, s_ in rows:
+            mq = meta["model"].replace("'", "''")
+            print(f"INSERT INTO test VALUES('{mq}', '{meta['backend']}', "
+                  f"'{t}', {m:.2f}, {s_:.2f});")
     elif args.output == "csv":
         print("test,tps,stddev")
         for t, m, s in rows:

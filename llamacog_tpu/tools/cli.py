@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--greedy", action="store_true", help="greedy decoding (temp 0)")
     p.add_argument("--mode", choices=("quantized", "dequant"), default="quantized")
     p.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
+    p.add_argument("--override-kv", action="append", default=[],
+                   metavar="KEY=TYPE:VALUE",
+                   help="override a GGUF metadata key (types int/float/bool/str)")
     p.add_argument("--no-display-prompt", action="store_true")
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument(
@@ -64,7 +67,10 @@ def main(argv=None) -> int:
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     t0 = time.time()
-    model = load_model(args.model, mode=args.mode, dtype=dtype)
+    from ..models.loader import parse_kv_overrides
+
+    model = load_model(args.model, mode=args.mode, dtype=dtype,
+                       kv_overrides=parse_kv_overrides(args.override_kv))
     t_load = time.time() - t0
     if args.verbose:
         print(f"[load] {t_load*1000:.0f} ms | arch={model.config.arch} "

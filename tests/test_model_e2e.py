@@ -192,3 +192,19 @@ def test_plm_mla_decode_matches_prefill(tmp_path):
     for i, t in enumerate(tokens[5:9]):
         logits = eng2.decode_one(np.array([t]))
         np.testing.assert_allclose(logits[0], full[5 + i], atol=2e-4)
+
+
+def test_kv_override_changes_config(tmp_path):
+    """--override-kv role: metadata patches apply before hparam parsing
+    (reference common/arg.cpp --override-kv -> llama_model_kv_override)."""
+    from llamacog_tpu.models.loader import load_model, parse_kv_overrides
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(str(tmp_path / "kvov.gguf"))
+    ov = parse_kv_overrides(["llama.rope.freq_base=float:123.0",
+                             "general.name=str:patched"])
+    assert ov == {"llama.rope.freq_base": 123.0, "general.name": "patched"}
+    m = load_model(path, kv_overrides=ov)
+    assert m.config.rope.freq_base == 123.0
+    base = load_model(path)
+    assert base.config.rope.freq_base != 123.0
