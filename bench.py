@@ -74,6 +74,11 @@ def streamed_bytes(params) -> int:
 
 def main() -> None:
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon TPU plugin ignores the env var; apply it via config so
+        # CPU smoke runs don't touch (or hang on) the tunnel
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import numpy as np
 
     import jax.numpy as jnp
@@ -134,5 +139,44 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _run_with_retries() -> None:
+    """The tunneled TPU backend has transient failures (init errors,
+    ABORTED dispatches). A broken backend can't be recovered in-process,
+    so retry by re-running this script as a subprocess."""
+    import subprocess
+
+    tries = int(os.environ.get("LLAMACOG_BENCH_RETRIES", "4"))
+    per_try = int(os.environ.get("LLAMACOG_BENCH_TRY_TIMEOUT", "1500"))
+    env = dict(os.environ, LLAMACOG_BENCH_INNER="1")
+    last = None
+    for attempt in range(tries):
+        try:
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, capture_output=True, text=True,
+                                  timeout=per_try)
+        except subprocess.TimeoutExpired as e:
+            # hung tunnel: the dispatch never returns — kill and retry
+            sys.stderr.write((e.stderr or b"").decode(errors="replace")
+                             if isinstance(e.stderr, bytes) else (e.stderr or ""))
+            print(f"[bench] attempt {attempt+1}/{tries} hung >{per_try}s; "
+                  "retrying", file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr)
+        last = proc
+        if proc.returncode == 0 and '"metric"' in proc.stdout:
+            sys.stdout.write(proc.stdout)
+            return
+        wait = 60 * (attempt + 1)
+        print(f"[bench] attempt {attempt+1}/{tries} failed "
+              f"(rc={proc.returncode}); retrying in {wait}s", file=sys.stderr)
+        time.sleep(wait)
+    if last is not None:
+        sys.stdout.write(last.stdout)
+    raise SystemExit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("LLAMACOG_BENCH_INNER"):
+        main()
+    else:
+        _run_with_retries()
