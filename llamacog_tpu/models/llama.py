@@ -132,6 +132,8 @@ def _matmul_id(rows: jnp.ndarray, ids: jnp.ndarray, qt) -> jnp.ndarray:
             if out is not None:
                 return out
     if qid.supports(qt.kind) and jax.default_backend() == "tpu":
+        if rows.shape[0] <= qid.GATHER_OFFSET_MAX:
+            return qid.qmm_gather_offset(rows, ids, qt)
         if rows.shape[0] <= qid.GATHER_SLICE_MAX:
             return qid.qmm_gather_slice(rows, ids, qt)
         return qid.qmm_gather(rows, ids, qt)

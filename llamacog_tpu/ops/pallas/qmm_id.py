@@ -225,6 +225,93 @@ def qmm_ragged(xs: jnp.ndarray, tile_expert: jnp.ndarray, qt: QuantTensor,
     )
 
 
+def _offset_kernel(kind, n_planes, G, mxu_f32, eid_ref, x_ref, *refs):
+    """Production-qmm body with a scalar-prefetched expert base offset: the
+    1-D j grid streams ONE expert's weight tiles exactly like qmm's matvec
+    grid (its proven ~600-700 GB/s DMA pipeline), the only difference being
+    the dynamic row-block base eid*nb in the index maps."""
+    out_ref = refs[n_planes]
+    parts, corr = _decode_block(kind, refs, n_planes, flat=True)
+    xf = x_ref[...]
+    x = xf if mxu_f32 else xf.astype(jnp.bfloat16)
+    acc = _body(kind, G, x, xf, parts, corr)
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kind", "shape", "plane_names", "tn", "G", "mxu_f32", "interpret"))
+def _offset_call(x, eid, plane_vals, kind, shape, plane_names, tn, G,
+                 mxu_f32=False, interpret=False):
+    n_exp, N, K = shape
+    B = x.shape[0]
+    planes = dict(zip(plane_names, plane_vals))
+    nb = N // tn
+    in_specs = [
+        pl.BlockSpec((B, K), lambda j, eid: (0, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(
+            (tn, planes[name].shape[-1]),
+            lambda j, eid, _n=name: (eid[0] * nb + j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for name in plane_names
+    ]
+    kernel = functools.partial(_offset_kernel, kind, len(plane_names), G, mxu_f32)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
+    bytes_per = sum(int(np.prod(p.shape[1:])) * p.dtype.itemsize for p in plane_vals)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((B, tn), lambda j, eid: (0, j)),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=bytes_per + B * K * 4 + B * N * 4,
+            transcendentals=0,
+        ),
+        **kwargs,
+    )(eid, x, *(planes[n] for n in plane_names))
+
+
+def qmm_gather_offset(x: jnp.ndarray, ids: jnp.ndarray, qt: QuantTensor,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Few-row mul_mat_id as per-row offset-qmm calls (one 1-D-grid kernel
+    per (token,slot) row). Same contract as qmm_gather."""
+    n_exp = qt.shape[0]
+    N, K = int(np.prod(qt.shape[1:-1])), qt.shape[-1]
+    xp = permute_activation(x, qt).astype(jnp.float32)
+    tn = pick_tile_n(N, K, qt.kind)
+    if tn == 0:
+        raise ValueError(f"N={N} not tileable")
+    dec, names, gplane = TILE_DECODERS[qt.kind]
+    flat = {k: v.reshape(n_exp * N, v.shape[-1]) for k, v in qt.planes.items()}
+    G = flat[gplane].shape[-1]
+    ids = jnp.asarray(ids, jnp.int32)
+    outs = [
+        _offset_call(
+            xp[s : s + 1], ids[s : s + 1], tuple(flat[n] for n in names),
+            qt.kind, (n_exp, N, K), names, tn, G, True, interpret,
+        )
+        for s in range(x.shape[0])
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
+# rows <= this use the per-row offset-qmm path instead of the gather kernel
+# (0 disables; set after on-chip A/B)
+GATHER_OFFSET_MAX = int(__import__("os").environ.get("LLAMACOG_MOE_OFFSET", "0"))
+
+
 # ---------------------------------------------------------------------------
 # XLA fallback (CPU / unsupported kinds): gather selected experts' planes,
 # decode only those rows — never materializes non-selected experts.

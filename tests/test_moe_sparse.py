@@ -150,3 +150,20 @@ def test_ffn_moe_sparse_jit():
     out = np.asarray(f(x))
     ref = np.asarray(_dense_moe_ref(layer, x, cfg))
     assert nmse(out, ref) < 5e-4
+
+
+@pytest.mark.parametrize("kind", ["Q4_0", "Q4_K", "Q6_K"])
+def test_qmm_gather_offset_interpret(kind):
+    """Offset-qmm variant: per-row 1-D-grid kernels with a scalar-prefetched
+    expert base must match the dense per-expert reference."""
+    n_exp, N, K = 4, 256, 512
+    qt, wd = make_experts(kind, n_exp, N, K, seed=hash(kind) % 2**31)
+    rng = np.random.default_rng(2)
+    S = 4
+    x = rng.standard_normal((S, K)).astype(np.float32)
+    ids = rng.integers(0, n_exp, S).astype(np.int32)
+    ref = np.stack([x[s] @ wd[ids[s]].T for s in range(S)])
+    got = np.asarray(qmm_id.qmm_gather_offset(jnp.asarray(x), jnp.asarray(ids),
+                                              qt, interpret=True))
+    assert got.shape == (S, N)
+    assert nmse(got, ref) < 2e-4
