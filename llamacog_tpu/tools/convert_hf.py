@@ -278,27 +278,37 @@ _GEMMA_NORMS = {
     "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
 }
 
-# HF architectures[0] -> (gguf arch, gemma-style +1 norms)
+# HF architectures[0] -> (gguf arch, norm style). Norm styles:
+#   None    — norms stored as-is
+#   "bump"  — norms stored +1 (gemma1 / nemotron layernorm1p), standard names
+#   "gemma" — +1 norms AND gemma2/3's 4-norm block (post_attention_layernorm
+#             is a POST-attention norm, plus pre/post feed-forward norms)
 _ARCHES = {
-    "LlamaForCausalLM": ("llama", False),
-    "MistralForCausalLM": ("llama", False),
-    "MixtralForCausalLM": ("llama", False),
-    "Qwen2ForCausalLM": ("qwen2", False),
-    "Qwen3ForCausalLM": ("qwen3", False),
-    "Gemma2ForCausalLM": ("gemma2", True),
-    "Gemma3ForCausalLM": ("gemma3", True),
-    "Gemma3ForConditionalGeneration": ("gemma3", True),
-    "Phi3ForCausalLM": ("phi3", False),
-    "Olmo2ForCausalLM": ("olmo2", False),
-    "CohereForCausalLM": ("command-r", False),
-    "Starcoder2ForCausalLM": ("starcoder2", False),
-    "StableLmForCausalLM": ("stablelm", False),
-    # nemotron: layernorm1p — norms stored +1 like gemma
-    "NemotronForCausalLM": ("nemotron", True),
-    "OlmoeForCausalLM": ("olmoe", False),
+    "LlamaForCausalLM": ("llama", None),
+    "MistralForCausalLM": ("llama", None),
+    "MixtralForCausalLM": ("llama", None),
+    "Qwen2ForCausalLM": ("qwen2", None),
+    "Qwen3ForCausalLM": ("qwen3", None),
+    "Qwen2MoeForCausalLM": ("qwen2moe", None),
+    "Qwen3MoeForCausalLM": ("qwen3moe", None),
+    "GemmaForCausalLM": ("gemma", "bump"),
+    "Gemma2ForCausalLM": ("gemma2", "gemma"),
+    "Gemma3ForCausalLM": ("gemma3", "gemma"),
+    "Gemma3ForConditionalGeneration": ("gemma3", "gemma"),
+    "Phi3ForCausalLM": ("phi3", None),
+    "OlmoForCausalLM": ("olmo", None),
+    "Olmo2ForCausalLM": ("olmo2", None),
+    "CohereForCausalLM": ("command-r", None),
+    "Starcoder2ForCausalLM": ("starcoder2", None),
+    "StableLmForCausalLM": ("stablelm", None),
+    "GraniteForCausalLM": ("granite", None),
+    # nemotron: layernorm1p — norms stored +1 but standard pre-norm block
+    # (reference NemotronModel.modify_tensors, convert_hf_to_gguf.py:5150)
+    "NemotronForCausalLM": ("nemotron", "bump"),
+    "OlmoeForCausalLM": ("olmoe", None),
     # transformers GlmForCausalLM is registered as arch chatglm by the
     # reference (convert_hf_to_gguf.py:5731)
-    "GlmForCausalLM": ("chatglm", False),
+    "GlmForCausalLM": ("chatglm", None),
 }
 
 
@@ -345,11 +355,15 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
     sd = StateDict(hf_dir)
     if arch_name == "MambaForCausalLM":
         return _convert_mamba(d, cfg, sd, out_path, outtype, progress)
+    if arch_name in _CUSTOM:
+        return _CUSTOM[arch_name](d, cfg, sd, out_path, outtype, progress)
     if arch_name not in _ARCHES:
         raise NotImplementedError(
-            f"{arch_name} not supported (have: {sorted(_ARCHES) + ['MambaForCausalLM']})"
+            f"{arch_name} not supported "
+            f"(have: {sorted(_ARCHES) + sorted(_CUSTOM) + ['MambaForCausalLM']})"
         )
-    arch, gemma = _ARCHES[arch_name]
+    arch, style = _ARCHES[arch_name]
+    gemma = style in ("bump", "gemma")
     w = GGUFWriter(out_path)
 
     n_layer = cfg["num_hidden_layers"]
@@ -365,6 +379,8 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
     w.add(f"{arch}.attention.head_count_kv", n_kv)
     w.add(f"{arch}.attention.layer_norm_rms_epsilon",
           cfg.get("rms_norm_eps", cfg.get("layer_norm_eps", 1e-6)))
+    if cfg.get("layer_norm_eps") is not None:  # LayerNorm arches (stablelm/olmo)
+        w.add(f"{arch}.attention.layer_norm_epsilon", cfg["layer_norm_eps"])
     w.add(f"{arch}.rope.freq_base", cfg.get("rope_theta", 10000.0))
     w.add(f"{arch}.vocab_size", cfg["vocab_size"])
     if cfg.get("head_dim"):
@@ -385,10 +401,25 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
     if pr:
         hd = cfg.get("head_dim") or (cfg["hidden_size"] // n_head)
         w.add(f"{arch}.rope.dimension_count", int(hd * pr))
-    if cfg.get("num_experts"):  # olmoe
+    if cfg.get("num_experts"):  # olmoe / qwen2moe / qwen3moe
         w.add(f"{arch}.expert_count", cfg["num_experts"])
         w.add(f"{arch}.expert_used_count", cfg.get("num_experts_per_tok", 8))
         w.add(f"{arch}.expert_weights_norm", bool(cfg.get("norm_topk_prob", False)))
+    if cfg.get("moe_intermediate_size"):
+        w.add(f"{arch}.expert_feed_forward_length", cfg["moe_intermediate_size"])
+    if cfg.get("shared_expert_intermediate_size"):
+        w.add(f"{arch}.expert_shared_feed_forward_length",
+              cfg["shared_expert_intermediate_size"])
+    if cfg.get("clip_qkv"):  # olmo
+        w.add(f"{arch}.attention.clamp_kqv", float(cfg["clip_qkv"]))
+    if arch == "granite":
+        # granite multipliers (reference GraniteModel.set_gguf_parameters)
+        for hf_key, gkey in (("logits_scaling", "logit_scale"),
+                             ("residual_multiplier", "residual_scale"),
+                             ("embedding_multiplier", "embedding_scale"),
+                             ("attention_multiplier", "attention.scale")):
+            if cfg.get(hf_key) is not None:
+                w.add(f"{arch}.{gkey}", float(cfg[hf_key]))
     rs = cfg.get("rope_scaling") or {}
     if rs.get("rope_type", rs.get("type")) in ("linear", "yarn"):
         w.add(f"{arch}.rope.scaling.type", rs.get("rope_type", rs.get("type")))
@@ -408,18 +439,19 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
         return x + 1.0
 
     put("token_embd.weight", sd["model.embed_tokens.weight"])
-    onorm = np.asarray(sd["model.norm.weight"], np.float32)
-    put("output_norm.weight", bump(onorm) if gemma else onorm)
+    if "model.norm.weight" in sd:  # absent for olmo's non-parametric norms
+        onorm = np.asarray(sd["model.norm.weight"], np.float32)
+        put("output_norm.weight", bump(onorm) if gemma else onorm)
     if "lm_head.weight" in sd and not cfg.get("tie_word_embeddings", False):
         put("output.weight", sd["lm_head.weight"])
 
     lmap = dict(_LAYER_MAP)
-    if gemma:
+    if style == "gemma":
         lmap.update(_GEMMA_NORMS)
     # ggml-NORM-rope arches (llama family): permute q/k rows so interleaved
     # rope on the stored tensors reproduces HF rotate-half (reference
     # LlamaModel.modify_tensors, convert_hf_to_gguf.py:1938-1941)
-    norm_rope = arch in ("llama", "granite", "minicpm", "deci")
+    norm_rope = arch in ("llama", "granite", "minicpm", "deci", "olmo")
     count = 0
     for il in range(n_layer):
         pre = f"model.layers.{il}"
@@ -436,7 +468,7 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
                 t = permute_rope_rows(t, n_kv)
             put(f"blk.{il}.{gname}", t)
             count += 1
-        if f"{pre}.mlp.gate.weight" in sd:  # olmoe-style MoE experts
+        if f"{pre}.mlp.gate.weight" in sd:  # olmoe/qwen-moe MoE experts
             put(f"blk.{il}.ffn_gate_inp.weight", sd[f"{pre}.mlp.gate.weight"])
             n_exp = cfg["num_experts"]
             for gname, hf_w in (("ffn_gate_exps", "gate_proj"),
@@ -448,6 +480,14 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
                     for e in range(n_exp)
                 ])
                 put(f"blk.{il}.{gname}.weight", stacked)
+        if f"{pre}.mlp.shared_expert.gate_proj.weight" in sd:  # qwen2moe
+            for gname, hf_w in (("ffn_gate_shexp", "gate_proj"),
+                                ("ffn_up_shexp", "up_proj"),
+                                ("ffn_down_shexp", "down_proj")):
+                put(f"blk.{il}.{gname}.weight",
+                    sd[f"{pre}.mlp.shared_expert.{hf_w}.weight"])
+            put(f"blk.{il}.ffn_gate_inp_shexp.weight",
+                sd[f"{pre}.mlp.shared_expert_gate.weight"])
         gate_inp = f"{pre}.block_sparse_moe.gate.weight"
         if gate_inp in sd:  # mixtral MoE experts
             put(f"blk.{il}.ffn_gate_inp.weight", sd[gate_inp])
@@ -462,6 +502,303 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
                 put(f"blk.{il}.{gname}.weight", stacked)
     w.write()
     return {"arch": arch, "layers": n_layer, "tensors": count, "output": out_path}
+
+
+# ---------------------------------------------------------------------------
+# GPT-family custom converters (fused-QKV / non-"model.layers" checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def _qkv_headwise(t: np.ndarray, n_head: int) -> np.ndarray:
+    """neox/bloom fused QKV stored per-head interleaved [h,(q,k,v),d] ->
+    contiguous [q; k; v] rows (reference GPTNeoXModel/BloomModel
+    modify_tensors, convert_hf_to_gguf.py:1258-1292,1316-1352)."""
+    hd = t.shape[0] // n_head // 3
+    r = t.reshape(n_head, 3, hd, *t.shape[1:])
+    return np.concatenate(
+        [r[:, i].reshape(n_head * hd, *t.shape[1:]) for i in range(3)], axis=0
+    )
+
+
+def _qkv_falcon(t: np.ndarray, n_head: int, n_kv: int) -> np.ndarray:
+    """falcon fused QKV: n_kv groups of (n_head/n_kv queries, k, v) ->
+    contiguous [q; k; v] (reference FalconModel.modify_tensors
+    convert_hf_to_gguf.py:1647-1672, the "jploski" transform)."""
+    hd = t.shape[0] // (n_head + 2 * n_kv)
+    rest = t.shape[1:]
+    qkv = t.reshape(n_kv, n_head // n_kv + 2, hd, *rest)
+    q = qkv[:, :-2].reshape(n_head * hd, *rest)
+    k = qkv[:, -2].reshape(n_kv * hd, *rest)
+    v = qkv[:, -1].reshape(n_kv * hd, *rest)
+    return np.concatenate([q, k, v], axis=0)
+
+
+def _convert_table(d, cfg, sd, out_path, outtype, progress, arch, meta,
+                   model_map, layer_prefix, layer_map, n_layer) -> dict:
+    """Shared driver: write metadata, tokenizer, then map tensors through
+    per-arch (hf_name, gguf_name, transform) tables, skipping absent ones
+    (bias-free variants)."""
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add("general.name", cfg.get("_name_or_path", d.name) or d.name)
+    for k, v in meta.items():
+        w.add(f"{arch}.{k}", v)
+    w.add(f"{arch}.vocab_size", cfg["vocab_size"])
+    _export_tokenizer(w, d, cfg)
+    count = [0]
+
+    def put(gname, arr, tf=None):
+        t = np.asarray(arr, np.float32)
+        _cast(tf(t) if tf else t, outtype, gname, w)
+        count[0] += 1
+        if progress:
+            progress(gname)
+
+    for hf, gname, tf in model_map:
+        if hf in sd:
+            put(gname, sd[hf], tf)
+    for il in range(n_layer):
+        for hf, gname, tf in layer_map:
+            key = f"{layer_prefix}.{il}.{hf}"
+            if key in sd:
+                put(f"blk.{il}.{gname}", sd[key], tf)
+    w.write()
+    return {"arch": arch, "layers": n_layer, "tensors": count[0],
+            "output": out_path}
+
+
+def _wb(hf: str, g: str, tf=None):
+    """weight+bias table rows for one projection/norm."""
+    return [(f"{hf}.weight", f"{g}.weight", tf), (f"{hf}.bias", f"{g}.bias", tf)]
+
+
+def _convert_gpt2(d, cfg, sd, out_path, outtype, progress) -> dict:
+    n_embd, n_head, n_layer = cfg["n_embd"], cfg["n_head"], cfg["n_layer"]
+    meta = {
+        "context_length": cfg.get("n_ctx") or cfg.get("n_positions", 1024),
+        "embedding_length": n_embd, "block_count": n_layer,
+        "feed_forward_length": cfg.get("n_inner") or 4 * n_embd,
+        "attention.head_count": n_head, "attention.head_count_kv": n_head,
+        "attention.layer_norm_epsilon": cfg.get("layer_norm_epsilon", 1e-5),
+    }
+    T = np.transpose  # HF Conv1D stores [in, out]
+    layer = (_wb("ln_1", "attn_norm")
+             + [("attn.c_attn.weight", "attn_qkv.weight", T),
+                ("attn.c_attn.bias", "attn_qkv.bias", None),
+                ("attn.c_proj.weight", "attn_output.weight", T),
+                ("attn.c_proj.bias", "attn_output.bias", None)]
+             + _wb("ln_2", "ffn_norm")
+             + [("mlp.c_fc.weight", "ffn_up.weight", T),
+                ("mlp.c_fc.bias", "ffn_up.bias", None),
+                ("mlp.c_proj.weight", "ffn_down.weight", T),
+                ("mlp.c_proj.bias", "ffn_down.bias", None)])
+    model = ([("transformer.wte.weight", "token_embd.weight", None),
+              ("transformer.wpe.weight", "position_embd.weight", None)]
+             + _wb("transformer.ln_f", "output_norm"))
+    return _convert_table(d, cfg, sd, out_path, outtype, progress, "gpt2",
+                          meta, model, "transformer.h", layer, n_layer)
+
+
+def _convert_gptneox(d, cfg, sd, out_path, outtype, progress) -> dict:
+    n_embd, n_layer = cfg["hidden_size"], cfg["num_hidden_layers"]
+    n_head = cfg["num_attention_heads"]
+    meta = {
+        "context_length": cfg.get("max_position_embeddings", 2048),
+        "embedding_length": n_embd, "block_count": n_layer,
+        "feed_forward_length": cfg["intermediate_size"],
+        "attention.head_count": n_head, "attention.head_count_kv": n_head,
+        "attention.layer_norm_epsilon": cfg.get("layer_norm_eps", 1e-5),
+        "rope.dimension_count":
+            int(cfg.get("rotary_pct", 0.25) * (n_embd // n_head)),
+        "rope.freq_base": cfg.get("rotary_emb_base", cfg.get("rope_theta", 10000.0)),
+        "use_parallel_residual": bool(cfg.get("use_parallel_residual", True)),
+    }
+    qkv = lambda t: _qkv_headwise(t, n_head)  # noqa: E731
+    layer = (_wb("input_layernorm", "attn_norm")
+             + _wb("attention.query_key_value", "attn_qkv", qkv)
+             + _wb("attention.dense", "attn_output")
+             + _wb("post_attention_layernorm", "ffn_norm")
+             + _wb("mlp.dense_h_to_4h", "ffn_up")
+             + _wb("mlp.dense_4h_to_h", "ffn_down"))
+    model = ([("gpt_neox.embed_in.weight", "token_embd.weight", None),
+              ("embed_out.weight", "output.weight", None)]
+             + _wb("gpt_neox.final_layer_norm", "output_norm"))
+    return _convert_table(d, cfg, sd, out_path, outtype, progress, "gptneox",
+                          meta, model, "gpt_neox.layers", layer, n_layer)
+
+
+def _convert_phi2(d, cfg, sd, out_path, outtype, progress) -> dict:
+    n_embd, n_layer = cfg["hidden_size"], cfg["num_hidden_layers"]
+    n_head = cfg["num_attention_heads"]
+    meta = {
+        "context_length": cfg.get("max_position_embeddings", 2048),
+        "embedding_length": n_embd, "block_count": n_layer,
+        "feed_forward_length": cfg.get("intermediate_size") or 4 * n_embd,
+        "attention.head_count": n_head, "attention.head_count_kv": n_head,
+        "attention.layer_norm_epsilon": cfg.get("layer_norm_eps", 1e-5),
+        "rope.dimension_count":
+            int(cfg.get("partial_rotary_factor", 0.5) * (n_embd // n_head)),
+        "rope.freq_base": cfg.get("rope_theta", 10000.0),
+    }
+    layer = (_wb("input_layernorm", "attn_norm")
+             + _wb("self_attn.q_proj", "attn_q")
+             + _wb("self_attn.k_proj", "attn_k")
+             + _wb("self_attn.v_proj", "attn_v")
+             + _wb("self_attn.dense", "attn_output")
+             + _wb("mlp.fc1", "ffn_up")
+             + _wb("mlp.fc2", "ffn_down"))
+    model = ([("model.embed_tokens.weight", "token_embd.weight", None)]
+             + _wb("model.final_layernorm", "output_norm")
+             + _wb("lm_head", "output"))
+    return _convert_table(d, cfg, sd, out_path, outtype, progress, "phi2",
+                          meta, model, "model.layers", layer, n_layer)
+
+
+def _convert_falcon(d, cfg, sd, out_path, outtype, progress) -> dict:
+    n_embd, n_head = cfg["hidden_size"], cfg["num_attention_heads"]
+    n_layer = cfg.get("num_hidden_layers") or cfg["n_layer"]
+    if cfg.get("new_decoder_architecture"):
+        n_kv = cfg.get("num_kv_heads", 1)
+    else:
+        n_kv = 1 if cfg.get("multi_query", True) else n_head
+    meta = {
+        "context_length": cfg.get("max_position_embeddings", 2048),
+        "embedding_length": n_embd, "block_count": n_layer,
+        "feed_forward_length": cfg.get("ffn_hidden_size") or 4 * n_embd,
+        "attention.head_count": n_head, "attention.head_count_kv": n_kv,
+        "attention.layer_norm_epsilon": cfg.get("layer_norm_epsilon", 1e-5),
+        "rope.freq_base": cfg.get("rope_theta", 10000.0),
+    }
+    qkv = lambda t: _qkv_falcon(t, n_head, n_kv)  # noqa: E731
+    layer = (_wb("input_layernorm", "attn_norm")  # 7B single-norm
+             + _wb("ln_attn", "attn_norm")  # 40B parallel branch norms
+             + _wb("ln_mlp", "attn_norm_2")
+             + _wb("self_attention.query_key_value", "attn_qkv", qkv)
+             + _wb("self_attention.dense", "attn_output")
+             + _wb("mlp.dense_h_to_4h", "ffn_up")
+             + _wb("mlp.dense_4h_to_h", "ffn_down"))
+    model = ([("transformer.word_embeddings.weight", "token_embd.weight", None),
+              ("lm_head.weight", "output.weight", None)]
+             + _wb("transformer.ln_f", "output_norm"))
+    return _convert_table(d, cfg, sd, out_path, outtype, progress, "falcon",
+                          meta, model, "transformer.h", layer, n_layer)
+
+
+def _convert_bloom(d, cfg, sd, out_path, outtype, progress) -> dict:
+    n_embd = cfg.get("hidden_size") or cfg["n_embed"]
+    n_head = cfg.get("n_head") or cfg["num_attention_heads"]
+    n_layer = cfg.get("n_layer") or cfg["num_hidden_layers"]
+    meta = {
+        "context_length": cfg.get("seq_length", 2048),
+        "embedding_length": n_embd, "block_count": n_layer,
+        "feed_forward_length": 4 * n_embd,
+        "attention.head_count": n_head, "attention.head_count_kv": n_head,
+        "attention.layer_norm_epsilon": cfg.get("layer_norm_epsilon", 1e-5),
+    }
+    qkv = lambda t: _qkv_headwise(t, n_head)  # noqa: E731
+    layer = (_wb("input_layernorm", "attn_norm")
+             + _wb("self_attention.query_key_value", "attn_qkv", qkv)
+             + _wb("self_attention.dense", "attn_output")
+             + _wb("post_attention_layernorm", "ffn_norm")
+             + _wb("mlp.dense_h_to_4h", "ffn_up")
+             + _wb("mlp.dense_4h_to_h", "ffn_down"))
+    model = ([("transformer.word_embeddings.weight", "token_embd.weight", None)]
+             + _wb("transformer.word_embeddings_layernorm", "token_embd_norm")
+             + _wb("transformer.ln_f", "output_norm"))
+    return _convert_table(d, cfg, sd, out_path, outtype, progress, "bloom",
+                          meta, model, "transformer.h", layer, n_layer)
+
+
+def _convert_mpt(d, cfg, sd, out_path, outtype, progress) -> dict:
+    n_embd, n_head, n_layer = cfg["d_model"], cfg["n_heads"], cfg["n_layers"]
+    ac = cfg.get("attn_config") or {}
+    meta = {
+        "context_length": cfg.get("max_seq_len", 2048),
+        "embedding_length": n_embd, "block_count": n_layer,
+        "feed_forward_length": int(cfg.get("expansion_ratio", 4) * n_embd),
+        "attention.head_count": n_head,
+        "attention.head_count_kv": ac.get("kv_n_heads") or n_head,
+        "attention.layer_norm_epsilon": cfg.get("layer_norm_epsilon", 1e-5),
+        "attention.max_alibi_bias":
+            float(ac.get("alibi_bias_max", 8)) if ac.get("alibi", True) else 0.0,
+    }
+    if ac.get("clip_qkv"):
+        meta["attention.clamp_kqv"] = float(ac["clip_qkv"])
+    layer = (_wb("norm_1", "attn_norm")
+             + _wb("attn.Wqkv", "attn_qkv")  # already [q; k; v] contiguous
+             + _wb("attn.out_proj", "attn_output")
+             + _wb("norm_2", "ffn_norm")
+             + _wb("ffn.up_proj", "ffn_up")
+             + _wb("ffn.down_proj", "ffn_down"))
+    model = ([("transformer.wte.weight", "token_embd.weight", None)]
+             + _wb("transformer.norm_f", "output_norm"))
+    return _convert_table(d, cfg, sd, out_path, outtype, progress, "mpt",
+                          meta, model, "transformer.blocks", layer, n_layer)
+
+
+def _convert_gptj(d, cfg, sd, out_path, outtype, progress) -> dict:
+    n_embd, n_head, n_layer = cfg["n_embd"], cfg["n_head"], cfg["n_layer"]
+    meta = {
+        "context_length": cfg.get("n_positions", 2048),
+        "embedding_length": n_embd, "block_count": n_layer,
+        "feed_forward_length": cfg.get("n_inner") or 4 * n_embd,
+        "attention.head_count": n_head, "attention.head_count_kv": n_head,
+        "attention.layer_norm_epsilon": cfg.get("layer_norm_epsilon", 1e-5),
+        "rope.dimension_count": cfg.get("rotary_dim") or n_embd // n_head,
+    }
+    layer = (_wb("ln_1", "attn_norm")
+             + [("attn.q_proj.weight", "attn_q.weight", None),
+                ("attn.k_proj.weight", "attn_k.weight", None),
+                ("attn.v_proj.weight", "attn_v.weight", None),
+                ("attn.out_proj.weight", "attn_output.weight", None)]
+             + _wb("mlp.fc_in", "ffn_up")
+             + _wb("mlp.fc_out", "ffn_down"))
+    model = ([("transformer.wte.weight", "token_embd.weight", None)]
+             + _wb("transformer.ln_f", "output_norm")
+             + _wb("lm_head", "output"))
+    return _convert_table(d, cfg, sd, out_path, outtype, progress, "gptj",
+                          meta, model, "transformer.h", layer, n_layer)
+
+
+def _convert_starcoder(d, cfg, sd, out_path, outtype, progress) -> dict:
+    """GPTBigCodeForCausalLM (starcoder1): gpt2 block + MQA; c_attn is a
+    plain Linear here (no Conv1D transpose), rows already [q; k; v]."""
+    n_embd, n_head, n_layer = cfg["n_embd"], cfg["n_head"], cfg["n_layer"]
+    n_kv = 1 if cfg.get("multi_query", True) else n_head
+    meta = {
+        "context_length": cfg.get("n_positions", 8192),
+        "embedding_length": n_embd, "block_count": n_layer,
+        "feed_forward_length": cfg.get("n_inner") or 4 * n_embd,
+        "attention.head_count": n_head, "attention.head_count_kv": n_kv,
+        "attention.layer_norm_epsilon": cfg.get("layer_norm_epsilon", 1e-5),
+    }
+    layer = (_wb("ln_1", "attn_norm")
+             + _wb("attn.c_attn", "attn_qkv")
+             + _wb("attn.c_proj", "attn_output")
+             + _wb("ln_2", "ffn_norm")
+             + _wb("mlp.c_fc", "ffn_up")
+             + _wb("mlp.c_proj", "ffn_down"))
+    model = ([("transformer.wte.weight", "token_embd.weight", None),
+              ("transformer.wpe.weight", "position_embd.weight", None),
+              ("lm_head.weight", "output.weight", None)]
+             + _wb("transformer.ln_f", "output_norm"))
+    return _convert_table(d, cfg, sd, out_path, outtype, progress, "starcoder",
+                          meta, model, "transformer.h", layer, n_layer)
+
+
+_CUSTOM = {
+    "GPT2LMHeadModel": _convert_gpt2,
+    "GPTNeoXForCausalLM": _convert_gptneox,
+    "PhiForCausalLM": _convert_phi2,
+    "FalconForCausalLM": _convert_falcon,
+    "RWForCausalLM": _convert_falcon,  # pre-rename falcon checkpoints
+    "BloomForCausalLM": _convert_bloom,
+    "BloomModel": _convert_bloom,
+    "MptForCausalLM": _convert_mpt,
+    "MPTForCausalLM": _convert_mpt,
+    "GPTJForCausalLM": _convert_gptj,
+    "GPTBigCodeForCausalLM": _convert_starcoder,
+}
 
 
 def _convert_mamba(d, cfg, sd, out_path, outtype, progress=None) -> dict:
