@@ -322,6 +322,12 @@ def _apply_arch_defaults(cfg: ModelConfig) -> None:
         # (llm_build_command_r, llama-model.cpp:9299); LayerNorm, no bias
         cfg.parallel_residual = True
         cfg.norm_type = "layer"
+        if a == "cohere2" and cfg.sliding_window > 0:
+            # cohere2 (load_hparams llama-model.cpp:1082): SWA pattern 4;
+            # every 4th layer is full attention AND NoPE — rope is applied
+            # only on SWA layers (llm_build_cohere2_iswa :9486)
+            cfg.swa_pattern = 4
+            cfg.n_no_rope_layer_step = 4
     elif a == "deepseek2":
         # decompressed-MHA path (llm_build_deepseek2 non-MLA branch,
         # src/llama-model.cpp:10700): every head gets its own decompressed

@@ -278,6 +278,15 @@ _GEMMA_NORMS = {
     "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
 }
 
+# per-gguf-arch additions to the generic layer map
+_ARCH_EXTRA_MAPS = {
+    # glm4: sandwich norms after the attention/ffn branches
+    "glm4": {
+        "post_self_attn_layernorm.weight": "post_attention_norm.weight",
+        "post_mlp_layernorm.weight": "post_ffw_norm.weight",
+    },
+}
+
 # HF architectures[0] -> (gguf arch, norm style). Norm styles:
 #   None    — norms stored as-is
 #   "bump"  — norms stored +1 (gemma1 / nemotron layernorm1p), standard names
@@ -302,6 +311,11 @@ _ARCHES = {
     "Starcoder2ForCausalLM": ("starcoder2", None),
     "StableLmForCausalLM": ("stablelm", None),
     "GraniteForCausalLM": ("granite", None),
+    "GraniteMoeForCausalLM": ("granitemoe", None),
+    "GraniteMoeSharedForCausalLM": ("granitemoe", None),
+    "ArceeForCausalLM": ("arcee", None),
+    "Cohere2ForCausalLM": ("cohere2", None),
+    "Glm4ForCausalLM": ("glm4", None),
     # nemotron: layernorm1p — norms stored +1 but standard pre-norm block
     # (reference NemotronModel.modify_tensors, convert_hf_to_gguf.py:5150)
     "NemotronForCausalLM": ("nemotron", "bump"),
@@ -386,8 +400,10 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
     if cfg.get("head_dim"):
         w.add(f"{arch}.attention.key_length", cfg["head_dim"])
         w.add(f"{arch}.attention.value_length", cfg["head_dim"])
-    if cfg.get("sliding_window") and arch in ("gemma2", "gemma3"):
+    if cfg.get("sliding_window") and arch in ("gemma2", "gemma3", "cohere2"):
         w.add(f"{arch}.attention.sliding_window", cfg["sliding_window"])
+    if cfg.get("logit_scale"):  # command-r / cohere2
+        w.add(f"{arch}.logit_scale", float(cfg["logit_scale"]))
     if cfg.get("attn_logit_softcapping"):
         w.add(f"{arch}.attn_logit_softcapping", cfg["attn_logit_softcapping"])
     if cfg.get("final_logit_softcapping"):
@@ -412,7 +428,7 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
               cfg["shared_expert_intermediate_size"])
     if cfg.get("clip_qkv"):  # olmo
         w.add(f"{arch}.attention.clamp_kqv", float(cfg["clip_qkv"]))
-    if arch == "granite":
+    if arch in ("granite", "granitemoe"):
         # granite multipliers (reference GraniteModel.set_gguf_parameters)
         for hf_key, gkey in (("logits_scaling", "logit_scale"),
                              ("residual_multiplier", "residual_scale"),
@@ -420,6 +436,9 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
                              ("attention_multiplier", "attention.scale")):
             if cfg.get(hf_key) is not None:
                 w.add(f"{arch}.{gkey}", float(cfg[hf_key]))
+    if arch == "granitemoe" and cfg.get("shared_intermediate_size"):
+        w.add(f"{arch}.expert_shared_feed_forward_length",
+              cfg["shared_intermediate_size"])
     rs = cfg.get("rope_scaling") or {}
     if rs.get("rope_type", rs.get("type")) in ("linear", "yarn"):
         w.add(f"{arch}.rope.scaling.type", rs.get("rope_type", rs.get("type")))
@@ -448,10 +467,12 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
     lmap = dict(_LAYER_MAP)
     if style == "gemma":
         lmap.update(_GEMMA_NORMS)
+    lmap.update(_ARCH_EXTRA_MAPS.get(arch, {}))
     # ggml-NORM-rope arches (llama family): permute q/k rows so interleaved
     # rope on the stored tensors reproduces HF rotate-half (reference
     # LlamaModel.modify_tensors, convert_hf_to_gguf.py:1938-1941)
-    norm_rope = arch in ("llama", "granite", "minicpm", "deci", "olmo")
+    norm_rope = arch in ("llama", "granite", "granitemoe", "minicpm", "deci",
+                         "olmo", "arcee")
     count = 0
     for il in range(n_layer):
         pre = f"model.layers.{il}"
@@ -480,6 +501,24 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
                     for e in range(n_exp)
                 ])
                 put(f"blk.{il}.{gname}.weight", stacked)
+        gm = f"{pre}.block_sparse_moe.input_linear.weight"
+        if gm in sd:  # granitemoe: JetMoe-style fused [E, 2F, D] input_linear
+            ff = cfg["intermediate_size"]
+            iw = np.asarray(sd[gm], np.float32)
+            put(f"blk.{il}.ffn_gate_exps.weight", iw[:, :ff])
+            put(f"blk.{il}.ffn_up_exps.weight", iw[:, ff:])
+            put(f"blk.{il}.ffn_down_exps.weight",
+                sd[f"{pre}.block_sparse_moe.output_linear.weight"])
+            put(f"blk.{il}.ffn_gate_inp.weight",
+                sd[f"{pre}.block_sparse_moe.router.layer.weight"])
+        shm = f"{pre}.shared_mlp.input_linear.weight"
+        if shm in sd:  # granitemoeshared
+            sff = cfg["shared_intermediate_size"]
+            siw = np.asarray(sd[shm], np.float32)
+            put(f"blk.{il}.ffn_gate_shexp.weight", siw[:sff])
+            put(f"blk.{il}.ffn_up_shexp.weight", siw[sff:])
+            put(f"blk.{il}.ffn_down_shexp.weight",
+                sd[f"{pre}.shared_mlp.output_linear.weight"])
         if f"{pre}.mlp.shared_expert.gate_proj.weight" in sd:  # qwen2moe
             for gname, hf_w in (("ffn_gate_shexp", "gate_proj"),
                                 ("ffn_up_shexp", "up_proj"),
@@ -534,10 +573,12 @@ def _qkv_falcon(t: np.ndarray, n_head: int, n_kv: int) -> np.ndarray:
 
 
 def _convert_table(d, cfg, sd, out_path, outtype, progress, arch, meta,
-                   model_map, layer_prefix, layer_map, n_layer) -> dict:
+                   model_map, layer_prefix, layer_map, n_layer,
+                   layer_hook=None) -> dict:
     """Shared driver: write metadata, tokenizer, then map tensors through
     per-arch (hf_name, gguf_name, transform) tables, skipping absent ones
-    (bias-free variants)."""
+    (bias-free variants). layer_hook(put, il, prefix) handles tensors the
+    flat table can't express (stacked/split experts)."""
     w = GGUFWriter(out_path)
     w.add("general.architecture", arch)
     w.add("general.name", cfg.get("_name_or_path", d.name) or d.name)
@@ -562,6 +603,8 @@ def _convert_table(d, cfg, sd, out_path, outtype, progress, arch, meta,
             key = f"{layer_prefix}.{il}.{hf}"
             if key in sd:
                 put(f"blk.{il}.{gname}", sd[key], tf)
+        if layer_hook is not None:
+            layer_hook(put, il, f"{layer_prefix}.{il}")
     w.write()
     return {"arch": arch, "layers": n_layer, "tensors": count[0],
             "output": out_path}
@@ -786,6 +829,199 @@ def _convert_starcoder(d, cfg, sd, out_path, outtype, progress) -> dict:
                           meta, model, "transformer.h", layer, n_layer)
 
 
+def _convert_deepseek2(d, cfg, sd, out_path, outtype, progress) -> dict:
+    """DeepseekV2/V3 (reference DeepseekV2Model, convert_hf_to_gguf.py:5460):
+    MLA low-rank attention + first-k-dense MoE with shared experts and (V3)
+    sigmoid gating + e_score_correction_bias."""
+    n_embd, n_layer = cfg["hidden_size"], cfg["num_hidden_layers"]
+    n_head = cfg["num_attention_heads"]
+    qk_rope = cfg.get("qk_rope_head_dim", 64)
+    qk_nope = cfg.get("qk_nope_head_dim", 128)
+    meta = {
+        "context_length": cfg.get("max_position_embeddings", 4096),
+        "embedding_length": n_embd, "block_count": n_layer,
+        "feed_forward_length": cfg["intermediate_size"],
+        # the runtime's decompressed-MHA path caches per-head K/V
+        "attention.head_count": n_head, "attention.head_count_kv": 1,
+        "attention.layer_norm_rms_epsilon": cfg.get("rms_norm_eps", 1e-6),
+        "attention.key_length": qk_nope + qk_rope,
+        "attention.value_length": cfg.get("v_head_dim", 128),
+        "attention.kv_lora_rank": cfg.get("kv_lora_rank", 512),
+        "rope.dimension_count": qk_rope,
+        "rope.freq_base": cfg.get("rope_theta", 10000.0),
+    }
+    if cfg.get("q_lora_rank"):
+        meta["attention.q_lora_rank"] = cfg["q_lora_rank"]
+    n_exp = cfg.get("n_routed_experts") or 0
+    if n_exp:
+        meta.update({
+            "expert_count": n_exp,
+            "expert_used_count": cfg.get("num_experts_per_tok", 6),
+            "expert_feed_forward_length": cfg["moe_intermediate_size"],
+            "expert_shared_count": cfg.get("n_shared_experts", 0) or 0,
+            "expert_weights_scale": float(cfg.get("routed_scaling_factor", 1.0)),
+            "expert_weights_norm": bool(cfg.get("norm_topk_prob", False)),
+            "leading_dense_block_count": cfg.get("first_k_dense_replace", 0),
+        })
+        if cfg.get("scoring_func") == "sigmoid":  # V3
+            meta["expert_gating_func"] = 2
+    rs = cfg.get("rope_scaling") or {}
+    if rs.get("type", rs.get("rope_type")) == "yarn":
+        meta["rope.scaling.type"] = "yarn"
+        meta["rope.scaling.factor"] = rs.get("factor", 1.0)
+        if rs.get("original_max_position_embeddings"):
+            meta["rope.scaling.original_context_length"] = \
+                rs["original_max_position_embeddings"]
+        # reference folds mscale_all_dim into the yarn log-multiplier
+        meta["rope.scaling.yarn_log_multiplier"] = \
+            0.1 * float(rs.get("mscale_all_dim", 1.0))
+    layer = ([("input_layernorm.weight", "attn_norm.weight", None),
+              ("post_attention_layernorm.weight", "ffn_norm.weight", None),
+              ("self_attn.q_proj.weight", "attn_q.weight", None),
+              ("self_attn.q_a_proj.weight", "attn_q_a.weight", None),
+              ("self_attn.q_a_layernorm.weight", "attn_q_a_norm.weight", None),
+              ("self_attn.q_b_proj.weight", "attn_q_b.weight", None),
+              ("self_attn.kv_a_proj_with_mqa.weight", "attn_kv_a_mqa.weight", None),
+              ("self_attn.kv_a_layernorm.weight", "attn_kv_a_norm.weight", None),
+              ("self_attn.kv_b_proj.weight", "attn_kv_b.weight", None),
+              ("self_attn.o_proj.weight", "attn_output.weight", None),
+              ("mlp.gate_proj.weight", "ffn_gate.weight", None),
+              ("mlp.up_proj.weight", "ffn_up.weight", None),
+              ("mlp.down_proj.weight", "ffn_down.weight", None),
+              ("mlp.gate.weight", "ffn_gate_inp.weight", None),
+              ("mlp.gate.e_score_correction_bias", "exp_probs_b.bias", None)]
+             + [(f"mlp.shared_experts.{p}_proj.weight", f"ffn_{g}_shexp.weight",
+                 None) for p, g in (("gate", "gate"), ("up", "up"),
+                                    ("down", "down"))])
+    model = [("model.embed_tokens.weight", "token_embd.weight", None),
+             ("model.norm.weight", "output_norm.weight", None),
+             ("lm_head.weight", "output.weight", None)]
+
+    def experts(put, il, pre):
+        if f"{pre}.mlp.experts.0.gate_proj.weight" not in sd:
+            return
+        for gname, hf_w in (("ffn_gate_exps", "gate_proj"),
+                            ("ffn_down_exps", "down_proj"),
+                            ("ffn_up_exps", "up_proj")):
+            put(f"blk.{il}.{gname}.weight", np.stack([
+                np.asarray(sd[f"{pre}.mlp.experts.{e}.{hf_w}.weight"],
+                           np.float32) for e in range(n_exp)]))
+
+    return _convert_table(d, cfg, sd, out_path, outtype, progress, "deepseek2",
+                          meta, model, "model.layers", layer, n_layer,
+                          layer_hook=experts)
+
+
+def _convert_dbrx(d, cfg, sd, out_path, outtype, progress) -> dict:
+    """DBRX (reference DbrxModel, convert_hf_to_gguf.py:4783): fused Wqkv
+    with clamp, fused expert mats w1/v1/w2 split to gate/up/down."""
+    n_embd, n_head, n_layer = cfg["d_model"], cfg["n_heads"], cfg["n_layers"]
+    fc, ac = cfg.get("ffn_config") or {}, cfg.get("attn_config") or {}
+    ff = fc.get("ffn_hidden_size", 4 * n_embd)
+    n_exp = fc.get("moe_num_experts", 16)
+    meta = {
+        "context_length": cfg.get("max_seq_len", 2048),
+        "embedding_length": n_embd, "block_count": n_layer,
+        "feed_forward_length": ff,
+        "attention.head_count": n_head,
+        "attention.head_count_kv": ac.get("kv_n_heads", 1),
+        "attention.layer_norm_epsilon": 1e-5,
+        "rope.freq_base": ac.get("rope_theta", 10000.0),
+        "expert_count": n_exp,
+        "expert_used_count": fc.get("moe_top_k", 4),
+        "expert_weights_norm": True,  # moe_normalize_expert_weights=1
+    }
+    if ac.get("clip_qkv"):
+        meta["attention.clamp_kqv"] = float(ac["clip_qkv"])
+    layer = [("norm_attn_norm.norm_1.weight", "attn_norm.weight", None),
+             ("norm_attn_norm.norm_2.weight", "ffn_norm.weight", None),
+             ("norm_attn_norm.attn.Wqkv.weight", "attn_qkv.weight", None),
+             ("norm_attn_norm.attn.out_proj.weight", "attn_output.weight", None),
+             ("ffn.router.layer.weight", "ffn_gate_inp.weight", None)]
+    model = [("transformer.wte.weight", "token_embd.weight", None),
+             ("transformer.norm_f.weight", "output_norm.weight", None),
+             ("lm_head.weight", "output.weight", None)]
+
+    def experts(put, il, pre):
+        w1 = np.asarray(sd[f"{pre}.ffn.experts.mlp.w1"], np.float32)
+        v1 = np.asarray(sd[f"{pre}.ffn.experts.mlp.v1"], np.float32)
+        w2 = np.asarray(sd[f"{pre}.ffn.experts.mlp.w2"], np.float32)
+        put(f"blk.{il}.ffn_gate_exps.weight", w1.reshape(n_exp, ff, n_embd))
+        put(f"blk.{il}.ffn_up_exps.weight", v1.reshape(n_exp, ff, n_embd))
+        put(f"blk.{il}.ffn_down_exps.weight",
+            w2.reshape(n_exp, ff, n_embd).transpose(0, 2, 1))
+
+    return _convert_table(d, cfg, sd, out_path, outtype, progress, "dbrx",
+                          meta, model, "transformer.blocks", layer, n_layer,
+                          layer_hook=experts)
+
+
+def _convert_jamba(d, cfg, sd, out_path, outtype, progress) -> dict:
+    """Jamba hybrid attention+mamba (reference JambaModel,
+    convert_hf_to_gguf.py:5049): per-layer attn OR ssm tensors, dense or
+    MoE FFN."""
+    n_embd, n_layer = cfg["hidden_size"], cfg["num_hidden_layers"]
+    d_inner = cfg.get("mamba_expand", 2) * n_embd
+    n_exp = cfg.get("num_experts", 1)
+    dt_rank = cfg.get("mamba_dt_rank") or -(-n_embd // 16)
+    meta = {
+        "context_length": cfg.get("max_position_embeddings", 4096),
+        "embedding_length": n_embd, "block_count": n_layer,
+        "feed_forward_length": cfg["intermediate_size"],
+        "attention.head_count": cfg["num_attention_heads"],
+        "attention.head_count_kv": cfg.get("num_key_value_heads",
+                                           cfg["num_attention_heads"]),
+        "attention.layer_norm_rms_epsilon": cfg.get("rms_norm_eps", 1e-6),
+        "ssm.conv_kernel": cfg.get("mamba_d_conv", 4),
+        "ssm.inner_size": d_inner,
+        "ssm.state_size": cfg.get("mamba_d_state", 16),
+        "ssm.time_step_rank": int(dt_rank),
+    }
+    if n_exp > 1:
+        meta["expert_count"] = n_exp
+        meta["expert_used_count"] = cfg.get("num_experts_per_tok", 2)
+    layer = ([("input_layernorm.weight", "attn_norm.weight", None),
+              ("pre_ff_layernorm.weight", "ffn_norm.weight", None),
+              ("self_attn.q_proj.weight", "attn_q.weight", None),
+              ("self_attn.k_proj.weight", "attn_k.weight", None),
+              ("self_attn.v_proj.weight", "attn_v.weight", None),
+              ("self_attn.o_proj.weight", "attn_output.weight", None),
+              ("feed_forward.gate_proj.weight", "ffn_gate.weight", None),
+              ("feed_forward.up_proj.weight", "ffn_up.weight", None),
+              ("feed_forward.down_proj.weight", "ffn_down.weight", None),
+              ("feed_forward.router.weight", "ffn_gate_inp.weight", None),
+              ("mamba.in_proj.weight", "ssm_in.weight", None),
+              ("mamba.conv1d.weight", "ssm_conv1d.weight",
+               lambda t: np.squeeze(t, axis=1)),
+              ("mamba.conv1d.bias", "ssm_conv1d.bias", None),
+              ("mamba.x_proj.weight", "ssm_x.weight", None),
+              ("mamba.dt_proj.weight", "ssm_dt.weight", None),
+              ("mamba.dt_proj.bias", "ssm_dt.bias", None),
+              ("mamba.A_log", "ssm_a", lambda t: -np.exp(t)),
+              ("mamba.D", "ssm_d", None),
+              ("mamba.out_proj.weight", "ssm_out.weight", None),
+              ("mamba.dt_layernorm.weight", "ssm_dt_norm.weight", None),
+              ("mamba.b_layernorm.weight", "ssm_b_norm.weight", None),
+              ("mamba.c_layernorm.weight", "ssm_c_norm.weight", None)])
+    model = [("model.embed_tokens.weight", "token_embd.weight", None),
+             ("model.final_layernorm.weight", "output_norm.weight", None),
+             ("lm_head.weight", "output.weight", None)]
+
+    def experts(put, il, pre):
+        if f"{pre}.feed_forward.experts.0.gate_proj.weight" not in sd:
+            return
+        for gname, hf_w in (("ffn_gate_exps", "gate_proj"),
+                            ("ffn_down_exps", "down_proj"),
+                            ("ffn_up_exps", "up_proj")):
+            put(f"blk.{il}.{gname}.weight", np.stack([
+                np.asarray(sd[f"{pre}.feed_forward.experts.{e}.{hf_w}.weight"],
+                           np.float32) for e in range(n_exp)]))
+
+    return _convert_table(d, cfg, sd, out_path, outtype, progress, "jamba",
+                          meta, model, "model.layers", layer, n_layer,
+                          layer_hook=experts)
+
+
 _CUSTOM = {
     "GPT2LMHeadModel": _convert_gpt2,
     "GPTNeoXForCausalLM": _convert_gptneox,
@@ -798,6 +1034,10 @@ _CUSTOM = {
     "MPTForCausalLM": _convert_mpt,
     "GPTJForCausalLM": _convert_gptj,
     "GPTBigCodeForCausalLM": _convert_starcoder,
+    "DeepseekV2ForCausalLM": _convert_deepseek2,
+    "DeepseekV3ForCausalLM": _convert_deepseek2,
+    "DbrxForCausalLM": _convert_dbrx,
+    "JambaForCausalLM": _convert_jamba,
 }
 
 

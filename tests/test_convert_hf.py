@@ -157,6 +157,148 @@ def test_spm_proto_reader(tmp_path):
     assert pieces == [("<unk>", 0.0, 2), ("hello", -1.5, 1), ("<0x41>", 0.0, 6)]
 
 
+def test_convert_granitemoe_shared(tmp_path):
+    """GraniteMoeShared: fused JetMoe-style input_linear experts split to
+    gate/up, shared_mlp, and the four granite multipliers."""
+    from transformers import GraniteMoeSharedConfig, GraniteMoeSharedForCausalLM
+
+    cfg = GraniteMoeSharedConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        num_local_experts=4, num_experts_per_tok=2, shared_intermediate_size=48,
+        tie_word_embeddings=False, logits_scaling=2.0, residual_multiplier=0.5,
+        embedding_multiplier=1.5, attention_multiplier=0.1,
+    )
+    torch.manual_seed(11)
+    model = GraniteMoeSharedForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "granitemoe")
+    stats = convert(d, str(tmp_path / "gm.gguf"), outtype="f32")
+    assert stats["arch"] == "granitemoe"
+    _assert_close(_our_logits(str(tmp_path / "gm.gguf")), _hf_logits(model))
+
+
+def test_convert_cohere2(tmp_path):
+    """cohere2: iSWA pattern-4 + NoPE on full-attention layers + logit_scale."""
+    from transformers import Cohere2Config, Cohere2ForCausalLM
+
+    cfg = Cohere2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        sliding_window=8, sliding_window_pattern=4, logit_scale=0.25,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(12)
+    model = Cohere2ForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "cohere2")
+    stats = convert(d, str(tmp_path / "c2.gguf"), outtype="f32")
+    assert stats["arch"] == "cohere2"
+    _assert_close(_our_logits(str(tmp_path / "c2.gguf")), _hf_logits(model))
+
+
+def test_convert_glm4(tmp_path):
+    """glm4: post-attn/post-mlp sandwich norms via the arch extra map."""
+    from transformers import Glm4Config, Glm4ForCausalLM
+
+    cfg = Glm4Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        tie_word_embeddings=False, attention_bias=False, pad_token_id=0,
+        eos_token_id=1,
+    )
+    torch.manual_seed(13)
+    model = Glm4ForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "glm4")
+    stats = convert(d, str(tmp_path / "glm4.gguf"), outtype="f32")
+    assert stats["arch"] == "glm4"
+    _assert_close(_our_logits(str(tmp_path / "glm4.gguf")), _hf_logits(model))
+
+
+def test_convert_deepseek2_moe(tmp_path):
+    """deepseek2: MLA (q_lora) + first-k-dense MoE with shared expert."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    cfg = DeepseekV2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=256,
+        kv_lora_rank=32, q_lora_rank=24, qk_rope_head_dim=8, qk_nope_head_dim=16,
+        v_head_dim=16, n_routed_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, first_k_dense_replace=1, n_shared_experts=1,
+        routed_scaling_factor=1.0, norm_topk_prob=False, n_group=1, topk_group=1,
+        topk_method="greedy", scoring_func="softmax",
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(15)
+    model = DeepseekV2ForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "dsv2")
+    stats = convert(d, str(tmp_path / "dsv2.gguf"), outtype="f32")
+    assert stats["arch"] == "deepseek2"
+    ours = _our_logits(str(tmp_path / "dsv2.gguf"))
+    ref = _hf_logits(model)
+    corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, f"logit corr {corr}"
+
+
+def test_convert_dbrx(tmp_path):
+    """dbrx: fused Wqkv + clamp, fused w1/v1/w2 expert mats split."""
+    from transformers import DbrxConfig, DbrxForCausalLM
+
+    cfg = DbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, vocab_size=128, max_seq_len=256,
+        ffn_config={"ffn_hidden_size": 96, "moe_num_experts": 4, "moe_top_k": 2},
+        attn_config={"kv_n_heads": 2, "clip_qkv": 8.0},
+    )
+    torch.manual_seed(16)
+    model = DbrxForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "dbrx")
+    stats = convert(d, str(tmp_path / "dbrx.gguf"), outtype="f32")
+    assert stats["arch"] == "dbrx"
+    ours = _our_logits(str(tmp_path / "dbrx.gguf"))
+    ref = _hf_logits(model)
+    corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, f"logit corr {corr}"
+
+
+def test_convert_jamba_moe(tmp_path):
+    """jamba: hybrid attn/mamba layers + per-layer dense-or-MoE FFN."""
+    from transformers import JambaConfig, JambaForCausalLM
+
+    cfg = JambaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2,
+        attn_layer_period=2, attn_layer_offset=1,
+        expert_layer_period=2, expert_layer_offset=0, num_experts=4,
+        num_experts_per_tok=2,
+        mamba_d_state=16, mamba_d_conv=4, mamba_expand=2, mamba_dt_rank=8,
+        use_mamba_kernels=False, max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(17)
+    model = JambaForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "jamba")
+    stats = convert(d, str(tmp_path / "jamba.gguf"), outtype="f32")
+    assert stats["arch"] == "jamba"
+    ours = _our_logits(str(tmp_path / "jamba.gguf"))
+    ref = _hf_logits(model)
+    corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, f"logit corr {corr}"
+
+
+def test_convert_arcee(tmp_path):
+    from transformers import ArceeConfig, ArceeForCausalLM
+
+    cfg = ArceeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(14)
+    model = ArceeForCausalLM(cfg).eval()
+    d = _save(model, tmp_path, "arcee")
+    stats = convert(d, str(tmp_path / "arcee.gguf"), outtype="f32")
+    assert stats["arch"] == "arcee"
+    _assert_close(_our_logits(str(tmp_path / "arcee.gguf")), _hf_logits(model))
+
+
 def test_convert_mamba(tmp_path):
     from transformers import MambaConfig, MambaForCausalLM
 
