@@ -55,6 +55,7 @@ class Task:
     cancelled: bool = False
     n_keep: int = 0  # context-shift keep prefix (-1 = whole prompt)
     spec: dict | None = None  # per-request speculative overrides (n_max/n_min/p_min)
+    ignore_eos: bool = False  # keep generating past EOG (server.cpp ignore_eos)
 
 
 class Slot:
@@ -256,7 +257,7 @@ class ServerContext:
         self.metrics["tokens_predicted_total"] += 1
         task = slot.task
         finished = (
-            vocab.is_eog(tok)
+            (vocab.is_eog(tok) and not task.ignore_eos)
             or slot.n_gen >= task.n_predict
             or (not self.ctx_shift
                 and int(self.engine.seq_len[slot.id]) + 1 >= self.ctx_size)
@@ -668,6 +669,7 @@ class ServerContext:
             params=params,
             n_predict=n_predict,
             stream=bool(body.get("stream", False)),
+            ignore_eos=bool(body.get("ignore_eos", False)),
             stop_strings=stops,
             grammar_text=grammar_text,
             kind=kind,

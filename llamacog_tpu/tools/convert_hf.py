@@ -258,6 +258,7 @@ _LAYER_MAP = {
     "self_attn.v_proj.weight": "attn_v.weight",
     "self_attn.v_proj.bias": "attn_v.bias",
     "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.o_proj.bias": "attn_output.bias",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
     "self_attn.qkv_proj.weight": "attn_qkv.weight",  # phi3 fused
@@ -285,7 +286,24 @@ _ARCH_EXTRA_MAPS = {
         "post_self_attn_layernorm.weight": "post_attention_norm.weight",
         "post_mlp_layernorm.weight": "post_ffw_norm.weight",
     },
+    # olmo2: post-norm design — the HF "post_attention_layernorm" is the
+    # POST-attention branch norm, not a pre-FFN norm (reference Olmo2Model)
+    "olmo2": {
+        "post_attention_layernorm.weight": "post_attention_norm.weight",
+        "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+    },
+    # starcoder2: GPT-style c_fc/c_proj MLP names with biases
+    "starcoder2": {
+        "mlp.c_fc.weight": "ffn_up.weight",
+        "mlp.c_fc.bias": "ffn_up.bias",
+        "mlp.c_proj.weight": "ffn_down.weight",
+        "mlp.c_proj.bias": "ffn_down.bias",
+    },
 }
+
+# gemma1/2 tie embeddings; the reference GemmaModel/Gemma2Model classes drop
+# lm_head.weight unconditionally (Gemma3Model keeps it)
+_SKIP_LM_HEAD = {"gemma", "gemma2"}
 
 # HF architectures[0] -> (gguf arch, norm style). Norm styles:
 #   None    — norms stored as-is
@@ -324,6 +342,11 @@ _ARCHES = {
     # reference (convert_hf_to_gguf.py:5731)
     "GlmForCausalLM": ("chatglm", None),
 }
+
+
+# gguf arches whose reference converter class derives from LlamaModel and
+# therefore always writes rope.dimension_count (= head_dim)
+_ROPE_DIM_ARCHES = {"llama", "granite", "granitemoe", "arcee", "deci"}
 
 
 def permute_rope_rows(arr: np.ndarray, n_head: int) -> np.ndarray:
@@ -393,8 +416,13 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
     w.add(f"{arch}.attention.head_count_kv", n_kv)
     w.add(f"{arch}.attention.layer_norm_rms_epsilon",
           cfg.get("rms_norm_eps", cfg.get("layer_norm_eps", 1e-6)))
-    if cfg.get("layer_norm_eps") is not None:  # LayerNorm arches (stablelm/olmo)
-        w.add(f"{arch}.attention.layer_norm_epsilon", cfg["layer_norm_eps"])
+    # LayerNorm arches spell the eps differently per family (reference
+    # find_hparam chains); olmo hardcodes 1e-5 (OlmoModel.set_gguf_parameters)
+    ln_eps = next((cfg[k] for k in ("layer_norm_eps", "layer_norm_epsilon",
+                                    "norm_epsilon", "norm_eps") if cfg.get(k) is not None),
+                  1e-5 if arch == "olmo" else None)
+    if ln_eps is not None:
+        w.add(f"{arch}.attention.layer_norm_epsilon", ln_eps)
     w.add(f"{arch}.rope.freq_base", cfg.get("rope_theta", 10000.0))
     w.add(f"{arch}.vocab_size", cfg["vocab_size"])
     if cfg.get("head_dim"):
@@ -413,10 +441,17 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
         w.add(f"{arch}.expert_used_count", cfg.get("num_experts_per_tok", 2))
         # HF Mixtral renormalizes the top-k router weights
         w.add(f"{arch}.expert_weights_norm", True)
-    pr = cfg.get("partial_rotary_factor")
-    if pr:
+    pr = next((cfg[k] for k in ("partial_rotary_factor", "rope_pct",
+                                "rotary_pct", "rope_percent")
+               if cfg.get(k) is not None), None)
+    if pr is not None:
         hd = cfg.get("head_dim") or (cfg["hidden_size"] // n_head)
         w.add(f"{arch}.rope.dimension_count", int(hd * pr))
+    elif arch in _ROPE_DIM_ARCHES:
+        # llama-family classes always record the full rotary dim
+        # (reference LlamaModel.set_gguf_parameters)
+        hd = cfg.get("head_dim") or (cfg["hidden_size"] // n_head)
+        w.add(f"{arch}.rope.dimension_count", int(hd))
     if cfg.get("num_experts"):  # olmoe / qwen2moe / qwen3moe
         w.add(f"{arch}.expert_count", cfg["num_experts"])
         w.add(f"{arch}.expert_used_count", cfg.get("num_experts_per_tok", 8))
@@ -446,6 +481,19 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
         if rs.get("original_max_position_embeddings"):
             w.add(f"{arch}.rope.scaling.original_context_length",
                   rs["original_max_position_embeddings"])
+    elif arch in ("command-r", "cohere2", "nemotron"):
+        # these classes record an explicit "none" when unscaled
+        w.add(f"{arch}.rope.scaling.type", "none")
+    if arch == "phi3":
+        # Phi3MiniModel always records the original context length and a
+        # sliding window (0 marks Phi-4)
+        w.add(f"{arch}.rope.scaling.original_context_length",
+              cfg.get("original_max_position_embeddings",
+                      cfg.get("max_position_embeddings", 4096)))
+        w.add(f"{arch}.attention.sliding_window", cfg.get("sliding_window") or 0)
+    if arch == "stablelm":
+        w.add(f"{arch}.use_parallel_residual",
+              bool(cfg.get("use_parallel_residual", True)))
 
     _export_tokenizer(w, d, cfg)
 
@@ -461,7 +509,10 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
     if "model.norm.weight" in sd:  # absent for olmo's non-parametric norms
         onorm = np.asarray(sd["model.norm.weight"], np.float32)
         put("output_norm.weight", bump(onorm) if gemma else onorm)
-    if "lm_head.weight" in sd and not cfg.get("tie_word_embeddings", False):
+    if "model.norm.bias" in sd:  # LayerNorm arches (stablelm/nemotron)
+        put("output_norm.bias", sd["model.norm.bias"])
+    if ("lm_head.weight" in sd and not cfg.get("tie_word_embeddings", False)
+            and arch not in _SKIP_LM_HEAD):
         put("output.weight", sd["lm_head.weight"])
 
     lmap = dict(_LAYER_MAP)

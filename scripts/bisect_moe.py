@@ -1,7 +1,9 @@
 """Bisect the fixed per-token cost in mixtral-geometry sparse-MoE decode.
 
-Measured (round 2): 2L=13.81 / 4L=16.92 / 8L=20.96 ms/tok — ~1.2 ms/layer
-marginal + ~11.4 ms layer-independent intercept. This harness times chained
+Measured (round 2, current kernels): base 3.80 / nomoe 0.32 / noattn 3.55 /
+nohead 3.40 ms/tok at 8 layers — MoE-DMA-bound, no fixed intercept. (An
+earlier ~11 ms "intercept" was a warmup-shape recompile artifact in the old
+bench, not a real cost.) This harness times chained
 on-device greedy loops (16 vs 144 iterations, differenced, so dispatch RTT
 and warmup cancel) with pieces of the step knocked out via monkeypatching,
 to locate the intercept.

@@ -75,7 +75,8 @@ def test_sharded_server_e2e(tmp_path):
     try:
         req = urllib.request.Request(
             f"http://127.0.0.1:{httpd.server_address[1]}/completion",
-            data=_json.dumps({"prompt": "ab", "n_predict": 4}).encode(),
+            data=_json.dumps({"prompt": "ab", "n_predict": 4,
+                              "ignore_eos": True}).encode(),
             headers={"Content-Type": "application/json"},
         )
         with urllib.request.urlopen(req, timeout=300) as r:
