@@ -390,7 +390,8 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
             cfg = inner
     arch_name = cfg["architectures"][0]
     sd = StateDict(hf_dir)
-    if arch_name == "MambaForCausalLM":
+    if arch_name in ("MambaForCausalLM", "MambaLMHeadModel",
+                     "FalconMambaForCausalLM"):
         return _convert_mamba(d, cfg, sd, out_path, outtype, progress)
     if arch_name in _CUSTOM:
         return _CUSTOM[arch_name](d, cfg, sd, out_path, outtype, progress)
@@ -504,6 +505,22 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
 
     def bump(x):  # gemma stores norms as (1 + w)
         return x + 1.0
+
+    if (rs.get("rope_type", rs.get("type", "")) or "").lower() == "llama3":
+        # llama-3.1 rope: per-dim smoothing factors stored as a tensor
+        # (reference LlamaModel.generate_extra_tensors)
+        hd = cfg.get("head_dim") or (cfg["hidden_size"] // n_head)
+        base = cfg.get("rope_theta", 10000.0)
+        freqs = 1.0 / base ** (np.arange(0, hd, 2, dtype=np.float32) / hd)
+        factor = rs.get("factor", 8.0)
+        lo_f, hi_f = rs.get("low_freq_factor", 1.0), rs.get("high_freq_factor", 4.0)
+        old_ctx = cfg.get("original_max_position_embeddings", 8192)
+        wavelen = 2 * np.pi / freqs
+        smooth = (old_ctx / wavelen - lo_f) / (hi_f - lo_f)
+        fac = np.where(wavelen < old_ctx / hi_f, 1.0,
+                       np.where(wavelen > old_ctx / lo_f, factor,
+                                1.0 / ((1.0 - smooth) / factor + smooth)))
+        put("rope_freqs.weight", fac.astype(np.float32))
 
     put("token_embd.weight", sd["model.embed_tokens.weight"])
     if "model.norm.weight" in sd:  # absent for olmo's non-parametric norms
@@ -1097,24 +1114,30 @@ def _convert_mamba(d, cfg, sd, out_path, outtype, progress=None) -> dict:
     A stored as -exp(A_log), conv1d squeezed)."""
     arch = "mamba"
     w = GGUFWriter(out_path)
-    n_layer = cfg["num_hidden_layers"]
+    n_layer = cfg.get("num_hidden_layers") or cfg["n_layer"]
+    # state-spaces MambaLMHeadModel checkpoints use d_model/d_conv/d_inner/
+    # d_state/dt_rank names (reference MambaModel find_hparam chains)
+    d_model = cfg.get("hidden_size") or cfg["d_model"]
     w.add("general.architecture", arch)
     w.add("general.name", cfg.get("_name_or_path", d.name) or d.name)
-    w.add(f"{arch}.context_length", cfg.get("max_position_embeddings", 2048))
-    w.add(f"{arch}.embedding_length", cfg["hidden_size"])
+    w.add(f"{arch}.context_length", 2 ** 20)  # arbitrary (reference value)
+    w.add(f"{arch}.embedding_length", d_model)
     w.add(f"{arch}.block_count", n_layer)
     w.add(f"{arch}.feed_forward_length", 0)
     w.add(f"{arch}.attention.head_count", 0)
     w.add(f"{arch}.attention.head_count_kv", 0)
     w.add(f"{arch}.attention.layer_norm_rms_epsilon",
-          cfg.get("layer_norm_epsilon", 1e-5))
-    w.add(f"{arch}.ssm.conv_kernel", cfg["conv_kernel"])
-    w.add(f"{arch}.ssm.inner_size", cfg["intermediate_size"])
-    w.add(f"{arch}.ssm.state_size", cfg["state_size"])
-    tr = cfg.get("time_step_rank", "auto")
+          cfg.get("layer_norm_epsilon", cfg.get("rms_norm_eps", 1e-5)))
+    w.add(f"{arch}.ssm.conv_kernel", cfg.get("conv_kernel", cfg.get("d_conv", 4)))
+    w.add(f"{arch}.ssm.inner_size",
+          cfg.get("intermediate_size", cfg.get("d_inner", 2 * d_model)))
+    w.add(f"{arch}.ssm.state_size", cfg.get("state_size", cfg.get("d_state", 16)))
+    tr = cfg.get("time_step_rank", cfg.get("dt_rank", "auto"))
     if tr == "auto":
-        tr = -(-cfg["hidden_size"] // 16)
+        tr = -(-d_model // 16)
     w.add(f"{arch}.ssm.time_step_rank", int(tr))
+    # falconmamba applies RMS norm on the dt/B/C streams
+    w.add(f"{arch}.ssm.dt_b_c_rms", cfg.get("model_type") == "falcon_mamba")
     w.add(f"{arch}.vocab_size", cfg["vocab_size"])
     _export_tokenizer(w, d, cfg)
 
@@ -1123,10 +1146,17 @@ def _convert_mamba(d, cfg, sd, out_path, outtype, progress=None) -> dict:
         if progress:
             progress(gname)
 
-    put("token_embd.weight", sd["backbone.embeddings.weight"])
+    # state-spaces checkpoints name the embedding without the plural
+    embd_key = ("backbone.embeddings.weight" if "backbone.embeddings.weight" in sd
+                else "backbone.embedding.weight")
+    embd = np.asarray(sd[embd_key], np.float32)
+    put("token_embd.weight", embd)
     put("output_norm.weight", sd["backbone.norm_f.weight"])
     if "lm_head.weight" in sd and not cfg.get("tie_word_embeddings", False):
-        put("output.weight", sd["lm_head.weight"])
+        head = np.asarray(sd["lm_head.weight"], np.float32)
+        # reference MambaModel omits a head identical to the embedding
+        if head.shape != embd.shape or not np.array_equal(head, embd):
+            put("output.weight", head)
     count = 0
     for il in range(n_layer):
         pre, bl = f"backbone.layers.{il}", f"blk.{il}"
@@ -1144,6 +1174,13 @@ def _convert_mamba(d, cfg, sd, out_path, outtype, progress=None) -> dict:
         count += 10
     w.write()
     return {"arch": arch, "layers": n_layer, "tensors": count, "output": out_path}
+
+
+# encoder (BERT family) and seq2seq (T5 family) converters live in their own
+# module; imported at the end so they can reuse this module's helpers
+from .convert_hf_ext import CUSTOM_EXT as _CUSTOM_EXT  # noqa: E402
+
+_CUSTOM.update(_CUSTOM_EXT)
 
 
 def main(argv=None) -> int:

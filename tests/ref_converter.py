@@ -71,7 +71,8 @@ _SKIP_KEYS = (
 )
 
 
-def compare_with_reference(hf_dir: str, tmp_path, our_convert, extra_skip=()):
+def compare_with_reference(hf_dir: str, tmp_path, our_convert, extra_skip=(),
+                           tensor_rtol=0.0):
     """Convert hf_dir with both converters; assert tensor parity (names,
     shapes, f32 bytes) and that every arch metadata key the reference wrote
     is present here with an equal value. Returns (our_meta, ref_meta)."""
@@ -96,7 +97,8 @@ def compare_with_reference(hf_dir: str, tmp_path, our_convert, extra_skip=()):
         a = dequantize_tensor(ours.tensor_bytes(name), ot.ggml_type, ot.shape)
         b = dequantize_tensor(ref.tensor_bytes(name), rt.ggml_type, rt.shape)
         np.testing.assert_allclose(
-            a, b, rtol=0, atol=0, err_msg=f"tensor bytes differ: {name}")
+            a, b, rtol=tensor_rtol, atol=0,
+            err_msg=f"tensor bytes differ: {name}")
 
     our_meta = dict(ours.metadata)
     ref_meta = dict(ref.metadata)

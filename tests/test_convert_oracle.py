@@ -98,3 +98,68 @@ def test_convert_matches_reference(tmp_path, name, cfg_cls, model_cls, over):
         pytest.skip("arch not in this transformers version")
     d = _mk(tmp_path, name, cfg_cls, model_cls, **over)
     compare_with_reference(d, tmp_path, convert)
+
+
+# encoder / seq2seq / ssm families need their own config vocabulary
+_BERT_KW = dict(vocab_size=128, hidden_size=64, intermediate_size=96,
+                num_hidden_layers=2, num_attention_heads=4,
+                max_position_embeddings=64, type_vocab_size=2, pad_token_id=0)
+_T5_KW = dict(vocab_size=128, d_model=64, d_kv=16, d_ff=96, num_layers=2,
+              num_heads=4, relative_attention_num_buckets=8,
+              decoder_start_token_id=0, pad_token_id=0, eos_token_id=1)
+_MAMBA_KW = dict(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                 state_size=8, conv_kernel=4, intermediate_size=128,
+                 pad_token_id=0)
+
+# (name, config class, config kwargs, model class, tensor_rtol)
+CASES2 = [
+    ("bert", "BertConfig", _BERT_KW, "BertModel", 0.0),
+    ("bert_mlm", "BertConfig", _BERT_KW, "BertForMaskedLM", 0.0),
+    ("bert_cls", "BertConfig",
+     dict(_BERT_KW, id2label={0: "neg", 1: "neu", 2: "pos"}),
+     "BertForSequenceClassification", 0.0),
+    ("roberta", "RobertaConfig", dict(_BERT_KW, bos_token_id=1, eos_token_id=2),
+     "RobertaModel", 0.0),
+    ("roberta_cls", "RobertaConfig",
+     dict(_BERT_KW, bos_token_id=1, eos_token_id=2,
+          id2label={0: "a", 1: "b", 2: "c"}),
+     "RobertaForSequenceClassification", 0.0),
+    ("xlmroberta", "XLMRobertaConfig",
+     dict(_BERT_KW, bos_token_id=1, eos_token_id=2), "XLMRobertaModel", 0.0),
+    ("distilbert", "DistilBertConfig",
+     dict(vocab_size=128, dim=64, hidden_dim=96, n_layers=2, n_heads=4,
+          max_position_embeddings=64, pad_token_id=0), "DistilBertModel", 0.0),
+    ("t5", "T5Config", _T5_KW, "T5ForConditionalGeneration", 0.0),
+    ("t5_untied", "T5Config", dict(_T5_KW, tie_word_embeddings=False),
+     "T5ForConditionalGeneration", 0.0),
+    ("umt5", "UMT5Config", _T5_KW, "UMT5ForConditionalGeneration", 0.0),
+    ("t5encoder", "T5Config", _T5_KW, "T5EncoderModel", 0.0),
+    # ssm_a differs by 1 ULP: numpy vs torch -exp rounding
+    ("mamba", "MambaConfig", _MAMBA_KW, "MambaForCausalLM", 1e-6),
+    ("falconmamba", "FalconMambaConfig", _MAMBA_KW,
+     "FalconMambaForCausalLM", 1e-6),
+]
+
+
+@pytest.mark.parametrize("name,cfg_cls,kw,model_cls,rtol",
+                         CASES2, ids=[c[0] for c in CASES2])
+def test_convert_matches_reference_enc(tmp_path, name, cfg_cls, kw,
+                                       model_cls, rtol):
+    import transformers as T
+
+    cfg_cls = getattr(T, cfg_cls, None)
+    model_cls = getattr(T, model_cls, None)
+    if cfg_cls is None or model_cls is None:
+        pytest.skip("arch not in this transformers version")
+    cfg = cfg_cls(**kw)
+    torch.manual_seed(0)
+    m = model_cls(cfg).eval()
+    d = tmp_path / name
+    m.save_pretrained(d, safe_serialization=True)
+    (d / "tokenizer.json").write_text(json.dumps({
+        "model": {"type": "BPE",
+                  "vocab": {f"t{i}": i for i in range(kw["vocab_size"])},
+                  "merges": []},
+        "added_tokens": [],
+    }))
+    compare_with_reference(str(d), tmp_path, convert, tensor_rtol=rtol)
