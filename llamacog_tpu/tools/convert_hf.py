@@ -312,8 +312,13 @@ _SKIP_LM_HEAD = {"gemma", "gemma2"}
 #             is a POST-attention norm, plus pre/post feed-forward norms)
 _ARCHES = {
     "LlamaForCausalLM": ("llama", None),
+    "LlamaModel": ("llama", None),
+    "LLaMAForCausalLM": ("llama", None),
+    "VLlama3ForCausalLM": ("llama", None),
+    "InternLM3ForCausalLM": ("llama", None),
     "MistralForCausalLM": ("llama", None),
     "MixtralForCausalLM": ("llama", None),
+    "Qwen2Model": ("qwen2", None),
     "Qwen2ForCausalLM": ("qwen2", None),
     "Qwen3ForCausalLM": ("qwen3", None),
     "Qwen2MoeForCausalLM": ("qwen2moe", None),
@@ -328,6 +333,9 @@ _ARCHES = {
     "CohereForCausalLM": ("command-r", None),
     "Starcoder2ForCausalLM": ("starcoder2", None),
     "StableLmForCausalLM": ("stablelm", None),
+    "StableLMEpochForCausalLM": ("stablelm", None),
+    "LlavaStableLMEpochForCausalLM": ("stablelm", None),
+    "OLMoForCausalLM": ("olmo", None),
     "GraniteForCausalLM": ("granite", None),
     "GraniteMoeForCausalLM": ("granitemoe", None),
     "GraniteMoeSharedForCausalLM": ("granitemoe", None),
@@ -426,9 +434,13 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
         w.add(f"{arch}.attention.layer_norm_epsilon", ln_eps)
     w.add(f"{arch}.rope.freq_base", cfg.get("rope_theta", 10000.0))
     w.add(f"{arch}.vocab_size", cfg["vocab_size"])
-    if cfg.get("head_dim"):
-        w.add(f"{arch}.attention.key_length", cfg["head_dim"])
-        w.add(f"{arch}.attention.value_length", cfg["head_dim"])
+    if cfg.get("head_dim") or arch == "llama":
+        # transformers' LlamaConfig defaults head_dim = E // n_head, so the
+        # reference (loading via AutoConfig) always writes key/value_length
+        # for llama-family checkpoints even when config.json omits head_dim
+        hd = cfg.get("head_dim") or cfg["hidden_size"] // n_head
+        w.add(f"{arch}.attention.key_length", hd)
+        w.add(f"{arch}.attention.value_length", hd)
     if cfg.get("sliding_window") and arch in ("gemma2", "gemma3", "cohere2"):
         w.add(f"{arch}.attention.sliding_window", cfg["sliding_window"])
     if cfg.get("logit_scale"):  # command-r / cohere2
@@ -1179,8 +1191,10 @@ def _convert_mamba(d, cfg, sd, out_path, outtype, progress=None) -> dict:
 # encoder (BERT family) and seq2seq (T5 family) converters live in their own
 # module; imported at the end so they can reuse this module's helpers
 from .convert_hf_ext import CUSTOM_EXT as _CUSTOM_EXT  # noqa: E402
+from .convert_hf_ext2 import CUSTOM_EXT2 as _CUSTOM_EXT2  # noqa: E402
 
 _CUSTOM.update(_CUSTOM_EXT)
+_CUSTOM.update(_CUSTOM_EXT2)
 
 
 def main(argv=None) -> int:

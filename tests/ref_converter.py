@@ -49,6 +49,15 @@ def ref_convert(hf_dir: str, out_path: str) -> None:
 
     cfg = json.loads((pathlib.Path(hf_dir) / "config.json").read_text())
     arch = cfg["architectures"][0]
+    # upstream bug workaround: TensorNameMap.__init__ mutates the CLASS-level
+    # block_mappings_cfg when an arch has arch_block_mappings_cfg overrides
+    # (arctic), poisoning every later conversion in this process.  Harmless
+    # upstream (one conversion per process); fatal for a shared-process oracle.
+    # Restore the pristine dict before each conversion.
+    tm_cls = ref_gguf.tensor_mapping.TensorNameMap
+    if not hasattr(tm_cls, "_pristine_block_mappings"):
+        tm_cls._pristine_block_mappings = dict(tm_cls.block_mappings_cfg)
+    tm_cls.block_mappings_cfg = dict(tm_cls._pristine_block_mappings)
     cls = m.ModelBase.from_model_architecture(arch)
     model = cls(
         pathlib.Path(hf_dir),
@@ -57,6 +66,18 @@ def ref_convert(hf_dir: str, out_path: str) -> None:
         eager=True,
     )
     model.set_vocab = lambda: None
+    # upstream bug workaround: get_total_parameter_count does shape[-3] on any
+    # tensor whose name contains "_exps." — IndexError for the 1-D
+    # ffn_norm_exps (arctic).  Parameter counts only feed general.* metadata
+    # (excluded from parity), so stub it out when a 1-D _exps tensor exists.
+    _orig_count = model.gguf_writer.get_total_parameter_count
+
+    def _safe_count():
+        try:
+            return _orig_count()
+        except IndexError:
+            return 0, 0, 0, 0
+    model.gguf_writer.get_total_parameter_count = _safe_count
     # gemma3 trims token_embd to the sentencepiece vocab length inside
     # modify_tensors; give it a full-length stub so the trim is a no-op
     n_vocab = (cfg.get("text_config") or cfg).get("vocab_size", 0)

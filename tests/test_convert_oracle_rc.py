@@ -145,3 +145,501 @@ def test_convert_minicpm(tmp_path):
                              "original_max_position_embeddings": 2048})
     d = _craft(tmp_path, "minicpm", cfg, _llama_layers(NL, E, F, NH, NKV))
     compare_with_reference(d, tmp_path, convert)
+
+
+# ---------------------------------------------------------------------------
+# wave D: long-tail decoder arches
+# ---------------------------------------------------------------------------
+
+
+def test_convert_deci_7b_style(tmp_path):
+    per_layer = [4, 2]
+    cfg = dict(architectures=["DeciLMForCausalLM"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_hidden_layers=NL,
+               num_attention_heads=NH, num_key_value_heads_per_layer=per_layer,
+               max_position_embeddings=2048, rms_norm_eps=1e-5)
+    hd = E // NH
+    t = _llama_layers(0, E, F, NH, NH)
+    for i, kv in enumerate(per_layer):
+        p = f"model.layers.{i}"
+        t[f"{p}.self_attn.q_proj.weight"] = (NH * hd, E)
+        t[f"{p}.self_attn.k_proj.weight"] = (kv * hd, E)
+        t[f"{p}.self_attn.v_proj.weight"] = (kv * hd, E)
+        t[f"{p}.self_attn.o_proj.weight"] = (E, NH * hd)
+        t[f"{p}.input_layernorm.weight"] = (E,)
+        t[f"{p}.post_attention_layernorm.weight"] = (E,)
+        t[f"{p}.mlp.gate_proj.weight"] = (F, E)
+        t[f"{p}.mlp.up_proj.weight"] = (F, E)
+        t[f"{p}.mlp.down_proj.weight"] = (E, F)
+    d = _craft(tmp_path, "deci7b", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_deci_nemotron_style(tmp_path):
+    # layer 0: normal attention (group of 2), layer 1: attention-free
+    blocks = [
+        {"attention": {"n_heads_in_group": 2, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0}},
+        {"attention": {"n_heads_in_group": None, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0}},
+    ]
+    ffn_dim = 256  # _ffn_mult_to_intermediate_size(1.0, 64) -> 256
+    cfg = dict(architectures=["DeciLMForCausalLM"], vocab_size=128,
+               hidden_size=E, num_hidden_layers=NL,
+               num_attention_heads=NH, block_configs=blocks,
+               max_position_embeddings=2048, rms_norm_eps=1e-5,
+               rope_theta=10000.0)
+    hd = E // NH
+    t = {"model.embed_tokens.weight": (128, E), "model.norm.weight": (E,),
+         "lm_head.weight": (128, E)}
+    p = "model.layers.0"
+    t.update({f"{p}.self_attn.q_proj.weight": (NH * hd, E),
+              f"{p}.self_attn.k_proj.weight": (2 * hd, E),
+              f"{p}.self_attn.v_proj.weight": (2 * hd, E),
+              f"{p}.self_attn.o_proj.weight": (E, NH * hd),
+              f"{p}.input_layernorm.weight": (E,)})
+    for p in ("model.layers.0", "model.layers.1"):
+        t.update({f"{p}.post_attention_layernorm.weight": (E,),
+                  f"{p}.mlp.gate_proj.weight": (ffn_dim, E),
+                  f"{p}.mlp.up_proj.weight": (ffn_dim, E),
+                  f"{p}.mlp.down_proj.weight": (E, ffn_dim)})
+    d = _craft(tmp_path, "deci51b", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_exaone(tmp_path):
+    cfg = dict(architectures=["ExaoneForCausalLM"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_layers=NL,
+               num_attention_heads=NH, num_key_value_heads=NKV,
+               max_position_embeddings=2048, layer_norm_epsilon=1e-5,
+               activation_function="silu", rope_theta=10000.0)
+    t = {"transformer.wte.weight": (128, E), "transformer.ln_f.weight": (E,),
+         "lm_head.weight": (128, E)}
+    for i in range(NL):
+        p = f"transformer.h.{i}"
+        t.update({f"{p}.ln_1.weight": (E,), f"{p}.ln_2.weight": (E,),
+                  f"{p}.attn.attention.q_proj.weight": (E, E),
+                  f"{p}.attn.attention.k_proj.weight": (E, E),
+                  f"{p}.attn.attention.v_proj.weight": (E, E),
+                  f"{p}.attn.attention.out_proj.weight": (E, E),
+                  f"{p}.mlp.c_fc_0.weight": (F, E),
+                  f"{p}.mlp.c_fc_1.weight": (F, E),
+                  f"{p}.mlp.c_proj.weight": (E, F)})
+    d = _craft(tmp_path, "exaone", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_chatglm(tmp_path):
+    n_kv = 2
+    hd = E // NH
+    cfg = dict(architectures=["ChatGLMModel"], vocab_size=128,
+               hidden_size=E, ffn_hidden_size=F, num_layers=NL,
+               num_attention_heads=NH, multi_query_group_num=n_kv,
+               seq_length=2048, layernorm_epsilon=1e-5, rope_ratio=2.0)
+    t = {"transformer.embedding.word_embeddings.weight": (128, E),
+         "transformer.encoder.final_layernorm.weight": (E,),
+         "transformer.output_layer.weight": (128, E),
+         "transformer.rotary_pos_emb.inv_freq": (hd // 4,)}
+    for i in range(NL):
+        p = f"transformer.encoder.layers.{i}"
+        t.update({f"{p}.input_layernorm.weight": (E,),
+                  f"{p}.self_attention.query_key_value.weight":
+                      ((NH + 2 * n_kv) * hd, E),
+                  f"{p}.self_attention.query_key_value.bias":
+                      ((NH + 2 * n_kv) * hd,),
+                  f"{p}.self_attention.dense.weight": (E, E),
+                  f"{p}.post_attention_layernorm.weight": (E,),
+                  f"{p}.mlp.dense_h_to_4h.weight": (2 * F, E),
+                  f"{p}.mlp.dense_4h_to_h.weight": (E, F)})
+    d = _craft(tmp_path, "chatglm", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_qwen_v1(tmp_path):
+    cfg = dict(architectures=["QWenLMHeadModel"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_hidden_layers=NL,
+               num_attention_heads=NH, max_position_embeddings=2048,
+               rotary_emb_base=10000.0, layer_norm_epsilon=1e-6)
+    t = {"transformer.wte.weight": (128, E), "transformer.ln_f.weight": (E,),
+         "lm_head.weight": (128, E)}
+    for i in range(NL):
+        p = f"transformer.h.{i}"
+        t.update({f"{p}.ln_1.weight": (E,), f"{p}.ln_2.weight": (E,),
+                  f"{p}.attn.c_attn.weight": (3 * E, E),
+                  f"{p}.attn.c_attn.bias": (3 * E,),
+                  f"{p}.attn.c_proj.weight": (E, E),
+                  f"{p}.mlp.w1.weight": (F, E), f"{p}.mlp.w2.weight": (F, E),
+                  f"{p}.mlp.c_proj.weight": (E, F)})
+    d = _craft(tmp_path, "qwenv1", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_codeshell(tmp_path):
+    n_kv = 2
+    hd = E // NH
+    cfg = dict(architectures=["CodeShellForCausalLM"], vocab_size=128,
+               n_embd=E, n_layer=NL, n_head=NH, num_query_groups=n_kv,
+               n_positions=2048, layer_norm_epsilon=1e-5)
+    t = {"transformer.wte.weight": (128, E), "transformer.ln_f.weight": (E,),
+         "transformer.ln_f.bias": (E,), "lm_head.weight": (128, E)}
+    for i in range(NL):
+        p = f"transformer.h.{i}"
+        t.update({f"{p}.ln_1.weight": (E,), f"{p}.ln_1.bias": (E,),
+                  f"{p}.ln_2.weight": (E,), f"{p}.ln_2.bias": (E,),
+                  f"{p}.attn.c_attn.weight": ((NH + 2 * n_kv) * hd, E),
+                  f"{p}.attn.c_attn.bias": ((NH + 2 * n_kv) * hd,),
+                  f"{p}.attn.c_proj.weight": (E, E),
+                  f"{p}.attn.c_proj.bias": (E,),
+                  f"{p}.mlp.c_fc.weight": (4 * E, E),
+                  f"{p}.mlp.c_fc.bias": (4 * E,),
+                  f"{p}.mlp.c_proj.weight": (E, 4 * E),
+                  f"{p}.mlp.c_proj.bias": (E,)})
+    d = _craft(tmp_path, "codeshell", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_grok(tmp_path):
+    n_exp = 4
+    cfg = dict(architectures=["GrokForCausalLM"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_hidden_layers=NL,
+               num_attention_heads=NH, num_key_value_heads=NKV,
+               max_position_embeddings=2048, rms_norm_eps=1e-5,
+               num_local_experts=n_exp, num_experts_per_tok=2)
+    t = {"transformer.in_out_embed.weight": (128, E),
+         "transformer.rms_norm.weight": (E,)}
+    for i in range(NL):
+        p = f"transformer.decoder_layer.{i}"
+        t.update({f"{p}.rms_norm.weight": (E,), f"{p}.rms_norm_1.weight": (E,),
+                  f"{p}.rms_norm_2.weight": (E,), f"{p}.rms_norm_3.weight": (E,),
+                  f"{p}.multi_head_attention.query.weight": (E, E),
+                  f"{p}.multi_head_attention.key.weight": (E, E),
+                  f"{p}.multi_head_attention.value.weight": (E, E),
+                  f"{p}.multi_head_attention.linear.weight": (E, E),
+                  f"{p}.router.weight": (n_exp, E)})
+        for e in range(n_exp):
+            t.update({f"{p}.moe.{e}.linear.weight": (F, E),
+                      f"{p}.moe.{e}.linear_1.weight": (E, F),
+                      f"{p}.moe.{e}.linear_v.weight": (F, E)})
+    d = _craft(tmp_path, "grok", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_minicpm3(tmp_path):
+    q_lora, kv_lora = 32, 16
+    qk_nope, qk_rope, v_hd = 16, 8, 16
+    n_head = 4
+    cfg = dict(architectures=["MiniCPM3ForCausalLM"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_hidden_layers=NL,
+               num_attention_heads=n_head, num_key_value_heads=n_head,
+               max_position_embeddings=2048, rms_norm_eps=1e-5,
+               q_lora_rank=q_lora, kv_lora_rank=kv_lora,
+               qk_nope_head_dim=qk_nope, qk_rope_head_dim=qk_rope,
+               v_head_dim=v_hd,
+               rope_scaling={"long_factor": [1.0] * (qk_rope // 2),
+                             "short_factor": [1.0] * (qk_rope // 2)})
+    t = {"model.embed_tokens.weight": (128, E), "model.norm.weight": (E,),
+         "lm_head.weight": (128, E)}
+    for i in range(NL):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.input_layernorm.weight": (E,),
+                  f"{p}.post_attention_layernorm.weight": (E,),
+                  f"{p}.self_attn.q_a_proj.weight": (q_lora, E),
+                  f"{p}.self_attn.q_a_layernorm.weight": (q_lora,),
+                  f"{p}.self_attn.q_b_proj.weight":
+                      (n_head * (qk_nope + qk_rope), q_lora),
+                  f"{p}.self_attn.kv_a_proj_with_mqa.weight":
+                      (kv_lora + qk_rope, E),
+                  f"{p}.self_attn.kv_a_layernorm.weight": (kv_lora,),
+                  f"{p}.self_attn.kv_b_proj.weight":
+                      (n_head * (qk_nope + v_hd), kv_lora),
+                  f"{p}.self_attn.o_proj.weight": (E, n_head * v_hd),
+                  f"{p}.mlp.gate_proj.weight": (F, E),
+                  f"{p}.mlp.up_proj.weight": (F, E),
+                  f"{p}.mlp.down_proj.weight": (E, F)})
+    d = _craft(tmp_path, "minicpm3", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_phimoe(tmp_path):
+    n_exp = 4
+    cfg = dict(architectures=["PhiMoEForCausalLM"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_hidden_layers=NL,
+               num_attention_heads=NH, num_key_value_heads=NKV,
+               max_position_embeddings=2048,
+               original_max_position_embeddings=2048, rms_norm_eps=1e-5,
+               rope_theta=10000.0, sliding_window=128,
+               num_local_experts=n_exp, num_experts_per_tok=2)
+    t = {"model.embed_tokens.weight": (128, E), "model.norm.weight": (E,),
+         "model.norm.bias": (E,), "lm_head.weight": (128, E),
+         "lm_head.bias": (128,)}
+    for i in range(NL):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.input_layernorm.weight": (E,),
+                  f"{p}.input_layernorm.bias": (E,),
+                  f"{p}.post_attention_layernorm.weight": (E,),
+                  f"{p}.post_attention_layernorm.bias": (E,),
+                  f"{p}.self_attn.q_proj.weight": (E, E),
+                  f"{p}.self_attn.q_proj.bias": (E,),
+                  f"{p}.self_attn.k_proj.weight": (E, E),
+                  f"{p}.self_attn.k_proj.bias": (E,),
+                  f"{p}.self_attn.v_proj.weight": (E, E),
+                  f"{p}.self_attn.v_proj.bias": (E,),
+                  f"{p}.self_attn.o_proj.weight": (E, E),
+                  f"{p}.self_attn.o_proj.bias": (E,),
+                  f"{p}.block_sparse_moe.gate.weight": (n_exp, E)})
+        for e in range(n_exp):
+            t.update({f"{p}.block_sparse_moe.experts.{e}.w1.weight": (F, E),
+                      f"{p}.block_sparse_moe.experts.{e}.w2.weight": (E, F),
+                      f"{p}.block_sparse_moe.experts.{e}.w3.weight": (F, E)})
+    d = _craft(tmp_path, "phimoe", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_bailingmoe(tmp_path):
+    n_exp, n_kv = 4, 2
+    hd = E // NH
+    cfg = dict(architectures=["BailingMoeForCausalLM"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_hidden_layers=NL,
+               num_attention_heads=NH, num_key_value_heads=n_kv,
+               max_position_embeddings=2048, rms_norm_eps=1e-5,
+               first_k_dense_replace=0, moe_intermediate_size=48,
+               num_experts=n_exp, num_shared_experts=1, norm_topk_prob=True,
+               num_experts_per_tok=2, norm_head=True)
+    t = {"model.word_embeddings.weight": (128, E), "model.norm.weight": (E,),
+         "lm_head.weight": (128, E)}
+    for i in range(NL):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.input_layernorm.weight": (E,),
+                  f"{p}.post_attention_layernorm.weight": (E,),
+                  f"{p}.attention.query_key_value.weight":
+                      ((NH + 2 * n_kv) * hd, E),
+                  f"{p}.attention.dense.weight": (E, E)})
+        t[f"{p}.mlp.gate.weight"] = (n_exp, E)
+        for e in range(n_exp):
+            t.update({f"{p}.mlp.experts.{e}.gate_proj.weight": (48, E),
+                      f"{p}.mlp.experts.{e}.up_proj.weight": (48, E),
+                      f"{p}.mlp.experts.{e}.down_proj.weight": (E, 48)})
+        t.update({f"{p}.mlp.shared_experts.gate_proj.weight": (48, E),
+                  f"{p}.mlp.shared_experts.up_proj.weight": (48, E),
+                  f"{p}.mlp.shared_experts.down_proj.weight": (E, 48)})
+    d = _craft(tmp_path, "bailingmoe", cfg, t)
+    compare_with_reference(d, tmp_path, convert, tensor_rtol=1e-6)
+
+
+def test_convert_dots1(tmp_path):
+    n_exp = 4
+    cfg = dict(architectures=["Dots1ForCausalLM"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_hidden_layers=NL,
+               num_attention_heads=NH, num_key_value_heads=NKV,
+               max_position_embeddings=2048, rms_norm_eps=1e-5,
+               rope_theta=10000.0,
+               n_routed_experts=n_exp, num_experts_per_tok=2,
+               moe_intermediate_size=48, first_k_dense_replace=1,
+               n_shared_experts=1, routed_scaling_factor=2.5,
+               norm_topk_prob=True, scoring_func="noaux_tc")
+    hd = E // NH
+    t = {"model.embed_tokens.weight": (128, E), "model.norm.weight": (E,),
+         "lm_head.weight": (128, E)}
+    for i in range(NL):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.input_layernorm.weight": (E,),
+                  f"{p}.post_attention_layernorm.weight": (E,),
+                  f"{p}.self_attn.q_proj.weight": (NH * hd, E),
+                  f"{p}.self_attn.k_proj.weight": (NKV * hd, E),
+                  f"{p}.self_attn.v_proj.weight": (NKV * hd, E),
+                  f"{p}.self_attn.o_proj.weight": (E, NH * hd),
+                  f"{p}.self_attn.q_norm.weight": (hd,),
+                  f"{p}.self_attn.k_norm.weight": (hd,)})
+        if i == 0:
+            t.update({f"{p}.mlp.gate_proj.weight": (F, E),
+                      f"{p}.mlp.up_proj.weight": (F, E),
+                      f"{p}.mlp.down_proj.weight": (E, F)})
+        else:
+            t[f"{p}.mlp.gate.weight"] = (n_exp, E)
+            t[f"{p}.mlp.gate.e_score_correction_bias"] = (n_exp,)
+            for e in range(n_exp):
+                t.update({f"{p}.mlp.experts.{e}.gate_proj.weight": (48, E),
+                          f"{p}.mlp.experts.{e}.up_proj.weight": (48, E),
+                          f"{p}.mlp.experts.{e}.down_proj.weight": (E, 48)})
+            t.update({f"{p}.mlp.shared_experts.gate_proj.weight": (48, E),
+                      f"{p}.mlp.shared_experts.up_proj.weight": (48, E),
+                      f"{p}.mlp.shared_experts.down_proj.weight": (E, 48)})
+    d = _craft(tmp_path, "dots1", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_chameleon(tmp_path):
+    hd = E // NH
+    cfg = dict(architectures=["ChameleonForConditionalGeneration"],
+               vocab_size=128, hidden_size=E, intermediate_size=F,
+               num_hidden_layers=NL, num_attention_heads=NH,
+               num_key_value_heads=NKV, max_position_embeddings=2048,
+               rms_norm_eps=1e-5, rope_theta=10000.0, swin_norm=True)
+    t = _llama_layers(NL, E, F, NH, NKV)
+    for i in range(NL):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.self_attn.q_norm.weight": (NH, hd),
+                  f"{p}.self_attn.q_norm.bias": (NH, hd),
+                  f"{p}.self_attn.k_norm.weight": (NKV, hd),
+                  f"{p}.self_attn.k_norm.bias": (NKV, hd)})
+    d = _craft(tmp_path, "chameleon", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_bitnet(tmp_path):
+    cfg = dict(architectures=["BitnetForCausalLM"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_hidden_layers=NL,
+               num_attention_heads=NH, num_key_value_heads=NKV,
+               max_position_embeddings=2048, rms_norm_eps=1e-5)
+    t = _llama_layers(NL, E, F, NH, NKV)
+    del t["lm_head.weight"]  # bitnet ties lm_head to embeddings
+    for i in range(NL):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.self_attn.inner_attn_ln.weight": (E,),
+                  f"{p}.mlp.ffn_layernorm.weight": (F,)})
+    d = _craft(tmp_path, "bitnet", cfg, t)
+    compare_with_reference(d, tmp_path, convert, tensor_rtol=1e-6)
+
+
+def test_convert_arctic(tmp_path):
+    n_exp = 4
+    hd = E // NH
+    cfg = dict(architectures=["ArcticForCausalLM"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_hidden_layers=NL,
+               num_attention_heads=NH, num_key_value_heads=NKV,
+               max_position_embeddings=2048, rms_norm_eps=1e-5,
+               num_local_experts=n_exp, num_experts_per_tok=2)
+    t = {"model.embed_tokens.weight": (128, E), "model.norm.weight": (E,),
+         "lm_head.weight": (128, E)}
+    for i in range(NL):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.input_layernorm.weight": (E,),
+                  f"{p}.residual_layernorm.weight": (E,),
+                  f"{p}.post_attention_layernorm.weight": (E,),
+                  f"{p}.self_attn.q_proj.weight": (NH * hd, E),
+                  f"{p}.self_attn.k_proj.weight": (NKV * hd, E),
+                  f"{p}.self_attn.v_proj.weight": (NKV * hd, E),
+                  f"{p}.self_attn.o_proj.weight": (E, NH * hd),
+                  f"{p}.residual_mlp.w1.weight": (F, E),
+                  f"{p}.residual_mlp.w3.weight": (F, E),
+                  f"{p}.residual_mlp.w2.weight": (E, F),
+                  f"{p}.block_sparse_moe.gate.weight": (n_exp, E)})
+        for e in range(n_exp):
+            t.update({f"{p}.block_sparse_moe.experts.{e}.w1.weight": (48, E),
+                      f"{p}.block_sparse_moe.experts.{e}.w2.weight": (E, 48),
+                      f"{p}.block_sparse_moe.experts.{e}.w3.weight": (48, E)})
+    d = _craft(tmp_path, "arctic", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_openelm(tmp_path):
+    hd = 16
+    q_heads, kv_heads = [4, 2], [2, 1]
+    mults = [1.0, 2.0]
+    cfg = dict(architectures=["OpenELMForCausalLM"], vocab_size=128,
+               model_dim=E, num_transformer_layers=NL, head_dim=hd,
+               num_query_heads=q_heads, num_kv_heads=kv_heads,
+               ffn_multipliers=mults, ffn_dim_divisor=32,
+               max_context_length=2048, rope_freq_constant=10000)
+    ffn = [64, 128]  # make_divisible(64*1,32), make_divisible(64*2,32)
+    t = {"transformer.token_embeddings.weight": (128, E),
+         "transformer.norm.weight": (E,)}
+    for i in range(NL):
+        p = f"transformer.layers.{i}"
+        qkv = (q_heads[i] + 2 * kv_heads[i]) * hd
+        t.update({f"{p}.attn_norm.weight": (E,),
+                  f"{p}.ffn_norm.weight": (E,),
+                  f"{p}.attn.qkv_proj.weight": (qkv, E),
+                  f"{p}.attn.out_proj.weight": (E, q_heads[i] * hd),
+                  f"{p}.attn.q_norm.weight": (hd,),
+                  f"{p}.attn.k_norm.weight": (hd,),
+                  f"{p}.ffn.proj_1.weight": (2 * ffn[i], E),
+                  f"{p}.ffn.proj_2.weight": (E, ffn[i])})
+    d = _craft(tmp_path, "openelm", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_deepseek_v1(tmp_path):
+    n_exp = 4
+    hd = E // NH
+    cfg = dict(architectures=["DeepseekForCausalLM"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_hidden_layers=NL,
+               num_attention_heads=NH, num_key_value_heads=NKV,
+               max_position_embeddings=2048, rms_norm_eps=1e-5,
+               n_routed_experts=n_exp, num_experts_per_tok=2,
+               moe_intermediate_size=48, first_k_dense_replace=1,
+               n_shared_experts=1)
+    t = {"model.embed_tokens.weight": (128, E), "model.norm.weight": (E,),
+         "lm_head.weight": (128, E)}
+    for i in range(NL):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.input_layernorm.weight": (E,),
+                  f"{p}.post_attention_layernorm.weight": (E,),
+                  f"{p}.self_attn.q_proj.weight": (NH * hd, E),
+                  f"{p}.self_attn.k_proj.weight": (NKV * hd, E),
+                  f"{p}.self_attn.v_proj.weight": (NKV * hd, E),
+                  f"{p}.self_attn.o_proj.weight": (E, NH * hd)})
+        if i == 0:
+            t.update({f"{p}.mlp.gate_proj.weight": (F, E),
+                      f"{p}.mlp.up_proj.weight": (F, E),
+                      f"{p}.mlp.down_proj.weight": (E, F)})
+        else:
+            t[f"{p}.mlp.gate.weight"] = (n_exp, E)
+            for e in range(n_exp):
+                t.update({f"{p}.mlp.experts.{e}.gate_proj.weight": (48, E),
+                          f"{p}.mlp.experts.{e}.up_proj.weight": (48, E),
+                          f"{p}.mlp.experts.{e}.down_proj.weight": (E, 48)})
+            t.update({f"{p}.mlp.shared_experts.gate_proj.weight": (48, E),
+                      f"{p}.mlp.shared_experts.up_proj.weight": (48, E),
+                      f"{p}.mlp.shared_experts.down_proj.weight": (E, 48)})
+    d = _craft(tmp_path, "deepseek1", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_jais(tmp_path):
+    cfg = dict(architectures=["JAISLMHeadModel"], vocab_size=128,
+               n_embd=E, n_inner=F, n_layer=NL, n_head=NH, n_positions=2048,
+               layer_norm_epsilon=1e-5, activation_function="swiglu",
+               position_embedding_type="alibi", mup_embeddings_scale=14.6,
+               mup_output_alpha=2.22, mup_width_scale=0.03571)
+    t = {"transformer.wte.weight": (128, E), "transformer.ln_f.weight": (E,),
+         "transformer.ln_f.bias": (E,), "lm_head.weight": (128, E)}
+    for i in range(NL):
+        p = f"transformer.h.{i}"
+        t.update({f"{p}.ln_1.weight": (E,), f"{p}.ln_1.bias": (E,),
+                  f"{p}.ln_2.weight": (E,), f"{p}.ln_2.bias": (E,),
+                  f"{p}.attn.c_attn.weight": (E, 3 * E),
+                  f"{p}.attn.c_attn.bias": (3 * E,),
+                  f"{p}.attn.c_proj.weight": (E, E),
+                  f"{p}.attn.c_proj.bias": (E,),
+                  f"{p}.mlp.c_fc.weight": (E, F),
+                  f"{p}.mlp.c_fc.bias": (F,),
+                  f"{p}.mlp.c_fc2.weight": (E, F),
+                  f"{p}.mlp.c_fc2.bias": (F,),
+                  f"{p}.mlp.c_proj.weight": (F, E),
+                  f"{p}.mlp.c_proj.bias": (E,)})
+    d = _craft(tmp_path, "jais", cfg, t)
+    compare_with_reference(d, tmp_path, convert, tensor_rtol=1e-6)
+
+
+def test_convert_llama_aliases(tmp_path):
+    cfg = dict(architectures=["LLaMAForCausalLM"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_hidden_layers=NL,
+               num_attention_heads=NH, num_key_value_heads=NKV,
+               max_position_embeddings=2048, rms_norm_eps=1e-5)
+    d = _craft(tmp_path, "llama_alias", cfg, _llama_layers(NL, E, F, NH, NKV))
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_olmo_oldcaps_alias(tmp_path):
+    cfg = dict(architectures=["OLMoForCausalLM"], vocab_size=128,
+               hidden_size=E, intermediate_size=F, num_hidden_layers=NL,
+               num_attention_heads=NH, max_position_embeddings=2048,
+               clip_qkv=8.0)
+    t = _llama_layers(NL, E, F, NH, NH)
+    del t["model.norm.weight"]  # olmo: non-parametric norms
+    for i in range(NL):
+        del t[f"model.layers.{i}.input_layernorm.weight"]
+        del t[f"model.layers.{i}.post_attention_layernorm.weight"]
+    d = _craft(tmp_path, "olmo_caps", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
