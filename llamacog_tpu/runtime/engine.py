@@ -421,6 +421,8 @@ class Engine:
 
     def prefill(self, token_ids: list[int], row: int = 0) -> np.ndarray:
         """Feed a prompt into one row; returns logits of the last real token."""
+        if not len(token_ids):
+            raise ValueError("empty prompt: nothing to prefill")
         if self.recurrent:
             return self._recurrent_prefill(token_ids, row)
         logits = self._prefill_row_logits(token_ids, row, last_only=True)

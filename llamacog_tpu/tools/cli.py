@@ -197,6 +197,14 @@ def main(argv=None) -> int:
         if args.conversation and model.vocab.add_bos and model.vocab.bos_id >= 0:
             if not ids or ids[0] != model.vocab.bos_id:
                 ids = [model.vocab.bos_id] + ids
+        if not ids:
+            # untokenizable prompt (or empty with no BOS): seed with BOS so
+            # the engine always has one real token, as llama-cli does
+            if model.vocab.bos_id >= 0:
+                ids = [model.vocab.bos_id]
+            else:
+                sys.exit("error: prompt tokenized to zero tokens and the "
+                         "vocab has no BOS token to seed generation")
         t1 = time.time()
         logits, n_fed = feed(ids)
         t_prefill += time.time() - t1

@@ -1192,9 +1192,11 @@ def _convert_mamba(d, cfg, sd, out_path, outtype, progress=None) -> dict:
 # module; imported at the end so they can reuse this module's helpers
 from .convert_hf_ext import CUSTOM_EXT as _CUSTOM_EXT  # noqa: E402
 from .convert_hf_ext2 import CUSTOM_EXT2 as _CUSTOM_EXT2  # noqa: E402
+from .convert_hf_ext3 import CUSTOM_EXT3 as _CUSTOM_EXT3  # noqa: E402
 
 _CUSTOM.update(_CUSTOM_EXT)
 _CUSTOM.update(_CUSTOM_EXT2)
+_CUSTOM.update(_CUSTOM_EXT3)
 
 
 def main(argv=None) -> int:

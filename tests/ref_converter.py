@@ -66,6 +66,11 @@ def ref_convert(hf_dir: str, out_path: str) -> None:
         eager=True,
     )
     model.set_vocab = lambda: None
+    # the reference RWKV classes accumulate fused-lerp parts in a CLASS-level
+    # dict; shadow it per conversion so repeated/different conversions in one
+    # process don't cross-contaminate (upstream runs one conversion/process)
+    if hasattr(model, "lerp_weights"):
+        model.lerp_weights = {}
     # upstream bug workaround: get_total_parameter_count does shape[-3] on any
     # tensor whose name contains "_exps." — IndexError for the 1-D
     # ffn_norm_exps (arctic).  Parameter counts only feed general.* metadata

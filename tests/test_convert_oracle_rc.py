@@ -643,3 +643,325 @@ def test_convert_olmo_oldcaps_alias(tmp_path):
         del t[f"model.layers.{i}.post_attention_layernorm.weight"]
     d = _craft(tmp_path, "olmo_caps", cfg, t)
     compare_with_reference(d, tmp_path, convert)
+
+
+# ---------------------------------------------------------------------------
+# wave E: RWKV family, refact, PLM, wavtokenizer
+# ---------------------------------------------------------------------------
+
+
+def test_convert_rwkv6(tmp_path):
+    E6, HS, NFF = 64, 8, 224
+    cfg = dict(architectures=["Rwkv6ForCausalLM"], model_type="rwkv6",
+               vocab_size=128,
+               hidden_size=E6, num_hidden_layers=NL, head_size=HS,
+               layer_norm_epsilon=1e-5, rescale_every=2,
+               intermediate_size=None)
+    nh = E6 // HS
+    t = {"rwkv.embeddings.weight": (128, E6),
+         "rwkv.blocks.0.pre_ln.weight": (E6,),
+         "rwkv.blocks.0.pre_ln.bias": (E6,),
+         "rwkv.ln_out.weight": (E6,), "rwkv.ln_out.bias": (E6,),
+         "head.weight": (128, E6)}
+    for i in range(NL):
+        p = f"rwkv.blocks.{i}"
+        t.update({f"{p}.ln1.weight": (E6,), f"{p}.ln1.bias": (E6,),
+                  f"{p}.ln2.weight": (E6,), f"{p}.ln2.bias": (E6,)})
+        for x in "xwkvrg":
+            t[f"{p}.attention.time_maa_{x}"] = (1, 1, E6)
+        t.update({f"{p}.attention.time_maa_w1": (E6, 5 * 32),
+                  f"{p}.attention.time_maa_w2": (5, 32, E6),
+                  f"{p}.attention.time_decay": (1, 1, E6),
+                  f"{p}.attention.time_decay_w1": (E6, 64),
+                  f"{p}.attention.time_decay_w2": (64, E6),
+                  f"{p}.attention.time_faaaa": (nh, HS),
+                  f"{p}.attention.receptance.weight": (E6, E6),
+                  f"{p}.attention.key.weight": (E6, E6),
+                  f"{p}.attention.value.weight": (E6, E6),
+                  f"{p}.attention.gate.weight": (E6, E6),
+                  f"{p}.attention.output.weight": (E6, E6),
+                  f"{p}.attention.ln_x.weight": (E6,),
+                  f"{p}.attention.ln_x.bias": (E6,),
+                  f"{p}.feed_forward.time_maa_k": (1, 1, E6),
+                  f"{p}.feed_forward.time_maa_r": (1, 1, E6),
+                  f"{p}.feed_forward.key.weight": (NFF, E6),
+                  f"{p}.feed_forward.receptance.weight": (E6, E6),
+                  f"{p}.feed_forward.value.weight": (E6, NFF)})
+    d = _craft(tmp_path, "rwkv6m", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_rwkv6qwen2(tmp_path):
+    E6, HS = 64, 8
+    cfg = dict(architectures=["RWKV6Qwen2ForCausalLM"], vocab_size=128,
+               hidden_size=E6, num_hidden_layers=NL, num_attention_heads=8,
+               num_key_value_heads=2, rms_norm_eps=1e-6,
+               intermediate_size=96)
+    t = {"model.embed_tokens.weight": (128, E6),
+         "model.norm.weight": (E6,), "lm_head.weight": (128, E6)}
+    for i in range(NL):
+        p = f"model.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = (E6,)
+        for x in "xwkvrg":
+            t[f"{p}.self_attn.time_maa_{x}"] = (1, 1, E6)
+        t.update({f"{p}.self_attn.time_maa_w1": (E6, 5 * 32),
+                  f"{p}.self_attn.time_maa_w2": (5, 32, E6),
+                  f"{p}.self_attn.time_decay": (1, 1, E6),
+                  f"{p}.self_attn.time_decay_w1": (E6, 64),
+                  f"{p}.self_attn.time_decay_w2": (64, E6),
+                  f"{p}.self_attn.q_proj.weight": (E6, E6),
+                  f"{p}.self_attn.k_proj.weight": (2 * HS, E6),
+                  f"{p}.self_attn.v_proj.weight": (2 * HS, E6),
+                  f"{p}.self_attn.gate.weight": (E6, E6),
+                  f"{p}.self_attn.o_proj.weight": (E6, E6),
+                  f"{p}.post_attention_layernorm.weight": (E6,),
+                  f"{p}.mlp.gate_proj.weight": (96, E6),
+                  f"{p}.mlp.up_proj.weight": (96, E6),
+                  f"{p}.mlp.down_proj.weight": (E6, 96)})
+    d = _craft(tmp_path, "rwkv6q2", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def _rwkv7_layer(E7, HS, NFF, p, with_dummy_v=True):
+    nh = E7 // HS
+    t = {f"{p}.ln1.weight": (E7,), f"{p}.ln1.bias": (E7,),
+         f"{p}.ln2.weight": (E7,), f"{p}.ln2.bias": (E7,)}
+    for x in "rwkvag":
+        t[f"{p}.attention.x_{x}"] = (1, 1, E7)
+    t.update({f"{p}.attention.w0": (1, 1, E7),
+              f"{p}.attention.w1": (E7, 32),
+              f"{p}.attention.w2": (32, E7),
+              f"{p}.attention.a0": (1, 1, E7),
+              f"{p}.attention.a1": (E7, 32),
+              f"{p}.attention.a2": (32, E7),
+              f"{p}.attention.g1": (E7, 32),
+              f"{p}.attention.g2": (32, E7),
+              f"{p}.attention.k_k": (1, 1, E7),
+              f"{p}.attention.k_a": (1, 1, E7),
+              f"{p}.attention.r_k": (nh, HS),
+              f"{p}.attention.receptance.weight": (E7, E7),
+              f"{p}.attention.key.weight": (E7, E7),
+              f"{p}.attention.value.weight": (E7, E7),
+              f"{p}.attention.output.weight": (E7, E7),
+              f"{p}.attention.ln_x.weight": (E7,),
+              f"{p}.attention.ln_x.bias": (E7,),
+              f"{p}.feed_forward.x_k": (1, 1, E7),
+              f"{p}.feed_forward.key.weight": (NFF, E7),
+              f"{p}.feed_forward.value.weight": (E7, NFF)})
+    if with_dummy_v:
+        t.update({f"{p}.attention.v0": (1, 1, E7),
+                  f"{p}.attention.v1": (E7, 32),
+                  f"{p}.attention.v2": (32, E7)})
+    return t
+
+
+def test_convert_rwkv7(tmp_path):
+    E7, HS, NFF = 64, 8, 256
+    cfg = dict(architectures=["Rwkv7ForCausalLM"], vocab_size=128,
+               hidden_size=E7, num_hidden_layers=NL, head_size=HS,
+               layer_norm_epsilon=1e-5, intermediate_size=NFF,
+               lora_rank_decay=None, lora_rank_iclr=None,
+               lora_rank_value_residual_mix=None, lora_rank_gate=None)
+    t = {"model.embeddings.weight": (128, E7),
+         "model.layers.0.pre_norm.weight": (E7,),
+         "model.layers.0.pre_norm.bias": (E7,),
+         "model.ln_out.weight": (E7,), "model.ln_out.bias": (E7,),
+         "lm_head.weight": (128, E7)}
+    for i in range(NL):
+        # layer 0 ships dummy v0/v1/v2 that the converter must drop and
+        # re-synthesize from a0/a1/a2
+        t.update(_rwkv7_layer(E7, HS, NFF, f"model.layers.{i}",
+                              with_dummy_v=True))
+    d = _craft(tmp_path, "rwkv7m", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_arwkv7(tmp_path):
+    E7, HS, NFF = 64, 8, 96
+    cfg = dict(architectures=["RwkvHybridForCausalLM"], vocab_size=128,
+               hidden_size=E7, num_hidden_layers=NL, head_size=HS,
+               rms_norm_eps=1e-6, intermediate_size=NFF, wkv_has_gate=True,
+               wkv_version=7, num_attention_heads=8)
+    t = {"model.embed_tokens.weight": (128, E7),
+         "model.norm.weight": (E7,), "lm_head.weight": (128, E7)}
+    for i in range(NL):
+        p = f"model.layers.{i}"
+        inner = _rwkv7_layer(E7, HS, NFF, p, with_dummy_v=(i == 0))
+        # hybrid shell: time mixer nests under self_attn.time_mixer, qwen2
+        # MLP + RMS norms replace the rwkv channel mix
+        for k, v in list(inner.items()):
+            if ".ln1." in k or ".ln2." in k or ".feed_forward." in k:
+                continue
+            t[k.replace(".attention.", ".self_attn.time_mixer.")] = v
+        t.update({f"{p}.input_layernorm.weight": (E7,),
+                  f"{p}.post_attention_layernorm.weight": (E7,),
+                  f"{p}.mlp.gate_proj.weight": (NFF, E7),
+                  f"{p}.mlp.up_proj.weight": (NFF, E7),
+                  f"{p}.mlp.down_proj.weight": (E7, NFF)})
+    d = _craft(tmp_path, "arwkv7m", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_refact(tmp_path):
+    E8, NH8 = 64, 4
+    hd = E8 // NH8
+    ff = 256  # 256-rounded 2/3 swiglu of 4*64
+    cfg = dict(architectures=["GPTRefactForCausalLM"], vocab_size=128,
+               n_embd=E8, n_layer=NL, n_head=NH8, n_positions=2048,
+               layer_norm_epsilon=1e-5)
+    t = {"transformer.wte.weight": (128, E8),
+         "transformer.ln_f.weight": (E8,), "lm_head.weight": (128, E8)}
+    for i in range(NL):
+        p = f"transformer.h.{i}"
+        t.update({f"{p}.ln_1.weight": (E8,), f"{p}.ln_2.weight": (E8,),
+                  f"{p}.attn.q.weight": (E8, E8),
+                  f"{p}.attn.kv.weight": (2 * hd, E8),
+                  f"{p}.attn.c_proj.weight": (E8, E8),
+                  f"{p}.mlp.gate_up_proj.weight": (2 * ff, E8),
+                  f"{p}.mlp.c_proj.weight": (E8, ff)})
+    d = _craft(tmp_path, "refactm", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_plm(tmp_path):
+    E9, NH9 = 64, 4
+    kv_lora, qk_nope, qk_rope, v_hd = 32, 16, 8, 16
+    cfg = dict(architectures=["PLMForCausalLM"], vocab_size=128,
+               hidden_size=E9, num_hidden_layers=NL, num_attention_heads=NH9,
+               num_key_value_heads=1, kv_lora_rank=kv_lora,
+               qk_nope_head_dim=qk_nope, qk_rope_head_dim=qk_rope,
+               v_head_dim=v_hd, intermediate_size=96,
+               max_position_embeddings=2048, rms_norm_eps=1e-6,
+               rope_theta=10000.0)
+    t = {"model.embed_tokens.weight": (128, E9),
+         "model.norm.weight": (E9,), "lm_head.weight": (128, E9)}
+    for i in range(NL):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.input_layernorm.weight": (E9,),
+                  f"{p}.self_attn.q_proj.weight":
+                      (NH9 * (qk_nope + qk_rope), E9),
+                  f"{p}.self_attn.kv_a_proj_with_mqa.weight":
+                      (kv_lora + qk_rope, E9),
+                  f"{p}.self_attn.kv_a_layernorm.weight": (kv_lora,),
+                  f"{p}.self_attn.kv_b_proj.weight":
+                      (NH9 * (qk_nope + v_hd), kv_lora),
+                  f"{p}.self_attn.o_proj.weight": (E9, NH9 * v_hd),
+                  f"{p}.post_attention_layernorm.weight": (E9,),
+                  f"{p}.mlp.up_proj.weight": (96, E9),
+                  f"{p}.mlp.down_proj.weight": (E9, 96)})
+    d = _craft(tmp_path, "plmm", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_wavtokenizer(tmp_path):
+    cfg = dict(architectures=["WavTokenizerDec"], vocab_size=64,
+               n_embd=32, n_ff=48, n_embd_features=16,
+               group_norm_epsilon=1e-6, group_norm_groups=4, n_layer=2,
+               posnet={"n_embd": 24, "n_layer": 2},
+               convnext={"n_embd": 32, "n_layer": 2})
+    t = {"token_embd.weight": (64, 16),
+         "backbone.embed.weight": (32, 16, 7), "backbone.embed.bias": (32,),
+         "backbone.norm.weight": (32,), "backbone.norm.bias": (32,),
+         "backbone.final_layer_norm.weight": (32,),
+         "backbone.final_layer_norm.bias": (32,),
+         "head.out.weight": (18, 32), "head.out.bias": (18,)}
+    # posnet block 0: resnet conv pair; block 1: attention block
+    t.update({"backbone.posnet.0.conv1.weight": (24, 24, 3),
+              "backbone.posnet.0.conv1.bias": (24,),
+              "backbone.posnet.0.conv2.weight": (24, 24, 3),
+              "backbone.posnet.0.conv2.bias": (24,),
+              "backbone.posnet.0.norm1.weight": (24,),
+              "backbone.posnet.0.norm1.bias": (24,),
+              "backbone.posnet.0.norm2.weight": (24,),
+              "backbone.posnet.0.norm2.bias": (24,),
+              "backbone.posnet.1.norm.weight": (24,),
+              "backbone.posnet.1.norm.bias": (24,),
+              "backbone.posnet.1.q.weight": (24, 24, 1),
+              "backbone.posnet.1.q.bias": (24,),
+              "backbone.posnet.1.k.weight": (24, 24, 1),
+              "backbone.posnet.1.k.bias": (24,),
+              "backbone.posnet.1.v.weight": (24, 24, 1),
+              "backbone.posnet.1.v.bias": (24,),
+              "backbone.posnet.1.proj_out.weight": (24, 24, 1),
+              "backbone.posnet.1.proj_out.bias": (24,)})
+    for i in range(2):
+        t.update({f"backbone.convnext.{i}.dwconv.weight": (32, 1, 7),
+                  f"backbone.convnext.{i}.dwconv.bias": (32,),
+                  f"backbone.convnext.{i}.norm.weight": (32,),
+                  f"backbone.convnext.{i}.norm.bias": (32,),
+                  f"backbone.convnext.{i}.pwconv1.weight": (48, 32),
+                  f"backbone.convnext.{i}.pwconv1.bias": (48,),
+                  f"backbone.convnext.{i}.pwconv2.weight": (32, 48),
+                  f"backbone.convnext.{i}.pwconv2.bias": (32,),
+                  f"backbone.convnext.{i}.gamma": (32,)})
+    d = _craft(tmp_path, "wavtok", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_rwkv_roundtrip(tmp_path):
+    """Converted rwkv6/rwkv7 GGUFs load and run in our engine."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.engine import Engine
+
+    E6, HS, NFF = 64, 8, 224
+    cfg = dict(architectures=["Rwkv6ForCausalLM"], model_type="rwkv6",
+               vocab_size=128, hidden_size=E6, num_hidden_layers=NL,
+               head_size=HS, layer_norm_epsilon=1e-5, rescale_every=2,
+               intermediate_size=None)
+    t = {"rwkv.embeddings.weight": (128, E6),
+         "rwkv.blocks.0.pre_ln.weight": (E6,),
+         "rwkv.blocks.0.pre_ln.bias": (E6,),
+         "rwkv.ln_out.weight": (E6,), "rwkv.ln_out.bias": (E6,),
+         "head.weight": (128, E6)}
+    for i in range(NL):
+        p = f"rwkv.blocks.{i}"
+        t.update({f"{p}.ln1.weight": (E6,), f"{p}.ln1.bias": (E6,),
+                  f"{p}.ln2.weight": (E6,), f"{p}.ln2.bias": (E6,)})
+        for x in "xwkvrg":
+            t[f"{p}.attention.time_maa_{x}"] = (1, 1, E6)
+        t.update({f"{p}.attention.time_maa_w1": (E6, 5 * 32),
+                  f"{p}.attention.time_maa_w2": (5, 32, E6),
+                  f"{p}.attention.time_decay": (1, 1, E6),
+                  f"{p}.attention.time_decay_w1": (E6, 64),
+                  f"{p}.attention.time_decay_w2": (64, E6),
+                  f"{p}.attention.time_faaaa": (E6 // HS, HS),
+                  f"{p}.attention.receptance.weight": (E6, E6),
+                  f"{p}.attention.key.weight": (E6, E6),
+                  f"{p}.attention.value.weight": (E6, E6),
+                  f"{p}.attention.gate.weight": (E6, E6),
+                  f"{p}.attention.output.weight": (E6, E6),
+                  f"{p}.attention.ln_x.weight": (E6,),
+                  f"{p}.attention.ln_x.bias": (E6,),
+                  f"{p}.feed_forward.time_maa_k": (1, 1, E6),
+                  f"{p}.feed_forward.time_maa_r": (1, 1, E6),
+                  f"{p}.feed_forward.key.weight": (NFF, E6),
+                  f"{p}.feed_forward.receptance.weight": (E6, E6),
+                  f"{p}.feed_forward.value.weight": (E6, NFF)})
+    d6 = _craft(tmp_path, "rt6", cfg, t)
+    out6 = str(tmp_path / "rt6.gguf")
+    convert(d6, out6, outtype="f32")
+
+    cfg7 = dict(architectures=["Rwkv7ForCausalLM"], vocab_size=128,
+                hidden_size=64, num_hidden_layers=NL, head_size=8,
+                layer_norm_epsilon=1e-5, intermediate_size=256,
+                lora_rank_decay=None, lora_rank_iclr=None,
+                lora_rank_value_residual_mix=None, lora_rank_gate=None)
+    t7 = {"model.embeddings.weight": (128, 64),
+          "model.layers.0.pre_norm.weight": (64,),
+          "model.layers.0.pre_norm.bias": (64,),
+          "model.ln_out.weight": (64,), "model.ln_out.bias": (64,),
+          "lm_head.weight": (128, 64)}
+    for i in range(NL):
+        t7.update(_rwkv7_layer(64, 8, 256, f"model.layers.{i}"))
+    d7 = _craft(tmp_path, "rt7", cfg7, t7)
+    out7 = str(tmp_path / "rt7.gguf")
+    convert(d7, out7, outtype="f32")
+
+    for path in (out6, out7):
+        m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+        eng = Engine(m.params, m.config, batch_size=1, max_seq=32,
+                     dtype=jnp.float32)
+        logits = eng.prefill_logits([3, 17, 9, 41])
+        assert np.isfinite(np.asarray(logits)).all()
