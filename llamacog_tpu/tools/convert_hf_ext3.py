@@ -580,6 +580,193 @@ def _convert_wavtokenizer(d, cfg, sd, out_path, outtype, progress) -> dict:
             "tensors": count[0], "output": out_path}
 
 
+# ---------------------------------------------------------------------------
+# Encoder BERTs: jina-bert-v2, nomic-bert(-moe), neo-bert
+# ---------------------------------------------------------------------------
+
+
+def _pooling_meta(d):
+    """sentence-transformers modules.json -> pooling_type
+    (TextModel._try_set_pooling_type).  1=mean, 2=cls, 3=last."""
+    import json as _json
+    import pathlib as _pl
+
+    mod = _pl.Path(d) / "modules.json"
+    if not mod.is_file():
+        return []
+    pooling_path = None
+    for m in _json.loads(mod.read_text()):
+        if m["type"] == "sentence_transformers.models.Pooling":
+            pooling_path = m["path"]
+            break
+    if pooling_path is None:
+        return []
+    pool = _json.loads(
+        (_pl.Path(d) / pooling_path / "config.json").read_text())
+    if pool["pooling_mode_mean_tokens"]:
+        return [("pooling_type", 1)]
+    if pool["pooling_mode_cls_token"]:
+        return [("pooling_type", 2)]
+    if pool["pooling_mode_lasttoken"]:
+        return [("pooling_type", 3)]
+    raise NotImplementedError("unsupported pooling mode")
+
+
+def _cls_meta(cfg):
+    labels = cfg.get("id2label")
+    if labels and not (len(labels) == 2 and labels.get("0") == "LABEL_0"):
+        return labels, [("classifier.output_labels",
+                         [v for k, v in sorted(labels.items(),
+                                               key=lambda kv: int(kv[0]))])]
+    return None, []
+
+
+def _convert_jina_bert(d, cfg, sd, out_path, outtype, progress) -> dict:
+    from .convert_hf import _convert_table, _wb
+
+    n_layer = cfg["num_hidden_layers"]
+    labels, cls_meta = _cls_meta(cfg)
+    meta = (_text_meta(cfg) + [("attention.causal", False)]
+            + _pooling_meta(d) + cls_meta)
+    model = ([("embeddings.word_embeddings.weight", "token_embd.weight",
+               None),
+              ("embeddings.LayerNorm.weight", "token_embd_norm.weight",
+               None),
+              ("embeddings.LayerNorm.bias", "token_embd_norm.bias", None),
+              ("embeddings.token_type_embeddings.weight",
+               "token_types.weight", None)]
+             + _wb("classifier.dense", "cls")
+             + _wb("classifier.out_proj", "cls.output")
+             + _wb("classifier", "cls.output" if labels else "cls"))
+    rows = (_wb("attention.self.query", "attn_q")
+            + _wb("attention.self.layer_norm_q", "attn_q_norm")
+            + _wb("attention.self.key", "attn_k")
+            + _wb("attention.self.layer_norm_k", "attn_k_norm")
+            + _wb("attention.self.value", "attn_v")
+            + _wb("attention.output.dense", "attn_output")
+            + _wb("attention.output.LayerNorm", "attn_output_norm")
+            + _wb("layer_norm_1", "attn_norm_2")
+            + _wb("mixer.Wqkv", "attn_qkv")
+            + _wb("mixer.out_proj", "attn_output")
+            # GEGLU stores up|gate fused in one tensor (kept fused, the
+            # runtime splits); the older split checkpoints use _v/_w
+            + _wb("mlp.gated_layers", "ffn_up")
+            + _wb("mlp.up_gated_layer", "ffn_up")
+            + _wb("mlp.gated_layers_v", "ffn_up")
+            + _wb("mlp.gated_layers_w", "ffn_gate")
+            + _wb("mlp.wo", "ffn_down")
+            + _wb("mlp.down_layer", "ffn_down")
+            + _wb("mlp.layernorm", "layer_output_norm")
+            + _wb("layer_norm_2", "layer_output_norm")
+            + _wb("output.LayerNorm", "layer_output_norm"))
+    return _convert_table(d, cfg, sd, out_path, outtype, progress,
+                          "jina-bert-v2", dict(meta), model,
+                          "encoder.layer", rows, n_layer)
+
+
+def _convert_nomic_bert(d, cfg, sd, out_path, outtype, progress) -> dict:
+    from .convert_hf import _convert_table, _wb
+
+    is_moe = bool(cfg.get("moe_every_n_layers"))
+    arch = "nomic-bert-moe" if is_moe else "nomic-bert"
+    n_layer = cfg["n_layer"]
+    # NomicBertModel.__init__ trained-length clamp
+    npos = cfg["n_positions"]
+    mtp = cfg.get("max_trained_positions", 2048)
+    if npos == 8192 and mtp == 2048:
+        npos = 2048
+    elif npos == 2048 and mtp == 2048:
+        npos = 512
+    else:
+        raise ValueError(
+            f"unrecognized parameters: n_positions={npos}, "
+            f"max_trained_positions={mtp}")
+    cfg = dict(cfg, n_positions=npos)
+    meta = (_text_meta(cfg) + [("attention.causal", False)]
+            + _pooling_meta(d)
+            + [("rope.freq_base", cfg["rotary_emb_base"])])
+    if is_moe:
+        meta += [("moe_every_n_layers", cfg["moe_every_n_layers"]),
+                 ("expert_count", cfg["num_experts"]),
+                 ("expert_used_count", cfg["moe_top_k"])]
+    model = [
+        ("embeddings.word_embeddings.weight", "token_embd.weight", None),
+        ("embeddings.token_type_embeddings.weight", "token_types.weight",
+         None),
+        ("embeddings.position_embeddings.weight", "position_embd.weight",
+         None),
+        ("emb_ln.weight", "token_embd_norm.weight", None),
+        ("emb_ln.bias", "token_embd_norm.bias", None),
+    ]
+    rows = (_wb("attn.Wqkv", "attn_qkv")
+            + _wb("attn.out_proj", "attn_output")
+            + _wb("norm1", "attn_output_norm")
+            + _wb("norm2", "layer_output_norm")
+            + _wb("mlp.fc11", "ffn_up")
+            + _wb("mlp.fc1", "ffn_up")
+            + _wb("mlp.fc12", "ffn_gate")
+            + _wb("mlp.fc2", "ffn_down")
+            + _wb("mlp.router.layer", "ffn_gate_inp"))
+
+    def hook(put, il, pre):
+        # expert stacks: flat [E*F, D] viewed as [E, F, D]; w2 additionally
+        # transposed to [E, D, F] (NomicBertModel.modify_tensors)
+        n_exp, n_inner, n_embd = (cfg.get("num_experts"), cfg["n_inner"],
+                                  cfg["n_embd"])
+        w1 = f"{pre}.mlp.experts.mlp.w1"
+        if w1 in sd:
+            put(f"blk.{il}.ffn_up_exps.weight",
+                np.asarray(sd[w1], np.float32).reshape(n_exp, n_inner,
+                                                       n_embd))
+        w2 = f"{pre}.mlp.experts.mlp.w2"
+        if w2 in sd:
+            put(f"blk.{il}.ffn_down_exps.weight",
+                np.asarray(sd[w2], np.float32).reshape(n_exp, n_inner,
+                                                       n_embd)
+                .transpose(0, 2, 1))
+        # mlp.experts.bias is dropped by the reference
+
+    return _convert_table(d, cfg, sd, out_path, outtype, progress, arch,
+                          dict(meta), model, "encoder.layers", rows,
+                          n_layer, layer_hook=hook)
+
+
+def _convert_neo_bert(d, cfg, sd, out_path, outtype, progress) -> dict:
+    from .convert_hf import _convert_table, _wb
+
+    n_layer = cfg["num_hidden_layers"]
+    labels, cls_meta = _cls_meta(cfg)
+    base = [(k, v) for k, v in _text_meta(cfg)
+            if k != "feed_forward_length"]
+    meta = (base + [
+        ("attention.causal", False),
+        # NeoBert.set_gguf_parameters: 2/3 swiglu feed-forward, fixed rope
+        ("feed_forward_length", int(2 * cfg["intermediate_size"] / 3)),
+        ("rope.freq_base", 10000.0),
+        ("rope.scaling.type", "none"),
+        ("attention.layer_norm_rms_epsilon", cfg.get("norm_eps", 1e-6)),
+        ("pooling_type", 2),  # CLS
+    ] + cls_meta + _pooling_meta(d))
+    model = ([("model.encoder.weight", "token_embd.weight", None),
+              ("model.layer_norm.weight", "enc.output_norm.weight", None),
+              ("model.layer_norm.bias", "enc.output_norm.bias", None)]
+             + _wb("model.dense", "cls")
+             + _wb("model.classifier", "cls.output" if labels else "cls")
+             + _wb("classifier", "cls.output" if labels else "cls")
+             + _wb("dense", "cls"))
+    rows = [
+        ("attention_norm.weight", "attn_norm.weight", None),
+        ("qkv.weight", "attn_qkv.weight", None),
+        ("wo.weight", "attn_output.weight", None),
+        ("ffn_norm.weight", "ffn_norm.weight", None),
+        ("ffn.w12.weight", "ffn_up.weight", None),
+        ("ffn.w3.weight", "ffn_down.weight", None),
+    ]
+    return _convert_table(d, cfg, sd, out_path, outtype, progress,
+                          "neo-bert", dict(meta), model,
+                          "model.transformer_encoder", rows, n_layer)
+
+
 CUSTOM_EXT3 = {
     "Rwkv6ForCausalLM": _convert_rwkv6,
     "RWKV6Qwen2ForCausalLM": _convert_rwkv6qwen2,
@@ -589,4 +776,10 @@ CUSTOM_EXT3 = {
     "GPTRefactForCausalLM": _convert_refact,
     "PLMForCausalLM": _convert_plm,
     "WavTokenizerDec": _convert_wavtokenizer,
+    "JinaBertModel": _convert_jina_bert,
+    "JinaBertForMaskedLM": _convert_jina_bert,
+    "NomicBertModel": _convert_nomic_bert,
+    "NeoBERT": _convert_neo_bert,
+    "NeoBERTLMHead": _convert_neo_bert,
+    "NeoBERTForSequenceClassification": _convert_neo_bert,
 }

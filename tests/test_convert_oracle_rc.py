@@ -965,3 +965,131 @@ def test_convert_rwkv_roundtrip(tmp_path):
                      dtype=jnp.float32)
         logits = eng.prefill_logits([3, 17, 9, 41])
         assert np.isfinite(np.asarray(logits)).all()
+
+
+# ---------------------------------------------------------------------------
+# wave F: encoder BERTs
+# ---------------------------------------------------------------------------
+
+
+def test_convert_jina_bert_v2(tmp_path):
+    EB, FB = 64, 96
+    cfg = dict(architectures=["JinaBertForMaskedLM"], model_type="bert",
+               vocab_size=128, hidden_size=EB, intermediate_size=FB,
+               num_hidden_layers=NL, num_attention_heads=NH,
+               max_position_embeddings=512, layer_norm_eps=1e-12)
+    t = {"embeddings.word_embeddings.weight": (128, EB),
+         "embeddings.LayerNorm.weight": (EB,),
+         "embeddings.LayerNorm.bias": (EB,),
+         "embeddings.token_type_embeddings.weight": (2, EB)}
+    for i in range(NL):
+        p = f"encoder.layer.{i}"
+        t.update({f"{p}.attention.self.query.weight": (EB, EB),
+                  f"{p}.attention.self.query.bias": (EB,),
+                  f"{p}.attention.self.key.weight": (EB, EB),
+                  f"{p}.attention.self.key.bias": (EB,),
+                  f"{p}.attention.self.value.weight": (EB, EB),
+                  f"{p}.attention.self.value.bias": (EB,),
+                  f"{p}.attention.output.dense.weight": (EB, EB),
+                  f"{p}.attention.output.dense.bias": (EB,),
+                  f"{p}.attention.output.LayerNorm.weight": (EB,),
+                  f"{p}.attention.output.LayerNorm.bias": (EB,),
+                  f"{p}.mlp.gated_layers.weight": (2 * FB, EB),
+                  f"{p}.mlp.wo.weight": (EB, FB),
+                  f"{p}.mlp.wo.bias": (EB,),
+                  f"{p}.mlp.layernorm.weight": (EB,),
+                  f"{p}.mlp.layernorm.bias": (EB,)})
+    d = _craft(tmp_path, "jinav2", cfg, t)
+    (pathlib.Path(d) / "tokenizer_config.json").write_text(
+        json.dumps({"tokenizer_class": "BertTokenizer"}))
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_nomic_bert(tmp_path):
+    EB, FB = 64, 96
+    cfg = dict(architectures=["NomicBertModel"], model_type="nomic_bert",
+               vocab_size=128, n_embd=EB, n_inner=FB, n_layer=NL,
+               n_head=NH, n_positions=8192, max_trained_positions=2048,
+               layer_norm_epsilon=1e-12, rotary_emb_base=1000.0,
+               activation_function="swiglu", causal=False,
+               qkv_proj_bias=False, mlp_fc1_bias=False, mlp_fc2_bias=False,
+               prenorm=False, rotary_emb_fraction=1.0,
+               rotary_emb_interleaved=False, rotary_emb_scale_base=None)
+    t = {"embeddings.word_embeddings.weight": (128, EB),
+         "embeddings.token_type_embeddings.weight": (2, EB),
+         "emb_ln.weight": (EB,), "emb_ln.bias": (EB,)}
+    for i in range(NL):
+        p = f"encoder.layers.{i}"
+        t.update({f"{p}.attn.Wqkv.weight": (3 * EB, EB),
+                  f"{p}.attn.out_proj.weight": (EB, EB),
+                  f"{p}.norm1.weight": (EB,), f"{p}.norm1.bias": (EB,),
+                  f"{p}.norm2.weight": (EB,), f"{p}.norm2.bias": (EB,),
+                  f"{p}.mlp.fc11.weight": (FB, EB),
+                  f"{p}.mlp.fc12.weight": (FB, EB),
+                  f"{p}.mlp.fc2.weight": (EB, FB)})
+    d = _craft(tmp_path, "nomicb", cfg, t)
+    (pathlib.Path(d) / "tokenizer.json").write_text(json.dumps(
+        {"model": {"type": "WordPiece", "vocab": {}}, "added_tokens": []}))
+    (pathlib.Path(d) / "tokenizer_config.json").write_text(
+        json.dumps({"tokenizer_class": "BertTokenizer"}))
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_nomic_bert_moe(tmp_path):
+    EB, FB, NE = 64, 96, 4
+    cfg = dict(architectures=["NomicBertModel"], model_type="nomic_bert",
+               vocab_size=128, n_embd=EB, n_inner=FB, n_layer=NL,
+               n_head=NH, n_positions=2048, max_trained_positions=2048,
+               layer_norm_epsilon=1e-12, rotary_emb_base=1000.0,
+               activation_function="gelu", causal=False,
+               moe_every_n_layers=2, num_experts=NE, moe_top_k=2,
+               qkv_proj_bias=True, mlp_fc1_bias=True, mlp_fc2_bias=True,
+               prenorm=False, rotary_emb_fraction=1.0,
+               rotary_emb_interleaved=False, rotary_emb_scale_base=None)
+    t = {"embeddings.word_embeddings.weight": (128, EB),
+         "embeddings.token_type_embeddings.weight": (2, EB),
+         "emb_ln.weight": (EB,), "emb_ln.bias": (EB,)}
+    for i in range(NL):
+        p = f"encoder.layers.{i}"
+        t.update({f"{p}.attn.Wqkv.weight": (3 * EB, EB),
+                  f"{p}.attn.Wqkv.bias": (3 * EB,),
+                  f"{p}.attn.out_proj.weight": (EB, EB),
+                  f"{p}.attn.out_proj.bias": (EB,),
+                  f"{p}.norm1.weight": (EB,), f"{p}.norm1.bias": (EB,),
+                  f"{p}.norm2.weight": (EB,), f"{p}.norm2.bias": (EB,)})
+        if i % 2 == 1:  # moe layer
+            t.update({f"{p}.mlp.router.layer.weight": (NE, EB),
+                      f"{p}.mlp.experts.mlp.w1": (NE * FB, EB),
+                      f"{p}.mlp.experts.mlp.w2": (NE * FB, EB),
+                      f"{p}.mlp.experts.bias": (NE,)})
+        else:
+            t.update({f"{p}.mlp.fc1.weight": (FB, EB),
+                      f"{p}.mlp.fc1.bias": (FB,),
+                      f"{p}.mlp.fc2.weight": (EB, FB),
+                      f"{p}.mlp.fc2.bias": (EB,)})
+    d = _craft(tmp_path, "nomicmoe", cfg, t)
+    (pathlib.Path(d) / "tokenizer.json").write_text(json.dumps(
+        {"model": {"type": "WordPiece", "vocab": {}}, "added_tokens": []}))
+    (pathlib.Path(d) / "tokenizer_config.json").write_text(
+        json.dumps({"tokenizer_class": "BertTokenizer"}))
+    compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_neo_bert(tmp_path):
+    EB, FB = 64, 96
+    cfg = dict(architectures=["NeoBERT"], model_type="neobert",
+               vocab_size=128,
+               hidden_size=EB, intermediate_size=FB, num_hidden_layers=NL,
+               num_attention_heads=NH, max_length=1024, norm_eps=1e-6)
+    t = {"model.encoder.weight": (128, EB),
+         "model.layer_norm.weight": (EB,)}
+    for i in range(NL):
+        p = f"model.transformer_encoder.{i}"
+        t.update({f"{p}.attention_norm.weight": (EB,),
+                  f"{p}.qkv.weight": (3 * EB, EB),
+                  f"{p}.wo.weight": (EB, EB),
+                  f"{p}.ffn_norm.weight": (EB,),
+                  f"{p}.ffn.w12.weight": (2 * (2 * FB // 3), EB),
+                  f"{p}.ffn.w3.weight": (EB, 2 * FB // 3)})
+    d = _craft(tmp_path, "neob", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
