@@ -198,6 +198,12 @@ def load_audio_mmproj(path: str) -> AudioEncoderModel:
         projector_type=str(md.get("clip.projector_type", "ultravox")),
         stack_factor=int(md.get("clip.audio.projector.stack_factor", 8)),
     )
+    # the reference converter labels ultravox mmprojs "qwen2a" too
+    # (UltravoxWhisperEncoderModel inherits the projector-type write); a
+    # stack-factor key marks the ultravox StackAudioFrames+SwiGLU projector
+    if (cfg.projector_type == "qwen2a"
+            and "clip.audio.projector.stack_factor" in md):
+        cfg.projector_type = "ultravox"
 
     def t(name):
         if name not in r.tensors:
@@ -207,11 +213,17 @@ def load_audio_mmproj(path: str) -> AudioEncoderModel:
             dequantize_tensor(rd.tensor_bytes(name), ti.ggml_type, ti.shape), jnp.float32
         )
 
+    def tb(name):
+        # conv biases are stored [C, 1] by the reference converter (ggml
+        # conv1d layout); flatten to [C]
+        v = t(name)
+        return None if v is None else v.reshape(-1)
+
     p: dict = {
         "conv1_w": t("a.conv1d.1.weight"),
-        "conv1_b": t("a.conv1d.1.bias"),
+        "conv1_b": tb("a.conv1d.1.bias"),
         "conv2_w": t("a.conv1d.2.weight"),
-        "conv2_b": t("a.conv1d.2.bias"),
+        "conv2_b": tb("a.conv1d.2.bias"),
         "pos_embd": t("a.position_embd.weight"),
         "post_ln": t("a.post_ln.weight"),
         "post_ln_b": t("a.post_ln.bias"),

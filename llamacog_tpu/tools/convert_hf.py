@@ -349,7 +349,68 @@ _ARCHES = {
     # transformers GlmForCausalLM is registered as arch chatglm by the
     # reference (convert_hf_to_gguf.py:5731)
     "GlmForCausalLM": ("chatglm", None),
+    # qwen2vl text side (M-RoPE sections; reference Qwen2VLModel :2739)
+    "Qwen2VLModel": ("qwen2vl", None),
+    "Qwen2VLForConditionalGeneration": ("qwen2vl", None),
+    "Qwen2_5_VLForConditionalGeneration": ("qwen2vl", None),
+    "Qwen2_5OmniModel": ("qwen2vl", None),
 }
+
+# multimodal wrapper arches: text side = inner text model with the encoder/
+# projector tensors dropped and prefixes stripped (reference LlamaModel /
+# Qwen2Model / Qwen2VLModel modify_tensors prefix handling)
+_MM_TEXT_WRAPPERS = {
+    "LlavaForConditionalGeneration": (
+        "MistralForCausalLM", [("language_model.", "")],
+        ("vision_tower.", "multi_modal_projector.")),
+    "Mistral3ForConditionalGeneration": (
+        "MistralForCausalLM", [("language_model.", "")],
+        ("vision_tower.", "multi_modal_projector.")),
+    "Idefics3ForConditionalGeneration": (
+        "VLlama3ForCausalLM", [("model.text_model.", "model.")],
+        ("model.vision_model.", "model.connector.")),
+    "SmolVLMForConditionalGeneration": (
+        "VLlama3ForCausalLM", [("model.text_model.", "model.")],
+        ("model.vision_model.", "model.connector.")),
+    "Qwen2AudioForConditionalGeneration": (
+        "Qwen2ForCausalLM", [("language_model.", "")],
+        ("audio_tower.", "multi_modal_projector.")),
+    "Qwen2_5OmniModel": (
+        "Qwen2_5OmniModel", [("thinker.", "")],
+        ("visual.", "audio_tower.", "talker.", "token2wav.",
+         "thinker.visual.", "thinker.audio_tower.")),
+    "Qwen2VLForConditionalGeneration": (
+        "Qwen2VLForConditionalGeneration", [], ("visual.",)),
+    "Qwen2VLModel": ("Qwen2VLModel", [], ("visual.",)),
+    "Qwen2_5_VLForConditionalGeneration": (
+        "Qwen2_5_VLForConditionalGeneration", [], ("visual.",)),
+}
+
+
+class _PrefixView:
+    """StateDict view: drop skip-prefixed tensors, strip/replace prefixes."""
+
+    def __init__(self, sd, renames, skips):
+        self._sd = sd
+        self._map = {}
+        for n in sd.names():
+            if any(n.startswith(s) for s in skips):
+                continue
+            out = n
+            for old, new in renames:
+                if out.startswith(old):
+                    out = new + out[len(old):]
+                    break
+            self._map[out] = n
+
+    def names(self):
+        return list(self._map)
+
+    def __contains__(self, n):
+        return n in self._map
+
+    def __getitem__(self, n):
+        return self._sd[self._map[n]]
 
 
 # gguf arches whose reference converter class derives from LlamaModel and
@@ -398,6 +459,17 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
             cfg = inner
     arch_name = cfg["architectures"][0]
     sd = StateDict(hf_dir)
+    if arch_name in _MM_TEXT_WRAPPERS:
+        default_inner, renames, skips = _MM_TEXT_WRAPPERS[arch_name]
+        tc = (cfg.get("text_config")
+              or (cfg.get("thinker_config") or {}).get("text_config") or {})
+        # reference picks the TEXT class from text_config.architectures
+        # when present (convert_hf_to_gguf.py:6462)
+        inner = (tc.get("architectures") or [default_inner])[0]
+        cfg = {**cfg, **tc}
+        cfg["architectures"] = [inner]
+        arch_name = inner
+        sd = _PrefixView(sd, renames, skips)
     if arch_name in ("MambaForCausalLM", "MambaLMHeadModel",
                      "FalconMambaForCausalLM"):
         return _convert_mamba(d, cfg, sd, out_path, outtype, progress)
@@ -507,6 +579,11 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
     if arch == "stablelm":
         w.add(f"{arch}.use_parallel_residual",
               bool(cfg.get("use_parallel_residual", True)))
+    if arch == "qwen2vl":
+        # M-RoPE sections, zero-padded to 4 (reference Qwen2VLModel :2744)
+        sec = list(rs.get("mrope_section", []))
+        sec += [0] * max(0, 4 - len(sec))
+        w.add(f"{arch}.rope.dimension_sections", sec)
 
     _export_tokenizer(w, d, cfg)
 
@@ -1205,13 +1282,22 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("--outtype", choices=("f32", "f16", "bf16", "q8_0"),
                    default="f16")
+    p.add_argument("--mmproj", action="store_true",
+                   help="convert the vision/audio encoder + projector of a "
+                        "multimodal checkpoint into an mmproj GGUF")
     args = p.parse_args(argv)
 
     def progress(name):
         print(f"  {name}", file=sys.stderr)
 
-    stats = convert(args.hf_dir, args.output, outtype=args.outtype,
-                    progress=progress)
+    if args.mmproj:
+        from .convert_mmproj import convert_mmproj
+
+        stats = convert_mmproj(args.hf_dir, args.output,
+                               outtype=args.outtype, progress=progress)
+    else:
+        stats = convert(args.hf_dir, args.output, outtype=args.outtype,
+                        progress=progress)
     print(json.dumps(stats))
     return 0
 

@@ -41,7 +41,7 @@ def load_ref_converter():
     return mod
 
 
-def ref_convert(hf_dir: str, out_path: str) -> None:
+def ref_convert(hf_dir: str, out_path: str, mmproj: bool = False) -> None:
     """Convert hf_dir with the reference converter at f32, tokenizer export
     disabled."""
     m = load_ref_converter()
@@ -58,7 +58,14 @@ def ref_convert(hf_dir: str, out_path: str) -> None:
     if not hasattr(tm_cls, "_pristine_block_mappings"):
         tm_cls._pristine_block_mappings = dict(tm_cls.block_mappings_cfg)
     tm_cls.block_mappings_cfg = dict(tm_cls._pristine_block_mappings)
-    cls = m.ModelBase.from_model_architecture(arch)
+    mtype = m.ModelType.MMPROJ if mmproj else m.ModelType.TEXT
+    if not mmproj:
+        # reference main() picks the TEXT class from text_config.architectures
+        # for multimodal wrappers (convert_hf_to_gguf.py:6462)
+        tc_arch = (cfg.get("text_config") or {}).get("architectures")
+        if tc_arch:
+            arch = tc_arch[0]
+    cls = m.ModelBase.from_model_architecture(arch, model_type=mtype)
     model = cls(
         pathlib.Path(hf_dir),
         m.gguf.LlamaFileType.ALL_F32,
@@ -98,7 +105,7 @@ _SKIP_KEYS = (
 
 
 def compare_with_reference(hf_dir: str, tmp_path, our_convert, extra_skip=(),
-                           tensor_rtol=0.0):
+                           tensor_rtol=0.0, mmproj: bool = False):
     """Convert hf_dir with both converters; assert tensor parity (names,
     shapes, f32 bytes) and that every arch metadata key the reference wrote
     is present here with an equal value. Returns (our_meta, ref_meta)."""
@@ -107,7 +114,7 @@ def compare_with_reference(hf_dir: str, tmp_path, our_convert, extra_skip=(),
     ours_p = str(tmp_path / "ours.gguf")
     ref_p = str(tmp_path / "ref.gguf")
     our_convert(hf_dir, ours_p, outtype="f32")
-    ref_convert(hf_dir, ref_p)
+    ref_convert(hf_dir, ref_p, mmproj=mmproj)
 
     from llamacog_tpu.quant.decode_np import dequantize_tensor
 
