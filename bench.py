@@ -89,13 +89,14 @@ def main() -> None:
         "LLAMACOG_BENCH_PRESET", "8b" if jax.default_backend() == "tpu" else "1b"
     )
     t0 = time.time()
-    if preset == "8b":
+    if preset in ("8b", "8b-iq"):
         from llamacog_tpu.utils.synthetic import llama3_8b_config, make_synthetic_params
 
         config = llama3_8b_config()
-        params = make_synthetic_params(config)
+        mix = "iq4_xs" if preset == "8b-iq" else "q4_k_m"
+        params = make_synthetic_params(config, quant_mix=mix)
         jax.block_until_ready(params["layers"][0]["attn_qk"].planes["qs"])
-        metric = "decode_tokens_per_s_q4_k_m_8b_single_stream"
+        metric = f"decode_tokens_per_s_{mix}_8b_single_stream"
     else:
         from llamacog_tpu.models.loader import load_model
 

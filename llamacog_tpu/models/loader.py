@@ -207,6 +207,12 @@ def parse_kv_overrides(specs) -> dict:
     return out
 
 
+class LoadCancelled(RuntimeError):
+    """Raised when a load_model progress_callback returns False (the
+    reference's llama_model_params.progress_callback cancel contract,
+    exercised upstream by test-model-load-cancel)."""
+
+
 def load_model(
     path: str,
     mode: str = "quantized",  # "quantized" | "dequant"
@@ -214,6 +220,7 @@ def load_model(
     with_tokenizer: bool = True,
     fuse: bool = True,
     kv_overrides: dict | None = None,
+    progress_callback=None,
 ) -> Model:
     reader = GGUFModelReader(path)
     if kv_overrides:
@@ -270,6 +277,14 @@ def load_model(
                 lf[key] = pool.submit(_load_tensor, reader, name, mode, dtype)
         futures.append(lf)
     for il in range(cfg.n_layer):
+        if progress_callback is not None and \
+                progress_callback(il / max(cfg.n_layer, 1)) is False:
+            for lf in futures[il:]:
+                for f in lf.values():
+                    f.cancel()
+            pool.shutdown(wait=True, cancel_futures=True)
+            reader.close()
+            raise LoadCancelled(f"load cancelled at layer {il}")
         layer = {k: f.result() for k, f in futures[il].items()}
         if cfg.qk_norm_full and "attn_q_norm" in layer:
             fuse_qkv = False  # olmo2: full-projection q/k norm needs separate q/k
@@ -341,6 +356,8 @@ def load_model(
                 layer["ffn_post_norm"] = layer.pop("layer_out_norm")
         params["layers"].append(layer)
     pool.shutdown(wait=True)
+    if progress_callback is not None:
+        progress_callback(1.0)
     vocab = tokenizer = None
     if with_tokenizer and "tokenizer.ggml.tokens" in reader.metadata:
         vocab = Vocab.from_metadata(reader.metadata)

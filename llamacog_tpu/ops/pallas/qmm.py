@@ -39,8 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...quant.decode_np import KVALUES_IQ4NL
-from ...quant.planar import IQ3XXS_ALPHABET, QuantTensor, permute_activation
+from ...quant.planar import QuantTensor, permute_activation
 
 # ---------------------------------------------------------------------------
 # in-kernel unpack helpers (all 2-D, lane-aligned)
@@ -95,13 +94,6 @@ def _to_mxu(w):
 def _wm(v, st):
     """int levels × f32 scale tile -> MXU operand (bf16, or f32 at matvec B)."""
     return _to_mxu(v.astype(jnp.float32) * st)
-
-
-def _lut16(idx):
-    v = jnp.zeros(idx.shape, jnp.float32)
-    for i in range(16):
-        v = v + jnp.where(idx == i, np.float32(KVALUES_IQ4NL[i]), 0.0)
-    return v
 
 
 def _f32(p):
@@ -178,14 +170,10 @@ def _dec_q6_K(p):
     return parts, 32.0 * _f32(p["scales"])
 
 
-def _dec_iq4_nl(p):
-    st = _rep_to(p["d"], p["qs"].shape[-1])
-    return [_to_mxu(_lut16(v) * st) for v in _nib(p["qs"])], None
-
-
-def _dec_iq4_xs(p):
-    st = _rep_to(p["scales"], p["qs"].shape[-1])
-    return [_to_mxu(_lut16(v) * st) for v in _nib(p["qs"])], None
+def _dec_i8(scale_name, p):
+    # LUT/codebook formats: planar stores pre-mapped signed int8 levels
+    # (quant/planar.from_gguf), so decode is Q8_0-style int8 * group scale
+    return [_wm(p["qs"], _rep_to(p[scale_name], p["qs"].shape[-1]))], None
 
 
 def _unpack2(qs):
@@ -195,29 +183,6 @@ def _unpack2(qs):
 def _unpack1(qb):
     q = qb.astype(jnp.int32)
     return jnp.concatenate([(q >> b) & 1 for b in range(8)], axis=-1)
-
-
-def _dec_iq2(R, p):
-    c = _unpack2(p["qs"])
-    mag = jnp.where(c == 0, 8.0, jnp.where(c == 1, 25.0, 43.0))
-    sign = 1.0 - 2.0 * _unpack1(p["sg"]).astype(jnp.float32)
-    return [_to_mxu(mag * sign * _rep_to(p["scales"], c.shape[-1]))], None
-
-
-def _dec_iq3_xxs(p):
-    c = _unpack2(p["qs"]) | (_unpack1(p["hb"]) << 2)
-    mag = jnp.zeros(c.shape, jnp.float32)
-    for i, val in enumerate(IQ3XXS_ALPHABET):
-        mag = mag + jnp.where(c == i, np.float32(val), 0.0)
-    sign = 1.0 - 2.0 * _unpack1(p["sg"]).astype(jnp.float32)
-    return [_to_mxu(mag * sign * _rep_to(p["scales"], c.shape[-1]))], None
-
-
-def _dec_iq3_s(p):
-    c = _unpack2(p["qs"]) | (_unpack1(p["hb"]) << 2)
-    sign = 1.0 - 2.0 * _unpack1(p["sg"]).astype(jnp.float32)
-    w = (2 * c + 1).astype(jnp.float32) * sign * _rep_to(p["scales"], c.shape[-1])
-    return [_to_mxu(w)], None
 
 
 def _dec_iq1(R, p):
@@ -239,13 +204,13 @@ TILE_DECODERS = {
     "Q4_K": (_dec_q4_K, ("qs", "scales", "mins"), "scales"),
     "Q5_K": (_dec_q5_K, ("qs", "qh", "scales", "mins"), "scales"),
     "Q6_K": (_dec_q6_K, ("qs", "qh", "scales"), "scales"),
-    "IQ4_NL": (_dec_iq4_nl, ("qs", "d"), "d"),
-    "IQ4_XS": (_dec_iq4_xs, ("qs", "scales"), "scales"),
-    "IQ2_XXS": (functools.partial(_dec_iq2, 32), ("qs", "sg", "scales"), "scales"),
-    "IQ2_XS": (functools.partial(_dec_iq2, 16), ("qs", "sg", "scales"), "scales"),
-    "IQ2_S": (functools.partial(_dec_iq2, 16), ("qs", "sg", "scales"), "scales"),
-    "IQ3_XXS": (_dec_iq3_xxs, ("qs", "hb", "sg", "scales"), "scales"),
-    "IQ3_S": (_dec_iq3_s, ("qs", "hb", "sg", "scales"), "scales"),
+    "IQ4_NL": (functools.partial(_dec_i8, "d"), ("qs", "d"), "d"),
+    "IQ4_XS": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
+    "IQ2_XXS": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
+    "IQ2_XS": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
+    "IQ2_S": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
+    "IQ3_XXS": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
+    "IQ3_S": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
     "IQ1_S": (functools.partial(_dec_iq1, 32), ("qs", "scales", "mins"), "scales"),
     "IQ1_M": (functools.partial(_dec_iq1, 8), ("qs", "scales", "mins"), "scales"),
 }

@@ -318,7 +318,16 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         off = {GGMLType.Q4_0: 2, GGMLType.Q4_1: 4, GGMLType.IQ4_NL: 2}[t]
         qs = data[:, :, off : off + 16]
         ints = np.concatenate([qs & 0xF, qs >> 4], axis=2).reshape(N, K)
-        p["qs"] = _pack4(_strided(ints, 32))
+        if t == GGMLType.IQ4_NL:
+            # LUT formats store the MAPPED values as int8: the 16-entry
+            # nonlinear codebook costs ~16 select passes per element in the
+            # kernel (measured 6x off the roofline at 8B), while int8 levels
+            # decode like Q8_0 — the 4.25->8.25 bits/weight bandwidth trade
+            # is far cheaper than the VPU LUT
+            lvl = KVALUES_IQ4NL[ints].astype(np.int8)
+            p["qs"] = _strided(lvl.view(np.uint8), 32).view(np.int8)
+        else:
+            p["qs"] = _pack4(_strided(ints, 32))
         p["d"] = _f16(data[:, :, 0:2]).reshape(N, nb)
         if t == GGMLType.Q4_1:
             p["m"] = _f16(data[:, :, 2:4]).reshape(N, nb)
@@ -393,19 +402,35 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         p["scales"] = (d * ls).reshape(N, K // 32).astype(np.float32)
         qs = data[:, :, 8:136].reshape(N, nb, 8, 16)
         ints = np.concatenate([qs & 0xF, qs >> 4], axis=3).reshape(N, K)
-        p["qs"] = _pack4(_strided(ints, 32))
+        # LUT format: store mapped int8 values (see IQ4_NL note above)
+        lvl = KVALUES_IQ4NL[ints].astype(np.int8)
+        p["qs"] = _strided(lvl.view(np.uint8), 32).view(np.int8)
     elif t in (
         GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
-        GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
+        GGMLType.IQ3_XXS, GGMLType.IQ3_S,
     ):
+        # codebook formats: pre-fold alphabet LUT and sign bit into signed
+        # int8 levels (|value| <= 62 for every alphabet), so the kernel
+        # decode is a Q8_0-style int8 * group-scale — the packed
+        # code+sign planes cost 12-35 VPU ops/element to expand in-kernel
+        el = _iq_elements(t, data.reshape(-1, tt.type_size))
+        R = GROUP_SIZE[t.name]
+        codes = el["codes"].reshape(N, K).astype(np.int64)
+        sign = 1 - 2 * el["signs"].reshape(N, K).astype(np.int64)
+        if t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S):
+            mag = IQ2_ALPHABET.astype(np.int64)[codes]
+        elif t == GGMLType.IQ3_XXS:
+            mag = IQ3XXS_ALPHABET.astype(np.int64)[codes]
+        else:  # IQ3_S: grid values are 2c+1
+            mag = 2 * codes + 1
+        lvl = (mag * sign).astype(np.int8)
+        p["qs"] = _strided(lvl.view(np.uint8), R).view(np.int8)
+        p["scales"] = el["scales"].reshape(N, K // R).astype(np.float32)
+    elif t in (GGMLType.IQ1_S, GGMLType.IQ1_M):
         el = _iq_elements(t, data.reshape(-1, tt.type_size))
         R = GROUP_SIZE[t.name]
         codes = el["codes"].reshape(N, K).astype(np.uint8)
         p["qs"] = _pack2(_strided(codes & 3, R))
-        if t in (GGMLType.IQ3_XXS, GGMLType.IQ3_S):
-            p["hb"] = _pack1(_strided(codes >> 2, R))
-        if "signs" in el:
-            p["sg"] = _pack1(_strided(el["signs"].reshape(N, K).astype(np.uint8), R))
         p["scales"] = el["scales"].reshape(N, K // R).astype(np.float32)
         if "mins" in el:
             p["mins"] = el["mins"].reshape(N, K // R).astype(np.float32)
@@ -476,31 +501,12 @@ def decode_strided(qt: QuantTensor) -> jnp.ndarray:
     if kind == "Q6_K":
         v = (_unpack4_j(p["qs"]) | (_unpack2_j(p["qh"]) << 4)).astype(jnp.float32) - 32.0
         return v * _tile_scale_j(p["scales"], 16)
-    if kind in ("IQ4_NL", "IQ4_XS"):
-        idx = _unpack4_j(p["qs"])
-        v = jnp.zeros(idx.shape, jnp.float32)
-        for i in range(16):
-            v = v + jnp.where(idx == i, np.float32(KVALUES_IQ4NL[i]), 0.0)
-        s = p["d"] if kind == "IQ4_NL" else p["scales"]
-        return v * _tile_scale_j(s, 32)
     R = GROUP_SIZE.get(kind, 32)
-    if kind in ("IQ2_XXS", "IQ2_XS", "IQ2_S"):
-        c = _unpack2_j(p["qs"])
-        mag = jnp.where(c == 0, 8.0, jnp.where(c == 1, 25.0, 43.0))
-        sign = 1.0 - 2.0 * _unpack1_j(p["sg"]).astype(jnp.float32)
-        return mag * sign * _tile_scale_j(p["scales"], R)
-    if kind == "IQ3_XXS":
-        c = _unpack2_j(p["qs"]) | (_unpack1_j(p["hb"]) << 2)
-        mag = jnp.zeros(c.shape, jnp.float32)
-        for i, val in enumerate(IQ3XXS_ALPHABET):
-            mag = mag + jnp.where(c == i, np.float32(val), 0.0)
-        sign = 1.0 - 2.0 * _unpack1_j(p["sg"]).astype(jnp.float32)
-        return mag * sign * _tile_scale_j(p["scales"], R)
-    if kind == "IQ3_S":
-        c = _unpack2_j(p["qs"]) | (_unpack1_j(p["hb"]) << 2)
-        mag = (2 * c + 1).astype(jnp.float32)
-        sign = 1.0 - 2.0 * _unpack1_j(p["sg"]).astype(jnp.float32)
-        return mag * sign * _tile_scale_j(p["scales"], R)
+    if kind in ("IQ4_NL", "IQ4_XS", "IQ2_XXS", "IQ2_XS", "IQ2_S",
+                "IQ3_XXS", "IQ3_S"):
+        # LUT/codebook formats store pre-mapped int8 levels (see from_gguf)
+        s = p["d"] if kind == "IQ4_NL" else p["scales"]
+        return p["qs"].astype(jnp.float32) * _tile_scale_j(s, R)
     if kind in ("IQ1_S", "IQ1_M"):
         v = _unpack2_j(p["qs"]).astype(jnp.float32) - 1.0
         return v * _tile_scale_j(p["scales"], R) - _tile_scale_j(p["mins"], R)

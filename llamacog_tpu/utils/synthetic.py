@@ -29,6 +29,7 @@ _PLANES = {
     "Q6_K": (("qs", 2, jnp.uint8), ("qh", 4, jnp.uint8), ("scales", 16, jnp.float32)),
     "Q4_0": (("qs", 2, jnp.uint8), ("d", 32, jnp.float32)),
     "Q8_0": (("qs", 1, jnp.int8), ("d", 32, jnp.float32)),
+    "IQ4_XS": (("qs", 1, jnp.int8), ("scales", 32, jnp.float32)),
 }
 
 
@@ -70,49 +71,61 @@ def mixtral_shaped_config(n_layer: int = 8) -> ModelConfig:
     )
 
 
-def make_synthetic_params(cfg: ModelConfig, seed: int = 0) -> dict:
-    """Random planar params for the generalized llama forward, Q4_K_M mix.
+def make_synthetic_params(cfg: ModelConfig, seed: int = 0,
+                          quant_mix: str = "q4_k_m") -> dict:
+    """Random planar params for the generalized llama forward.
+
+    quant_mix: "q4_k_m" (Q4_K/Q6_K per-tensor policy) or "iq4_xs"
+    (uniform IQ4_XS body + Q6_K output — BASELINE's "8B i-quants" config;
+    decode cost depends on plane bytes only, so the policy tails don't
+    matter for throughput).
 
     The whole pytree is built inside one jit so a tunneled chip pays one
     dispatch round-trip, not one per plane."""
-    return jax.jit(lambda s: _make_synthetic_params(cfg, s))(seed)
+    return jax.jit(lambda s: _make_synthetic_params(cfg, s, quant_mix))(seed)
 
 
-def _make_synthetic_params(cfg: ModelConfig, seed) -> dict:
+def _make_synthetic_params(cfg: ModelConfig, seed, quant_mix="q4_k_m") -> dict:
     key = jax.random.PRNGKey(seed)
     E, F = cfg.n_embd, cfg.n_ff
     kv = cfg.n_head_kv * cfg.head_dim_k
+    iq = quant_mix == "iq4_xs"
+    body = "IQ4_XS" if iq else "Q4_K"
     params: dict = {"layers": []}
     k0 = jax.random.fold_in(key, 10_000)
-    params["tok_embd"] = _rand_qt(jax.random.fold_in(k0, 0), "Q4_K", cfg.n_vocab, E)
+    params["tok_embd"] = _rand_qt(jax.random.fold_in(k0, 0), body, cfg.n_vocab, E)
     params["output"] = _rand_qt(jax.random.fold_in(k0, 1), "Q6_K", cfg.n_vocab, E)
     params["output_norm"] = jnp.ones((E,), jnp.float32)
     for il in range(cfg.n_layer):
         lk = jax.random.fold_in(key, il)
-        down_kind = "Q6_K" if _use_more_bits(il, cfg.n_layer) else "Q4_K"
+        if iq:
+            down_kind = v_kind = body
+        else:
+            down_kind = "Q6_K" if _use_more_bits(il, cfg.n_layer) else "Q4_K"
+            v_kind = "Q6_K"
         layer = {
             "attn_norm": jnp.ones((E,), jnp.float32),
             "ffn_norm": jnp.ones((E,), jnp.float32),
             # q+k fused (same kind), v separate Q6_K — what loader produces
             # for a real Q4_K_M checkpoint
-            "attn_qk": _rand_qt(jax.random.fold_in(lk, 0), "Q4_K",
+            "attn_qk": _rand_qt(jax.random.fold_in(lk, 0), body,
                                 cfg.n_head * cfg.head_dim_k + kv, E),
-            "attn_v": _rand_qt(jax.random.fold_in(lk, 2), "Q6_K", kv, E),
-            "attn_output": _rand_qt(jax.random.fold_in(lk, 3), "Q4_K", E, cfg.n_head * cfg.head_dim_v),
+            "attn_v": _rand_qt(jax.random.fold_in(lk, 2), v_kind, kv, E),
+            "attn_output": _rand_qt(jax.random.fold_in(lk, 3), body, E, cfg.n_head * cfg.head_dim_v),
         }
         if cfg.n_expert > 0:
             n_exp = cfg.n_expert
             layer["ffn_gate_inp"] = (
                 jax.random.normal(jax.random.fold_in(lk, 6), (n_exp, E)) * 0.02
             ).astype(jnp.float32)
-            gu = _rand_qt(jax.random.fold_in(lk, 7), "Q4_K", n_exp * 2 * F, E)
+            gu = _rand_qt(jax.random.fold_in(lk, 7), body, n_exp * 2 * F, E)
             de = _rand_qt(jax.random.fold_in(lk, 9), down_kind, n_exp * E, F)
             gu.shape = (n_exp, 2 * F, E)
             de.shape = (n_exp, E, F)
             layer["ffn_gate_up_exps"] = gu
             layer["ffn_down_exps"] = de
         else:
-            layer["ffn_gate_up"] = _rand_qt(jax.random.fold_in(lk, 4), "Q4_K", 2 * F, E)
+            layer["ffn_gate_up"] = _rand_qt(jax.random.fold_in(lk, 4), body, 2 * F, E)
             layer["ffn_down"] = _rand_qt(jax.random.fold_in(lk, 5), down_kind, E, F)
         params["layers"].append(layer)
     return params

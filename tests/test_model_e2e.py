@@ -208,3 +208,55 @@ def test_kv_override_changes_config(tmp_path):
     assert m.config.rope.freq_base == 123.0
     base = load_model(path)
     assert base.config.rope.freq_base != 123.0
+
+
+def test_load_cancel(tmp_path):
+    """progress_callback returning False aborts the load cleanly
+    (test-model-load-cancel / llama_model_params.progress_callback role)."""
+    import pytest
+
+    from llamacog_tpu.models.loader import LoadCancelled, load_model
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / "cancel.gguf")
+    make_tiny_llama_gguf(path, n_layer=4)
+    seen = []
+
+    def cb(frac):
+        seen.append(frac)
+        return frac < 0.5  # cancel halfway
+
+    with pytest.raises(LoadCancelled):
+        load_model(path, progress_callback=cb)
+    assert seen and max(seen) >= 0.5
+
+    # permissive callback: load completes and reports 1.0
+    seen.clear()
+    m = load_model(path, progress_callback=lambda f: True)
+    assert m.config.n_layer == 4
+
+
+def test_thread_safety_parallel_contexts(tmp_path):
+    """N engine contexts decoding from concurrent threads produce the same
+    tokens as serial execution (tests/test-thread-safety.cpp role)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.engine import Engine
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / "ts.gguf")
+    make_tiny_llama_gguf(path, n_layer=2)
+    m = load_model(path, with_tokenizer=False)
+
+    def run(seed):
+        eng = Engine(m.params, m.config, batch_size=1, max_seq=32)
+        eng.prefill([2 + seed, 3, 5])
+        return eng.decode_greedy_tokens(np.array([7 + seed]), 6).tolist()
+
+    serial = [run(i) for i in range(4)]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        parallel = list(pool.map(run, range(4)))
+    assert parallel == serial
