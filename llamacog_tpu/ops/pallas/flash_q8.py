@@ -25,9 +25,17 @@ TS = 512  # prefill KV tile length
 
 
 def _deq(q_tile, s_tile, gs):
-    return q_tile.astype(jnp.float32) * pltpu.repeat(
-        s_tile.astype(jnp.float32), gs, axis=1
-    )
+    """int8 (Q8_0 cache) or nibble-packed uint8 (Q4_0 cache) tile -> f32.
+
+    The q4 pack puts strided column c in the low nibble of byte c and
+    strided column c + D/2 in the high nibble (Q4KVCache._quant), so the
+    unpack concat reproduces the strided order the scale broadcast expects."""
+    if q_tile.dtype == jnp.uint8:  # q4 packed
+        qi = q_tile.astype(jnp.int32)
+        v = jnp.concatenate([qi & 0xF, qi >> 4], axis=-1).astype(jnp.float32) - 8.0
+    else:
+        v = q_tile.astype(jnp.float32)
+    return v * pltpu.repeat(s_tile.astype(jnp.float32), gs, axis=1)
 
 
 def _decode_kernel(hkv, rep, scale, softcap, window, gsk, gsv,
@@ -90,7 +98,7 @@ def flash_decode_q8(
     S, Hkv = kq.shape[1], kq.shape[2]
     if kv_cap is not None and kv_cap < S:
         S = kv_cap
-    Dv = vq.shape[-1]
+    Dv = v_cur.shape[-1]  # logical (vq may be nibble-packed at Dv/2 bytes)
     rep = H // Hkv
     gsk = Dk // ks.shape[-1]
     gsv = Dv // vs.shape[-1]
@@ -106,9 +114,9 @@ def flash_decode_q8(
         in_specs=[
             pl.BlockSpec((1, H, Dk), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             # block S may be a PREFIX of the stored cache (kv_cap)
-            pl.BlockSpec((1, S, Hkv, Dk), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Hkv, kq.shape[-1]), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, Hkv, ks.shape[-1]), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Hkv, Dv), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Hkv, vq.shape[-1]), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, Hkv, vs.shape[-1]), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hkv, Dk), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hkv, Dv), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -123,7 +131,7 @@ def flash_decode_q8(
 def _prefill_kernel(rep, T, scale, softcap, window, s_tiles, gsk, gsv,
                     q_ref, kq_ref, ks_ref, vq_ref, vs_ref, kc_ref, vc_ref,
                     len_ref, o_ref):
-    Dv = vq_ref.shape[-1]
+    Dv = vs_ref.shape[-1] * gsv  # logical (vq may be nibble-packed)
     n = len_ref[pl.program_id(0), 0]
     TR = q_ref.shape[-2]  # q-row tile (see flash_prefill.py)
     r0 = pl.program_id(2) * TR
@@ -212,7 +220,7 @@ def flash_prefill_q8(
     S, Hkv = kq.shape[1], kq.shape[2]
     if kv_cap is not None and kv_cap < S:
         S = kv_cap
-    Dv = vq.shape[-1]
+    Dv = v_cur.shape[-1]  # logical (vq may be nibble-packed at Dv/2 bytes)
     Gk, Gv = ks.shape[-1], vs.shape[-1]
     rep = H // Hkv
     R = T * rep
@@ -236,9 +244,9 @@ def flash_prefill_q8(
         grid=(B, Hkv, R // TR),
         in_specs=[
             pl.BlockSpec((1, 1, TR, Dk), lambda b, h, r: (b, h, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, Dk), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, kq.shape[-1]), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, S, Gk), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, Dv), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, vq.shape[-1]), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, S, Gv), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, T, Dk), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, T, Dv), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
@@ -317,7 +325,7 @@ def _decode_tiled_kernel(hkv, rep, n_tiles, scale, softcap, window, gsk, gsv,
     i = pl.program_id(1)
     n = len_ref[b, 0]
     H = q_ref.shape[1]
-    Dv = vq_ref.shape[-1]
+    Dv = vs_ref.shape[-1] * gsv  # logical (vq may be nibble-packed)
 
     @pl.when(i == 0)
     def _():
@@ -389,7 +397,7 @@ def flash_decode_q8_tiled(
     S, Hkv = kq.shape[1], kq.shape[2]
     if kv_cap is not None and kv_cap < S:
         S = kv_cap  # grid covers only the attended prefix
-    Dv = vq.shape[-1]
+    Dv = v_cur.shape[-1]  # logical (vq may be nibble-packed at Dv/2 bytes)
     rep = H // Hkv
     gsk = Dk // ks.shape[-1]
     gsv = Dv // vs.shape[-1]
@@ -405,9 +413,9 @@ def flash_decode_q8_tiled(
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec((1, H, Dk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DTS, Hkv, Dk), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DTS, Hkv, kq.shape[-1]), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, DTS, Hkv, ks.shape[-1]), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DTS, Hkv, Dv), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DTS, Hkv, vq.shape[-1]), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, DTS, Hkv, vs.shape[-1]), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hkv, Dk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hkv, Dv), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),

@@ -585,7 +585,7 @@ class Engine:
             if quant:
                 kq, ks = cache._quant(k)
                 vq, vs = cache._quant(v)
-                return QuantKVCache(
+                return type(cache)(
                     cache.k_q.at[:, row].set(kq), cache.k_s.at[:, row].set(ks),
                     cache.v_q.at[:, row].set(vq), cache.v_s.at[:, row].set(vs),
                 )

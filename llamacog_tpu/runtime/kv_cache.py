@@ -186,7 +186,7 @@ class QuantKVCache:
         ks = jax.vmap(write_row)(self.k_s[layer], ks_new, write_pos)
         vq = jax.vmap(write_row)(self.v_q[layer], vq_new, write_pos)
         vs = jax.vmap(write_row)(self.v_s[layer], vs_new, write_pos)
-        new_cache = QuantKVCache(
+        new_cache = type(self)(
             self.k_q.at[layer].set(kq),
             self.k_s.at[layer].set(ks),
             self.v_q.at[layer].set(vq),
@@ -227,7 +227,65 @@ class QuantKVCache:
             in_axes=(1,) * 8 + (0, 0), out_axes=(1, 1, 1, 1),
         )(self.k_q, self.k_s, self.v_q, self.v_s, kq_new, ks_new, vq_new, vs_new,
           write_pos, active)
-        return QuantKVCache(kq, ks, vq, vs)
+        return type(self)(kq, ks, vq, vs)
+
+
+@jax.tree_util.register_pytree_node_class
+class Q4KVCache(QuantKVCache):
+    """Q4_0-style 4-bit KV cache: packed nibbles + f32 scale per 32-group
+    along the head dim (reference cache-type-K/V q4_0 flags;
+    llama-kv-cache-unified.cpp:952). 5 bits/element — quarter of bf16 KV,
+    doubling usable context again over Q8_0.
+
+    The packed plane stores strided column c in the low nibble of byte c
+    and strided column c + D/2 in the high nibble, so the in-kernel unpack
+    is one concat of shift/mask slices that reproduces the strided order
+    (same trick as quant/planar._pack4)."""
+
+    @classmethod
+    def create(cls, n_layers, batch, max_seq, n_head_kv, head_dim_k, head_dim_v, dtype=None):
+        def z(d):
+            g = cls.group_size(d)
+            return (
+                jnp.zeros((n_layers, batch, max_seq, n_head_kv, d // 2), dtype=jnp.uint8),
+                jnp.zeros((n_layers, batch, max_seq, n_head_kv, d // g), dtype=jnp.float32),
+            )
+
+        kq, ks = z(head_dim_k)
+        vq, vs = z(head_dim_v)
+        return cls(kq, ks, vq, vs)
+
+    @staticmethod
+    def _quant(x: jnp.ndarray):
+        """[..., D] -> packed uint8 [..., D/2], scales [..., G]
+        (quantize_row_q4_0 semantics: d = signed_amax / -8, q in [0, 15])."""
+        D = x.shape[-1]
+        gs = QuantKVCache.group_size(D)
+        G = D // gs
+        g = x.astype(jnp.float32).reshape(*x.shape[:-1], G, gs)
+        amax_i = jnp.argmax(jnp.abs(g), axis=-1, keepdims=True)
+        vmax = jnp.take_along_axis(g, amax_i, axis=-1)  # signed max-|.|
+        d = vmax / -8.0
+        q = jnp.where(
+            d != 0, jnp.clip(jnp.round(g / jnp.where(d != 0, d, 1.0)) + 8.0,
+                             0.0, 15.0), 8.0)
+        # [.., G, gs] -> strided [.., D] -> pack nibble pairs (c, c + D/2)
+        q = jnp.swapaxes(q, -1, -2).reshape(*x.shape[:-1], D).astype(jnp.uint8)
+        lo, hi = q[..., : D // 2], q[..., D // 2:]
+        return lo | (hi << 4), d.squeeze(-1)
+
+    @staticmethod
+    def _dequant(q: jnp.ndarray, s: jnp.ndarray, dtype):
+        D2 = q.shape[-1]
+        D = D2 * 2
+        G = s.shape[-1]
+        gs = D // G
+        qi = q.astype(jnp.int32)
+        v = jnp.concatenate([qi & 0xF, qi >> 4], axis=-1).astype(jnp.float32) - 8.0
+        g = v.reshape(*q.shape[:-1], gs, G)
+        out = g * s[..., None, :]
+        out = jnp.swapaxes(out, -1, -2).reshape(*q.shape[:-1], D)
+        return out.astype(dtype)
 
 
 def make_cache(kind: str, n_layers, batch, max_seq, n_head_kv, dk, dv, dtype=jnp.bfloat16):
@@ -235,6 +293,8 @@ def make_cache(kind: str, n_layers, batch, max_seq, n_head_kv, dk, dv, dtype=jnp
         return KVCache.create(n_layers, batch, max_seq, n_head_kv, dk, dv, dtype=dtype)
     if kind in ("q8_0", "q8"):
         return QuantKVCache.create(n_layers, batch, max_seq, n_head_kv, dk, dv)
+    if kind in ("q4_0", "q4"):
+        return Q4KVCache.create(n_layers, batch, max_seq, n_head_kv, dk, dv)
     raise ValueError(f"unknown kv cache type {kind!r}")
 
 

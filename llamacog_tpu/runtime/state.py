@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from .engine import Engine
-from .kv_cache import KVCache, QuantKVCache, SwaKVCache
+from .kv_cache import KVCache, Q4KVCache, QuantKVCache, SwaKVCache
 
 STATE_MAGIC = "LCGS"
 STATE_VERSION = 1
@@ -27,7 +27,8 @@ def save_row_state(engine: Engine, path: str, row: int = 0, tokens: list[int] | 
     }
     c = engine.cache
     if isinstance(c, QuantKVCache):
-        arrays["kind"] = np.frombuffer(b"q8_0", dtype=np.uint8)
+        arrays["kind"] = np.frombuffer(
+            b"q4_0" if isinstance(c, Q4KVCache) else b"q8_0", dtype=np.uint8)
         arrays["k_q"] = np.asarray(c.k_q[:, row, :n])
         arrays["k_s"] = np.asarray(c.k_s[:, row, :n])
         arrays["v_q"] = np.asarray(c.v_q[:, row, :n])
@@ -80,10 +81,12 @@ def load_row_state(engine: Engine, path: str, row: int = 0) -> list[int]:
         raise ValueError(f"state length {n} exceeds engine max_seq {engine.max_seq}")
     kind = bytes(z["kind"]).decode()
     c = engine.cache
-    if kind == "q8_0":
-        if not isinstance(c, QuantKVCache):
-            raise ValueError("state is q8_0 but engine cache is dense")
-        engine.cache = QuantKVCache(
+    if kind in ("q8_0", "q4_0"):
+        want = Q4KVCache if kind == "q4_0" else QuantKVCache
+        if type(c) is not want:
+            raise ValueError(f"state is {kind} but engine cache is "
+                             f"{type(c).__name__}")
+        engine.cache = want(
             c.k_q.at[:, row, :n].set(jnp.asarray(z["k_q"])),
             c.k_s.at[:, row, :n].set(jnp.asarray(z["k_s"])),
             c.v_q.at[:, row, :n].set(jnp.asarray(z["v_q"])),

@@ -26,10 +26,24 @@ from ..quant.planar import QuantTensor
 # plane shapes per kind for a logical [N, K] tensor (quant/planar.from_gguf)
 _PLANES = {
     "Q4_K": (("qs", 2, jnp.uint8), ("scales", 32, jnp.float32), ("mins", 32, jnp.float32)),
+    "Q5_K": (("qs", 2, jnp.uint8), ("qh", 8, jnp.uint8), ("scales", 32, jnp.float32), ("mins", 32, jnp.float32)),
     "Q6_K": (("qs", 2, jnp.uint8), ("qh", 4, jnp.uint8), ("scales", 16, jnp.float32)),
+    "Q2_K": (("qs", 4, jnp.uint8), ("scales", 16, jnp.float32), ("mins", 16, jnp.float32)),
+    "Q3_K": (("qs", 4, jnp.uint8), ("hb", 8, jnp.uint8), ("scales", 16, jnp.float32)),
     "Q4_0": (("qs", 2, jnp.uint8), ("d", 32, jnp.float32)),
+    "Q4_1": (("qs", 2, jnp.uint8), ("d", 32, jnp.float32), ("m", 32, jnp.float32)),
+    "Q5_0": (("qs", 2, jnp.uint8), ("qh", 8, jnp.uint8), ("d", 32, jnp.float32)),
+    "Q5_1": (("qs", 2, jnp.uint8), ("qh", 8, jnp.uint8), ("d", 32, jnp.float32), ("m", 32, jnp.float32)),
     "Q8_0": (("qs", 1, jnp.int8), ("d", 32, jnp.float32)),
     "IQ4_XS": (("qs", 1, jnp.int8), ("scales", 32, jnp.float32)),
+    "IQ4_NL": (("qs", 1, jnp.int8), ("d", 32, jnp.float32)),
+    "IQ2_XXS": (("qs", 1, jnp.int8), ("scales", 32, jnp.float32)),
+    "IQ2_XS": (("qs", 1, jnp.int8), ("scales", 16, jnp.float32)),
+    "IQ2_S": (("qs", 1, jnp.int8), ("scales", 16, jnp.float32)),
+    "IQ3_XXS": (("qs", 1, jnp.int8), ("scales", 32, jnp.float32)),
+    "IQ3_S": (("qs", 1, jnp.int8), ("scales", 32, jnp.float32)),
+    "IQ1_S": (("qs", 4, jnp.uint8), ("scales", 32, jnp.float32), ("mins", 32, jnp.float32)),
+    "IQ1_M": (("qs", 4, jnp.uint8), ("scales", 8, jnp.float32), ("mins", 8, jnp.float32)),
 }
 
 
@@ -75,10 +89,10 @@ def make_synthetic_params(cfg: ModelConfig, seed: int = 0,
                           quant_mix: str = "q4_k_m") -> dict:
     """Random planar params for the generalized llama forward.
 
-    quant_mix: "q4_k_m" (Q4_K/Q6_K per-tensor policy) or "iq4_xs"
-    (uniform IQ4_XS body + Q6_K output — BASELINE's "8B i-quants" config;
-    decode cost depends on plane bytes only, so the policy tails don't
-    matter for throughput).
+    quant_mix: "q4_k_m" (Q4_K/Q6_K per-tensor policy) or any format name
+    in _PLANES (uniform body of that kind + Q6_K output; "iq4_xs" is
+    BASELINE's "8B i-quants" config). Decode cost depends on plane bytes
+    only, so the policy tails don't matter for throughput.
 
     The whole pytree is built inside one jit so a tunneled chip pays one
     dispatch round-trip, not one per plane."""
@@ -89,8 +103,8 @@ def _make_synthetic_params(cfg: ModelConfig, seed, quant_mix="q4_k_m") -> dict:
     key = jax.random.PRNGKey(seed)
     E, F = cfg.n_embd, cfg.n_ff
     kv = cfg.n_head_kv * cfg.head_dim_k
-    iq = quant_mix == "iq4_xs"
-    body = "IQ4_XS" if iq else "Q4_K"
+    iq = quant_mix != "q4_k_m"
+    body = quant_mix.upper() if iq else "Q4_K"
     params: dict = {"layers": []}
     k0 = jax.random.fold_in(key, 10_000)
     params["tok_embd"] = _rand_qt(jax.random.fold_in(k0, 0), body, cfg.n_vocab, E)

@@ -137,3 +137,111 @@ def test_flash_decode_q8_tiled_matches_untiled():
         jnp.asarray(q), kq, ks, vq, vs, jnp.asarray(k_cur), jnp.asarray(v_cur),
         jnp.asarray(n_valid), scale, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Q4_0 KV cache (nibble-packed planes; same kernels via the _deq unpack)
+# ---------------------------------------------------------------------------
+
+
+def _rand_q4_cache(B, S, Hkv, Dk, Dv, seed=0):
+    from llamacog_tpu.runtime.kv_cache import Q4KVCache
+
+    rng = np.random.default_rng(seed)
+    k_dense = rng.standard_normal((B, S, Hkv, Dk)).astype(np.float32)
+    v_dense = rng.standard_normal((B, S, Hkv, Dv)).astype(np.float32)
+    kq, ks = Q4KVCache._quant(jnp.asarray(k_dense))
+    vq, vs = Q4KVCache._quant(jnp.asarray(v_dense))
+    k_ref = np.asarray(Q4KVCache._dequant(kq, ks, jnp.float32))
+    v_ref = np.asarray(Q4KVCache._dequant(vq, vs, jnp.float32))
+    return kq, ks, vq, vs, k_ref, v_ref
+
+
+def test_q4_cache_quant_roundtrip():
+    from llamacog_tpu.runtime.kv_cache import Q4KVCache
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 5, 2, 64)).astype(np.float32)
+    q, s = Q4KVCache._quant(jnp.asarray(x))
+    assert q.dtype == jnp.uint8 and q.shape[-1] == 32
+    back = np.asarray(Q4KVCache._dequant(q, s, jnp.float32))
+    # q4_0: 4-bit round-trip error bounded by half a step (d = amax/8)
+    err = np.abs(back - x)
+    bound = np.abs(x).max(axis=-1, keepdims=True) / 8.0 * 0.5 + 1e-6
+    g = x.reshape(2, 5, 2, 2, 32)
+    gb = np.abs(g).max(-1, keepdims=True) / 8.0 * 0.5 + 1e-6
+    assert (np.abs((back - x).reshape(g.shape)) <= gb + 1e-5).mean() > 0.99
+
+
+def test_flash_decode_q4_matches():
+    B, S, H, Hkv, Dk, Dv = 2, 64, 8, 2, 32, 32
+    rng = np.random.default_rng(11)
+    n_valid = np.array([40, 17], np.int32)
+    kq, ks, vq, vs, k_ref, v_ref = _rand_q4_cache(B, S, Hkv, Dk, Dv)
+    q = rng.standard_normal((B, 1, H, Dk)).astype(np.float32)
+    k_cur = rng.standard_normal((B, 1, Hkv, Dk)).astype(np.float32)
+    v_cur = rng.standard_normal((B, 1, Hkv, Dv)).astype(np.float32)
+    scale = Dk ** -0.5
+    got = np.asarray(flash_q8.flash_decode_q8(
+        jnp.asarray(q[:, 0]), kq, ks, vq, vs, jnp.asarray(k_cur[:, 0]),
+        jnp.asarray(v_cur[:, 0]), jnp.asarray(n_valid), scale, interpret=True,
+    ))
+    ref = _ref_attention(q, k_ref, v_ref, k_cur, v_cur, n_valid, scale, H // Hkv)
+    np.testing.assert_allclose(got, ref[:, 0], atol=2e-5, rtol=1e-4)
+
+
+def test_flash_prefill_q4_matches():
+    B, S, T, H, Hkv, Dk, Dv = 1, 512, 16, 4, 2, 32, 32
+    rng = np.random.default_rng(12)
+    n_valid = np.array([300], np.int32)
+    kq, ks, vq, vs, k_ref, v_ref = _rand_q4_cache(B, S, Hkv, Dk, Dv, seed=6)
+    q = rng.standard_normal((B, T, H, Dk)).astype(np.float32)
+    k_cur = rng.standard_normal((B, T, Hkv, Dk)).astype(np.float32)
+    v_cur = rng.standard_normal((B, T, Hkv, Dv)).astype(np.float32)
+    scale = Dk ** -0.5
+    got = np.asarray(flash_q8.flash_prefill_q8(
+        jnp.asarray(q), kq, ks, vq, vs, jnp.asarray(k_cur), jnp.asarray(v_cur),
+        jnp.asarray(n_valid), scale, interpret=True,
+    ))
+    ref = _ref_attention(q, k_ref, v_ref, k_cur, v_cur, n_valid, scale, H // Hkv)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_engine_q4_kv_close_to_dense(tmp_path):
+    """Engine with kv_type=q4_0: logits near the dense-KV engine; decode
+    equals prefill through the quantized cache."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.engine import Engine
+    from llamacog_tpu.runtime.kv_cache import Q4KVCache
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / "q4kv.gguf")
+    make_tiny_llama_gguf(path, n_embd=128, n_head=4, n_head_kv=2, n_ff=192)
+    m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
+    toks = [3, 17, 9, 41, 5]
+
+    dense = Engine(m.params, m.config, batch_size=1, max_seq=64, dtype=jnp.float32)
+    ref = dense.prefill(toks)
+
+    q4 = Engine(m.params, m.config, batch_size=1, max_seq=64,
+                dtype=jnp.float32, kv_type="q4_0")
+    assert isinstance(q4.cache, Q4KVCache)
+    got = q4.prefill(toks)
+    corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(ref).ravel())[0, 1]
+    assert corr > 0.999, f"q4 KV logit corr {corr}"
+
+    # decode one more token and compare against a 1-token prefill
+    # continuation on an identically-filled cache: both attend tokens 0-4
+    # through the quantized planes and token 23 exactly, so they must agree
+    # (a FULL fresh prefill would differ by design: the current block is
+    # attended unquantized)
+    nxt = q4.decode_one(np.array([23]))
+    q4b = Engine(m.params, m.config, batch_size=1, max_seq=64,
+                 dtype=jnp.float32, kv_type="q4_0")
+    q4b.prefill(toks)
+    ref2 = q4b.prefill([23])
+    # decode (flash kernel) and bucket-padded prefill accumulate in
+    # different orders; agreement is to f32-order noise
+    np.testing.assert_allclose(np.asarray(nxt)[0], np.asarray(ref2), atol=5e-3)
