@@ -141,10 +141,9 @@ def _dec_q2_K(p):
 
 
 def _dec_q3_K(p):
+    # 3-bit values stored merged in a 4-bit plane (quant/planar.py)
     st = _rep_to(p["scales"], p["qs"].shape[-1])
-    hb = _bits(p["hb"], 4)
-    q2 = _crumbs(p["qs"])
-    return [_wm(q2[i] | (hb[i] << 2), st) for i in range(4)], 4.0 * _f32(p["scales"])
+    return [_wm(v, st) for v in _nib(p["qs"])], 4.0 * _f32(p["scales"])
 
 
 def _dec_q4_K(p):
@@ -200,7 +199,7 @@ TILE_DECODERS = {
     "Q5_1": (_dec_q5_1, ("qs", "qh", "d", "m"), "d"),
     "Q8_0": (_dec_q8_0, ("qs", "d"), "d"),
     "Q2_K": (_dec_q2_K, ("qs", "scales", "mins"), "scales"),
-    "Q3_K": (_dec_q3_K, ("qs", "hb", "scales"), "scales"),
+    "Q3_K": (_dec_q3_K, ("qs", "scales"), "scales"),
     "Q4_K": (_dec_q4_K, ("qs", "scales", "mins"), "scales"),
     "Q5_K": (_dec_q5_K, ("qs", "qh", "scales", "mins"), "scales"),
     "Q6_K": (_dec_q6_K, ("qs", "qh", "scales"), "scales"),

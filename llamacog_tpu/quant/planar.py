@@ -360,8 +360,10 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         p["scales"] = (d * (sc6.astype(np.float32) - 32.0)).reshape(N, K // 16)
         q2 = _unpack_2bit_elems(data[:, :, 32:96].reshape(-1, 64)).reshape(N, K)
         hb = _superblock_bits(data[:, :, 0:32].reshape(-1, 32)).reshape(N, K).astype(np.uint8)
-        p["qs"] = _pack2(_strided(q2, 16))
-        p["hb"] = _pack1(_strided(hb, 16))
+        # 3-bit values merged into one 4-bit plane: a single nibble unpack
+        # in-kernel instead of a 2-bit + 1-bit recombine (0.375 -> 0.5
+        # bytes/el buys ~3x fewer decode ops; q3_k measured VPU-bound)
+        p["qs"] = _pack4(_strided(q2 | (hb << 2), 16))
     elif t in (GGMLType.Q4_K, GGMLType.Q5_K):
         sc, mn = _k4_scale_min(data[:, :, 4:16].reshape(-1, 12))
         sc = sc.reshape(N, nb, 8).astype(np.float32)
@@ -490,7 +492,7 @@ def decode_strided(qt: QuantTensor) -> jnp.ndarray:
         v = _unpack2_j(p["qs"]).astype(jnp.float32)
         return v * _tile_scale_j(p["scales"], 16) - _tile_scale_j(p["mins"], 16)
     if kind == "Q3_K":
-        v = (_unpack2_j(p["qs"]) + (_unpack1_j(p["hb"]) << 2)).astype(jnp.float32) - 4.0
+        v = _unpack4_j(p["qs"]).astype(jnp.float32) - 4.0
         return v * _tile_scale_j(p["scales"], 16)
     if kind == "Q4_K":
         v = _unpack4_j(p["qs"]).astype(jnp.float32)

@@ -29,7 +29,7 @@ _PLANES = {
     "Q5_K": (("qs", 2, jnp.uint8), ("qh", 8, jnp.uint8), ("scales", 32, jnp.float32), ("mins", 32, jnp.float32)),
     "Q6_K": (("qs", 2, jnp.uint8), ("qh", 4, jnp.uint8), ("scales", 16, jnp.float32)),
     "Q2_K": (("qs", 4, jnp.uint8), ("scales", 16, jnp.float32), ("mins", 16, jnp.float32)),
-    "Q3_K": (("qs", 4, jnp.uint8), ("hb", 8, jnp.uint8), ("scales", 16, jnp.float32)),
+    "Q3_K": (("qs", 2, jnp.uint8), ("scales", 16, jnp.float32)),
     "Q4_0": (("qs", 2, jnp.uint8), ("d", 32, jnp.float32)),
     "Q4_1": (("qs", 2, jnp.uint8), ("d", 32, jnp.float32), ("m", 32, jnp.float32)),
     "Q5_0": (("qs", 2, jnp.uint8), ("qh", 8, jnp.uint8), ("d", 32, jnp.float32)),
