@@ -139,16 +139,34 @@ class ServerContext:
         self._stop = True
 
     # -- inference loop ------------------------------------------------------
+    @staticmethod
+    def _lcp(a, b) -> int:
+        n = 0
+        m = min(len(a or ()), len(b or ()))
+        while n < m and a[n] == b[n]:
+            n += 1
+        return n
+
     def _admit(self) -> None:
-        for slot in self.slots:
-            if slot.state != IDLE:
-                continue
+        while any(s.state == IDLE for s in self.slots):
             try:
                 task = self.pending.get_nowait()
             except queue.Empty:
                 return
             if task.cancelled:
                 continue
+            # slot routing by longest common prompt prefix (the reference's
+            # slot_prompt_similarity selection, server.cpp get_available_slot):
+            # reusing the slot whose KV already holds the prompt's prefix
+            # turns cross-request prefix caching into a hit instead of a miss
+            idle = [s for s in self.slots if s.state == IDLE]
+            ids = task.prompt_ids if task.chunks is None else None
+            slot = max(
+                idle,
+                key=lambda s: (self._lcp(getattr(s, "cache_tokens", None), ids)
+                               if ids is not None and task.cache_prompt else 0,
+                               -s.id),
+            )
             slot.task = task
             slot.state = PROMPT
             slot.n_gen = 0

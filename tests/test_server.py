@@ -373,3 +373,15 @@ def test_server_q8_kv_cache(tmp_path):
         assert "error" not in res and res["tokens_predicted"] == 4
     finally:
         ctx.stop()
+
+
+def test_lcp_slot_routing():
+    """Tasks route to the idle slot whose cache shares the longest prompt
+    prefix (server.cpp slot_prompt_similarity selection)."""
+    from llamacog_tpu.server.server import ServerContext
+
+    lcp = ServerContext._lcp
+    assert lcp([1, 2, 3], [1, 2, 9]) == 2
+    assert lcp([], [1]) == 0
+    assert lcp(None, [1]) == 0
+    assert lcp([1, 2], None) == 0
