@@ -408,6 +408,19 @@ def test_jamba_hybrid_parity(tmp_path):
     )
     torch.manual_seed(8)
     model = JambaForCausalLM(cfg).eval()
+    # oneDNN picks thread-count-dependent reduction orders; under full-suite
+    # load the four chained selective scans have drifted past 3e-2. Pin the
+    # reference to the deterministic single-thread non-mkldnn path while
+    # computing the golden logits.
+    n_threads = torch.get_num_threads()
+    mkldnn_was = torch.backends.mkldnn.enabled
+    torch.set_num_threads(1)
+    torch.backends.mkldnn.enabled = False
+    try:
+        ref_logits = _hf_logits(model)
+    finally:
+        torch.set_num_threads(n_threads)
+        torch.backends.mkldnn.enabled = mkldnn_was
     sd = model.state_dict()
     d_inner = cfg.mamba_expand * cfg.hidden_size
     path = str(tmp_path / "jamba.gguf")
@@ -465,11 +478,7 @@ def test_jamba_hybrid_parity(tmp_path):
                          sd[f"{mx}.c_layernorm.weight"].float().numpy())
     w.write()
     ours = _our_logits(path)
-    # widest gate in this file: the HF reference itself is only reproducible
-    # to ~1e-2 here (torch CPU/oneDNN reduction order varies run-to-run and
-    # four chained selective-scan layers amplify it; observed full-suite
-    # flakes at 5e-3 and again at 1.5e-2)
-    np.testing.assert_allclose(ours, _hf_logits(model), atol=3e-2, rtol=5e-3)
+    np.testing.assert_allclose(ours, ref_logits, atol=1.5e-2, rtol=5e-3)
 
 
 def test_jamba_decode_matches_prefill(tmp_path):
