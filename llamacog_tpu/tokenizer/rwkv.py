@@ -7,13 +7,41 @@ from __future__ import annotations
 from .vocab import Vocab
 
 
+def _unescape_rwkv_token(escaped: str) -> bytes:
+    """GGUF rwkv vocab stores escape-coded text (\\xNN, \\t, \\n, \\\\) —
+    reference llama_unescape_rwkv_token (src/llama-vocab.cpp:1092)."""
+    out = bytearray()
+    i, n = 0, len(escaped)
+    while i < n:
+        c = escaped[i]
+        if c == "\\" and i + 1 < n:
+            nxt = escaped[i + 1]
+            if nxt == "x" and i + 3 < n:
+                out.append(int(escaped[i + 2 : i + 4], 16))
+                i += 4
+                continue
+            if nxt == "t":
+                out.append(9)
+            elif nxt == "n":
+                out.append(10)
+            elif nxt == "r":
+                out.append(13)
+            else:
+                out.append(ord(nxt))
+            i += 2
+            continue
+        out += c.encode("utf-8", errors="surrogateescape")
+        i += 1
+    return bytes(out)
+
+
 class RwkvTokenizer:
     def __init__(self, vocab: Vocab):
         self.vocab = vocab
         self.token_ids: dict[bytes, int] = {}
         self.max_len = 1
         for i, tok in enumerate(vocab.tokens):
-            b = tok.encode("utf-8", errors="surrogateescape")
+            b = _unescape_rwkv_token(tok)
             self.token_ids[b] = i
             self.max_len = max(self.max_len, len(b))
 

@@ -264,6 +264,10 @@ class Vocab:
             return byte_decode(text)
         if self.model == "bert":  # WPM
             return text.replace("##", "").replace(SPM_SPACE, " ").encode("utf-8")
+        if self.model == "rwkv":  # escape-coded byte strings
+            from .rwkv import _unescape_rwkv_token
+
+            return _unescape_rwkv_token(text)
         return text.encode("utf-8")
 
     def detokenize(

@@ -178,9 +178,38 @@ _PRE_HINTS = (
 )
 
 
+def _export_rwkv_world(w: GGUFWriter, path: pathlib.Path, cfg: dict):
+    """rwkv_vocab_v20230424.txt -> tokenizer model "rwkv"
+    (reference TextModel._set_vocab_rwkv_world)."""
+    import ast
+
+    vocab_size = cfg.get("vocab_size", 65536)
+    tokens = ["<s>"]
+    ttypes = [3]  # control
+    for line in path.read_text(encoding="utf-8").splitlines():
+        parts = line.split(" ")
+        token = ast.literal_eval(" ".join(parts[1:-1]))
+        token = token.encode("utf-8") if isinstance(token, str) else bytes(token)
+        tokens.append(repr(token)[2:-1])  # b'\xff' -> \xff escape text
+        ttypes.append(1)
+    for i in range(len(tokens), vocab_size):
+        tokens.append(f"[PAD{i}]")
+        ttypes.append(5)  # unused
+    w.add("tokenizer.ggml.model", "rwkv")
+    w.add("tokenizer.ggml.tokens", tokens)
+    w.add("tokenizer.ggml.token_type", np.asarray(ttypes, np.int32))
+    w.add("tokenizer.ggml.bos_token_id", 0)
+    w.add("tokenizer.ggml.eos_token_id", 0)
+    w.add("tokenizer.ggml.eot_token_id", 261)  # '\n\n'
+    w.add("tokenizer.chat_template", "rwkv-world")
+
+
 def _export_tokenizer(w: GGUFWriter, d: pathlib.Path, cfg: dict):
     tj = d / "tokenizer.json"
     tm = d / "tokenizer.model"
+    rwkv_vocab = d / "rwkv_vocab_v20230424.txt"
+    if rwkv_vocab.exists():
+        return _export_rwkv_world(w, rwkv_vocab, cfg)
     tok_cfg = {}
     if (d / "tokenizer_config.json").exists():
         tok_cfg = json.loads((d / "tokenizer_config.json").read_text())

@@ -75,3 +75,62 @@ def test_rwkv_falls_through_lengths():
     tok = build_tokenizer(v)
     ids = tok.tokenize("Hellw", add_special=False)
     assert [v.tokens[i] for i in ids] == ["Hell", "w"]
+
+
+def test_rwkv_escaped_vocab_roundtrip():
+    """Reference-made rwkv vocabs store escape-coded byte strings
+    (llama_unescape_rwkv_token, src/llama-vocab.cpp:1092); tokenize and
+    token_to_piece must both decode them."""
+    toks = ["<s>", "Hello", "\\xe4\\xb8\\x96", "\\n\\n", "\\\\", " "]
+    md = {
+        "tokenizer.ggml.model": "rwkv",
+        "tokenizer.ggml.tokens": toks,
+        "tokenizer.ggml.token_type": np.asarray([3, 1, 1, 1, 1, 1], np.int32),
+        "general.architecture": "rwkv6",
+    }
+    v = Vocab.from_metadata(md)
+    tok = build_tokenizer(v)
+    ids = tok.tokenize("Hello 世", add_special=False)
+    assert [v.tokens[i] for i in ids] == ["Hello", " ", "\\xe4\\xb8\\x96"]
+    assert v.token_to_piece(ids[-1]) == "世".encode()
+    ids2 = tok.tokenize("\n\n", add_special=False)
+    assert [v.tokens[i] for i in ids2] == ["\\n\\n"]
+    assert v.token_to_piece(tok.tokenize("\\", add_special=False)[0]) == b"\\"
+
+
+def test_convert_rwkv_world_vocab_export(tmp_path):
+    """convert_hf exports rwkv_vocab_v20230424.txt checkpoints as
+    tokenizer model "rwkv" with reference escape coding."""
+    import json as _json
+
+    from llamacog_tpu.gguf import GGUFWriter
+    from llamacog_tpu.tools.convert_hf import _export_rwkv_world
+
+    # tiny vocab file in the reference's "<id> <repr> <len>" format
+    lines = []
+    for i, b in enumerate([b"A", b"\n", b"\xe4\xb8\x96", b"ab"], start=0):
+        lines.append(f"{i} {b!r} {len(b)}")
+    vf = tmp_path / "rwkv_vocab_v20230424.txt"
+    vf.write_text("\n".join(lines), encoding="utf-8")
+
+    out = tmp_path / "v.gguf"
+    w = GGUFWriter(str(out))
+    w.add("general.architecture", "rwkv6")
+    _export_rwkv_world(w, vf, {"vocab_size": 8})
+    w.add_tensor("token_embd.weight", np.zeros((8, 4), np.float32))
+    w.write()
+
+    from llamacog_tpu.gguf import GGUFReader
+
+    r = GGUFReader(str(out))
+    md = r.metadata
+    assert md["tokenizer.ggml.model"] == "rwkv"
+    toks = list(md["tokenizer.ggml.tokens"])
+    assert toks[0] == "<s>" and len(toks) == 8
+    assert toks[2] == "\\n"          # escape-coded newline
+    assert toks[3] == "\\xe4\\xb8\\x96"
+    assert toks[-1].startswith("[PAD")
+    v = Vocab.from_metadata(md)
+    tok = build_tokenizer(v)
+    assert v.token_to_piece(tok.tokenize("世", add_special=False)[0]) \
+        == "世".encode()
