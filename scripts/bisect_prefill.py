@@ -24,7 +24,8 @@ def main():
         make_synthetic_params,
     )
 
-    variants = sys.argv[1:] or ["base", "noattn", "noffn", "nohead", "noqkv"]
+    variants = sys.argv[1:] or ["base", "noattn", "noffn", "nohead",
+                                 "nonorm", "nopermute"]
     cfg = llama3_8b_config()
     t0 = time.time()
     params = make_synthetic_params(cfg)
@@ -58,11 +59,29 @@ def main():
     def ffn_zero(layer, x, cfg_):
         return jnp.zeros_like(x)
 
+    import llamacog_tpu.ops.norms as NORMS
+    orig_rms = NORMS.rms_norm
+
+    def rms_identity(x, w, eps, b=None):
+        return x.astype(jnp.float32)
+
+    import llamacog_tpu.quant.planar as PL
+    orig_perm = PL.permute_activation
+
+    def perm_identity(x, qt):
+        return x
+
     for variant in variants:
         L.masked_attention = attn_zero if variant == "noattn" else orig_attn
         flash_prefill.flash_prefill_attention = (
             flash_zero if variant == "noattn" else orig_flash)
         L._ffn = ffn_zero if variant == "noffn" else orig_ffn
+        NORMS.rms_norm = rms_identity if variant == "nonorm" else orig_rms
+        L.rms_norm = NORMS.rms_norm
+        PL.permute_activation = (perm_identity if variant == "nopermute"
+                                 else orig_perm)
+        import llamacog_tpu.ops.pallas.qmm as QMM
+        QMM.permute_activation = PL.permute_activation
         raw = variant == "nohead"
         if variant == "noqkv":
             # skip attention entirely including q/k/v/o projections: replace
