@@ -192,6 +192,9 @@ def _export_rwkv_world(w: GGUFWriter, path: pathlib.Path, cfg: dict):
         token = token.encode("utf-8") if isinstance(token, str) else bytes(token)
         tokens.append(repr(token)[2:-1])  # b'\xff' -> \xff escape text
         ttypes.append(1)
+    if len(tokens) > vocab_size:
+        raise ValueError(
+            f"rwkv vocab has {len(tokens)} tokens > vocab_size {vocab_size}")
     for i in range(len(tokens), vocab_size):
         tokens.append(f"[PAD{i}]")
         ttypes.append(5)  # unused

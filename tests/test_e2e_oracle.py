@@ -369,3 +369,66 @@ def test_bert_family_matches_reference_embedding(llama_embedding, tmp_path, arch
     enc = BertEncoder(m.params, m.config)
     ours = enc.embed([list(ids)], pooling="mean")[0]
     np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_rwkv6_converted_matches_reference_cli(llama_cli, tmp_path):
+    """Full rwkv6 chain vs the compiled reference: crafted HF checkpoint ->
+    OUR converter (incl. the rwkv-world vocab export) -> both llama-cli and
+    our engine greedy-decode token-for-token."""
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from llamacog_tpu.tools.convert_hf import convert
+
+    E6, HS, NL6, NFF = 64, 8, 2, 224
+    cfg = dict(architectures=["Rwkv6ForCausalLM"], model_type="rwkv6",
+               vocab_size=128, hidden_size=E6, num_hidden_layers=NL6,
+               head_size=HS, layer_norm_epsilon=1e-5, rescale_every=2,
+               intermediate_size=None)
+    t = {"rwkv.embeddings.weight": (128, E6),
+         "rwkv.blocks.0.pre_ln.weight": (E6,),
+         "rwkv.blocks.0.pre_ln.bias": (E6,),
+         "rwkv.ln_out.weight": (E6,), "rwkv.ln_out.bias": (E6,),
+         "head.weight": (128, E6)}
+    for i in range(NL6):
+        p = f"rwkv.blocks.{i}"
+        t.update({f"{p}.ln1.weight": (E6,), f"{p}.ln1.bias": (E6,),
+                  f"{p}.ln2.weight": (E6,), f"{p}.ln2.bias": (E6,)})
+        for x in "xwkvrg":
+            t[f"{p}.attention.time_maa_{x}"] = (1, 1, E6)
+        t.update({f"{p}.attention.time_maa_w1": (E6, 5 * 32),
+                  f"{p}.attention.time_maa_w2": (5, 32, E6),
+                  f"{p}.attention.time_decay": (1, 1, E6),
+                  f"{p}.attention.time_decay_w1": (E6, 64),
+                  f"{p}.attention.time_decay_w2": (64, E6),
+                  f"{p}.attention.time_faaaa": (E6 // HS, HS),
+                  f"{p}.attention.receptance.weight": (E6, E6),
+                  f"{p}.attention.key.weight": (E6, E6),
+                  f"{p}.attention.value.weight": (E6, E6),
+                  f"{p}.attention.gate.weight": (E6, E6),
+                  f"{p}.attention.output.weight": (E6, E6),
+                  f"{p}.attention.ln_x.weight": (E6,),
+                  f"{p}.attention.ln_x.bias": (E6,),
+                  f"{p}.feed_forward.time_maa_k": (1, 1, E6),
+                  f"{p}.feed_forward.time_maa_r": (1, 1, E6),
+                  f"{p}.feed_forward.key.weight": (NFF, E6),
+                  f"{p}.feed_forward.receptance.weight": (E6, E6),
+                  f"{p}.feed_forward.value.weight": (E6, NFF)})
+    d = tmp_path / "r6hf"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfg))
+    rng = np.random.default_rng(4)
+    save_file({k: (rng.standard_normal(v) * 0.5).astype(np.float32)
+               for k, v in t.items()}, str(d / "model.safetensors"))
+    # tiny rwkv world vocab: printable ascii single bytes (ids 1..95)
+    lines = [f"{i} {bytes([b])!r} 1"
+             for i, b in enumerate(range(0x20, 0x7F), start=1)]
+    (d / "rwkv_vocab_v20230424.txt").write_text("\n".join(lines))
+
+    gguf = str(tmp_path / "r6.gguf")
+    convert(str(d), gguf, outtype="f32")
+    ref = _ref_generate(llama_cli, gguf)
+    ours = _our_generate(gguf)
+    assert ours == ref, f"ref={ref!r}\nours={ours!r}"
