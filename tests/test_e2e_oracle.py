@@ -432,3 +432,69 @@ def test_rwkv6_converted_matches_reference_cli(llama_cli, tmp_path):
     ref = _ref_generate(llama_cli, gguf)
     ours = _our_generate(gguf)
     assert ours == ref, f"ref={ref!r}\nours={ours!r}"
+
+
+def test_rwkv7_converted_matches_reference_cli(llama_cli, tmp_path):
+    """rwkv7 (fla-hub layout) through our converter vs compiled llama-cli."""
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from llamacog_tpu.tools.convert_hf import convert
+
+    E7, HS, NL7, NFF = 64, 8, 2, 256
+    cfg = dict(architectures=["Rwkv7ForCausalLM"], vocab_size=128,
+               hidden_size=E7, num_hidden_layers=NL7, head_size=HS,
+               layer_norm_epsilon=1e-5, intermediate_size=NFF,
+               lora_rank_decay=None, lora_rank_iclr=None,
+               lora_rank_value_residual_mix=None, lora_rank_gate=None)
+    t = {"model.embeddings.weight": (128, E7),
+         "model.layers.0.pre_norm.weight": (E7,),
+         "model.layers.0.pre_norm.bias": (E7,),
+         "model.ln_out.weight": (E7,), "model.ln_out.bias": (E7,),
+         "lm_head.weight": (128, E7)}
+    for i in range(NL7):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.ln1.weight": (E7,), f"{p}.ln1.bias": (E7,),
+                  f"{p}.ln2.weight": (E7,), f"{p}.ln2.bias": (E7,)})
+        for x in "rwkvag":
+            t[f"{p}.attention.x_{x}"] = (1, 1, E7)
+        t.update({f"{p}.attention.w0": (1, 1, E7),
+                  f"{p}.attention.w1": (E7, 32),
+                  f"{p}.attention.w2": (32, E7),
+                  f"{p}.attention.a0": (1, 1, E7),
+                  f"{p}.attention.a1": (E7, 32),
+                  f"{p}.attention.a2": (32, E7),
+                  f"{p}.attention.v0": (1, 1, E7),
+                  f"{p}.attention.v1": (E7, 32),
+                  f"{p}.attention.v2": (32, E7),
+                  f"{p}.attention.g1": (E7, 32),
+                  f"{p}.attention.g2": (32, E7),
+                  f"{p}.attention.k_k": (1, 1, E7),
+                  f"{p}.attention.k_a": (1, 1, E7),
+                  f"{p}.attention.r_k": (E7 // HS, HS),
+                  f"{p}.attention.receptance.weight": (E7, E7),
+                  f"{p}.attention.key.weight": (E7, E7),
+                  f"{p}.attention.value.weight": (E7, E7),
+                  f"{p}.attention.output.weight": (E7, E7),
+                  f"{p}.attention.ln_x.weight": (E7,),
+                  f"{p}.attention.ln_x.bias": (E7,),
+                  f"{p}.feed_forward.x_k": (1, 1, E7),
+                  f"{p}.feed_forward.key.weight": (NFF, E7),
+                  f"{p}.feed_forward.value.weight": (E7, NFF)})
+    d = tmp_path / "r7hf"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfg))
+    rng = np.random.default_rng(6)
+    save_file({k: (rng.standard_normal(v) * 0.5).astype(np.float32)
+               for k, v in t.items()}, str(d / "model.safetensors"))
+    lines = [f"{i} {bytes([b])!r} 1"
+             for i, b in enumerate(range(0x20, 0x7F), start=1)]
+    (d / "rwkv_vocab_v20230424.txt").write_text("\n".join(lines))
+
+    gguf = str(tmp_path / "r7.gguf")
+    convert(str(d), gguf, outtype="f32")
+    ref = _ref_generate(llama_cli, gguf)
+    ours = _our_generate(gguf)
+    assert ours == ref, f"ref={ref!r}\nours={ours!r}"
