@@ -170,7 +170,11 @@ def load_wavtokenizer(path: str) -> WavTokenizer:
             "pw1_b": t(f"convnext.{i}.pw1.bias"),
             "pw2": t3(f"convnext.{i}.pw2.weight"),
             "pw2_b": t(f"convnext.{i}.pw2.bias"),
-            "gamma": t(f"convnext.{i}.gamma.weight"),
+            # converters that keep the HF param name write a bare
+            # "convnext.N.gamma" (no .weight suffix) — accept both
+            "gamma": t(f"convnext.{i}.gamma.weight"
+                       if f"convnext.{i}.gamma.weight" in reader.tensors
+                       else f"convnext.{i}.gamma"),
         })
     n_groups = int(md.get(f"{arch}.attention.group_norm_groups", 32))
     eps = float(md.get(f"{arch}.attention.group_norm_epsilon", 1e-6))

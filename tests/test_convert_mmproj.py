@@ -491,3 +491,61 @@ def test_mmproj_roundtrip_loaders(tmp_path):
     assert audio.config.projector_type == "ultravox"
     emb = audio.encode(np.zeros((16, 20), np.float32))
     assert emb.shape[-1] == TE and np.isfinite(np.asarray(emb)).all()
+
+
+def test_wavtokenizer_convert_roundtrip(tmp_path):
+    """Converted WavTokenizerDec GGUF loads and decodes through our vocoder
+    (the conversion path the reference TTS workflow uses)."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_convert_oracle_rc import _craft as _craft_rc
+
+    from llamacog_tpu.models.wavtokenizer import load_wavtokenizer
+    from llamacog_tpu.tools.convert_hf import convert
+
+    cfg = dict(architectures=["WavTokenizerDec"], vocab_size=64,
+               n_embd=32, n_ff=48, n_embd_features=16,
+               group_norm_epsilon=1e-6, group_norm_groups=4, n_layer=2,
+               posnet={"n_embd": 32, "n_layer": 2},
+               convnext={"n_embd": 32, "n_layer": 2})
+    t = {"token_embd.weight": (64, 16),
+         "backbone.embed.weight": (32, 16, 7), "backbone.embed.bias": (32,),
+         "backbone.norm.weight": (32,), "backbone.norm.bias": (32,),
+         "backbone.final_layer_norm.weight": (32,),
+         "backbone.final_layer_norm.bias": (32,),
+         "head.out.weight": (18, 32), "head.out.bias": (18,)}
+    t.update({"backbone.posnet.0.conv1.weight": (32, 32, 3),
+              "backbone.posnet.0.conv1.bias": (32,),
+              "backbone.posnet.0.conv2.weight": (32, 32, 3),
+              "backbone.posnet.0.conv2.bias": (32,),
+              "backbone.posnet.0.norm1.weight": (32,),
+              "backbone.posnet.0.norm1.bias": (32,),
+              "backbone.posnet.0.norm2.weight": (32,),
+              "backbone.posnet.0.norm2.bias": (32,),
+              "backbone.posnet.1.norm.weight": (32,),
+              "backbone.posnet.1.norm.bias": (32,),
+              "backbone.posnet.1.q.weight": (32, 32, 1),
+              "backbone.posnet.1.q.bias": (32,),
+              "backbone.posnet.1.k.weight": (32, 32, 1),
+              "backbone.posnet.1.k.bias": (32,),
+              "backbone.posnet.1.v.weight": (32, 32, 1),
+              "backbone.posnet.1.v.bias": (32,),
+              "backbone.posnet.1.proj_out.weight": (32, 32, 1),
+              "backbone.posnet.1.proj_out.bias": (32,)})
+    for i in range(2):
+        t.update({f"backbone.convnext.{i}.dwconv.weight": (32, 1, 7),
+                  f"backbone.convnext.{i}.dwconv.bias": (32,),
+                  f"backbone.convnext.{i}.norm.weight": (32,),
+                  f"backbone.convnext.{i}.norm.bias": (32,),
+                  f"backbone.convnext.{i}.pwconv1.weight": (48, 32),
+                  f"backbone.convnext.{i}.pwconv1.bias": (48,),
+                  f"backbone.convnext.{i}.pwconv2.weight": (32, 48),
+                  f"backbone.convnext.{i}.pwconv2.bias": (32,),
+                  f"backbone.convnext.{i}.gamma": (32,)})
+    d = _craft_rc(tmp_path, "wt_rt", cfg, t)
+    out = str(tmp_path / "wt.gguf")
+    convert(d, out, outtype="f32")
+    wt = load_wavtokenizer(out)
+    audio = wt.decode_audio(np.array([3, 7, 11, 13]))
+    assert np.isfinite(np.asarray(audio)).all() and audio.size > 0
