@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--override-kv", action="append", default=[],
                    metavar="KEY=TYPE:VALUE",
                    help="override a GGUF metadata key (types int/float/bool/str)")
+    p.add_argument("-ctk", "--cache-type-k",
+                   choices=("f16", "bf16", "q8_0", "q4_0"), default="bf16",
+                   help="KV cache type (q8_0 halves KV HBM, q4_0 quarters)")
     p.add_argument("--no-display-prompt", action="store_true")
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument(
@@ -80,7 +83,10 @@ def main(argv=None) -> int:
     if tok is None:
         print("error: model has no supported tokenizer", file=sys.stderr)
         return 1
-    engine = Engine(model.params, model.config, max_seq=args.ctx_size, dtype=dtype)
+    kv_type = (args.cache_type_k if args.cache_type_k in ("q8_0", "q4_0")
+               else "dense")
+    engine = Engine(model.params, model.config, max_seq=args.ctx_size,
+                    dtype=dtype, kv_type=kv_type)
 
     params = SamplerParams(
         temp=0.0 if args.greedy else args.temp,
