@@ -315,3 +315,60 @@ def test_convert_mamba(tmp_path):
     ref = _hf_logits(model)
     corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
     assert corr > 0.999
+
+
+def test_convert_sharded_safetensors(tmp_path):
+    """Multi-shard checkpoints (model.safetensors.index.json) convert
+    identically to single-file ones."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from llamacog_tpu.gguf import GGUFReader
+
+    rng = np.random.default_rng(0)
+    E, F, NL = 64, 96, 2
+    tensors = {"model.embed_tokens.weight": rng.standard_normal((128, E)).astype(np.float32),
+               "model.norm.weight": rng.standard_normal((E,)).astype(np.float32),
+               "lm_head.weight": rng.standard_normal((128, E)).astype(np.float32)}
+    for i in range(NL):
+        p = f"model.layers.{i}"
+        for nm, shape in (("self_attn.q_proj", (E, E)), ("self_attn.k_proj", (E, E)),
+                          ("self_attn.v_proj", (E, E)), ("self_attn.o_proj", (E, E)),
+                          ("mlp.gate_proj", (F, E)), ("mlp.up_proj", (F, E)),
+                          ("mlp.down_proj", (E, F))):
+            tensors[f"{p}.{nm}.weight"] = rng.standard_normal(shape).astype(np.float32)
+        tensors[f"{p}.input_layernorm.weight"] = rng.standard_normal((E,)).astype(np.float32)
+        tensors[f"{p}.post_attention_layernorm.weight"] = rng.standard_normal((E,)).astype(np.float32)
+    cfg = dict(architectures=["LlamaForCausalLM"], vocab_size=128, hidden_size=E,
+               intermediate_size=F, num_hidden_layers=NL, num_attention_heads=4,
+               num_key_value_heads=4, max_position_embeddings=256, rms_norm_eps=1e-5)
+    tok = {"model": {"type": "BPE", "vocab": {f"t{i}": i for i in range(128)},
+                     "merges": []}, "added_tokens": []}
+
+    def make_dir(name, shards):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "config.json").write_text(json.dumps(cfg))
+        (d / "tokenizer.json").write_text(json.dumps(tok))
+        if shards == 1:
+            save_file(tensors, str(d / "model.safetensors"))
+        else:
+            names = sorted(tensors)
+            wmap = {}
+            for si in range(shards):
+                part = {n: tensors[n] for n in names[si::shards]}
+                fname = f"model-{si+1:05d}-of-{shards:05d}.safetensors"
+                save_file(part, str(d / fname))
+                for n in part:
+                    wmap[n] = fname
+            (d / "model.safetensors.index.json").write_text(
+                json.dumps({"weight_map": wmap}))
+        return str(d)
+
+    out1, out3 = str(tmp_path / "one.gguf"), str(tmp_path / "three.gguf")
+    convert(make_dir("one", 1), out1, outtype="f32")
+    convert(make_dir("three", 3), out3, outtype="f32")
+    r1, r3 = GGUFReader(out1), GGUFReader(out3)
+    assert set(r1.tensors) == set(r3.tensors)
+    for name in r1.tensors:
+        np.testing.assert_array_equal(r1.tensor_bytes(name), r3.tensor_bytes(name))
