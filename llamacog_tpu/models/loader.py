@@ -234,6 +234,9 @@ def load_model(
                 raise KeyError(name)
             return _load_tensor(reader, name, mode, dtype)
 
+        if progress_callback is not None and progress_callback(0.0) is False:
+            reader.close()
+            raise LoadCancelled("load cancelled before tensors")
         if cfg.arch.startswith(("rwkv", "arwkv")):
             from .rwkv import load_rwkv_params
 
@@ -243,6 +246,8 @@ def load_model(
 
             params = load_t5_params(reader, cfg, lt)
             params["layers"] = []  # keep the pytree shape loaders expect
+        if progress_callback is not None:
+            progress_callback(1.0)
         vocab = tokenizer = None
         if with_tokenizer and "tokenizer.ggml.tokens" in reader.metadata:
             vocab = Vocab.from_metadata(reader.metadata)

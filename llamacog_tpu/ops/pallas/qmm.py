@@ -175,15 +175,6 @@ def _dec_i8(scale_name, p):
     return [_wm(p["qs"], _rep_to(p[scale_name], p["qs"].shape[-1]))], None
 
 
-def _unpack2(qs):
-    return jnp.concatenate(_crumbs(qs), axis=-1)
-
-
-def _unpack1(qb):
-    q = qb.astype(jnp.int32)
-    return jnp.concatenate([(q >> b) & 1 for b in range(8)], axis=-1)
-
-
 def _dec_iq1(R, p):
     # v = (q - 1)*s - m  ->  q*s with correction plane s + m
     st = _rep_to(p["scales"], p["qs"].shape[-1])

@@ -135,7 +135,12 @@ def _convert_deci(d, cfg, sd, out_path, outtype, progress) -> dict:
                 if key in sd:
                     put(f"blk.{il}.{g}.{suff}",
                         _llama_permute(np.asarray(sd[key], np.float32),
-                                       n_head if g == "attn_q" else n_head, heads))
+                                       n_head, heads))
+        # attention-free blocks replaced with a linear layer map it onto
+        # attn_output (tensor_mapping.py 'self_attn.linear_attn'  # deci)
+        lin = f"{pre}.self_attn.linear_attn.weight"
+        if lin in sd:
+            put(f"blk.{il}.attn_output.weight", np.asarray(sd[lin], np.float32))
 
     rows = [r for r in _llama_layer_rows()
             if not r[0].startswith(("self_attn.q_proj", "self_attn.k_proj"))]

@@ -255,13 +255,17 @@ def _family_pixtral(d, cfg, sd, w):
             yield "v.token_embd.img_break", np.asarray(sd[name])[img_break]
 
 
-def _family_idefics3(d, cfg, sd, w):
-    vcfg = cfg["vision_config"]
+def _smolvlm_defaults(vcfg):
+    """SmolVLM2 omits these keys; transformers defaults (SmolVLMModel)."""
     if vcfg.get("model_type") == "smolvlm_vision":
-        # SmolVLM2 omits these keys; transformers defaults
         vcfg.setdefault("hidden_size", 1152)
         vcfg.setdefault("num_attention_heads", 16)
         vcfg.setdefault("intermediate_size", 3072)
+    return vcfg
+
+
+def _family_idefics3(d, cfg, sd, w):
+    vcfg = _smolvlm_defaults(cfg["vision_config"])
     w.add("clip.projector_type", "idefics3")
     w.add("clip.vision.attention.layer_norm_epsilon",
           vcfg.get("layer_norm_eps", 1e-5))
@@ -578,11 +582,7 @@ def convert_mmproj(hf_dir: str, out_path: str, outtype: str = "f16",
                            "Qwen2_5_VLForConditionalGeneration"):
             vcfg = _qwen2vl_vcfg(cfg)
         else:
-            vcfg = dict(cfg["vision_config"])
-            if vcfg.get("model_type") == "smolvlm_vision":
-                vcfg.setdefault("hidden_size", 1152)
-                vcfg.setdefault("num_attention_heads", 16)
-                vcfg.setdefault("intermediate_size", 3072)
+            vcfg = _smolvlm_defaults(dict(cfg["vision_config"]))
         _base_vision_meta(w, vcfg, pre, n_text)
     if "audio" in kind:
         if arch_name == "Qwen2_5OmniModel":

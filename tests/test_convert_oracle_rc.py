@@ -1093,3 +1093,42 @@ def test_convert_neo_bert(tmp_path):
                   f"{p}.ffn.w3.weight": (EB, 2 * FB // 3)})
     d = _craft(tmp_path, "neob", cfg, t)
     compare_with_reference(d, tmp_path, convert)
+
+
+def test_convert_deci_linear_attn(tmp_path):
+    # layer 0 normal attention, layer 1 attention replaced with a linear
+    # layer (replace_with_linear: linear_attn -> attn_output)
+    blocks = [
+        {"attention": {"n_heads_in_group": 2, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0}},
+        {"attention": {"n_heads_in_group": None, "replace_with_linear": True},
+         "ffn": {"ffn_mult": 1.0}},
+    ]
+    ffn_dim = 256
+    cfg = dict(architectures=["DeciLMForCausalLM"], vocab_size=128,
+               hidden_size=E, num_hidden_layers=NL,
+               num_attention_heads=NH, block_configs=blocks,
+               max_position_embeddings=2048, rms_norm_eps=1e-5,
+               rope_theta=10000.0)
+    hd = E // NH
+    t = {"model.embed_tokens.weight": (128, E), "model.norm.weight": (E,),
+         "lm_head.weight": (128, E)}
+    p = "model.layers.0"
+    t.update({f"{p}.self_attn.q_proj.weight": (NH * hd, E),
+              f"{p}.self_attn.k_proj.weight": (2 * hd, E),
+              f"{p}.self_attn.v_proj.weight": (2 * hd, E),
+              f"{p}.self_attn.o_proj.weight": (E, NH * hd),
+              f"{p}.input_layernorm.weight": (E,),
+              f"{p}.post_attention_layernorm.weight": (E,),
+              f"{p}.mlp.gate_proj.weight": (ffn_dim, E),
+              f"{p}.mlp.up_proj.weight": (ffn_dim, E),
+              f"{p}.mlp.down_proj.weight": (E, ffn_dim)})
+    p = "model.layers.1"
+    t.update({f"{p}.self_attn.linear_attn.weight": (E, E),
+              f"{p}.input_layernorm.weight": (E,),
+              f"{p}.post_attention_layernorm.weight": (E,),
+              f"{p}.mlp.gate_proj.weight": (ffn_dim, E),
+              f"{p}.mlp.up_proj.weight": (ffn_dim, E),
+              f"{p}.mlp.down_proj.weight": (E, ffn_dim)})
+    d = _craft(tmp_path, "deci_lin", cfg, t)
+    compare_with_reference(d, tmp_path, convert)
