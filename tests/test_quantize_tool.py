@@ -65,3 +65,44 @@ def test_use_more_bits_pattern():
     marks = [use_more_bits(i, n) for i in range(n)]
     assert all(marks[:4]) and all(marks[-4:])
     assert sum(marks) > 8
+
+
+def test_imatrix_to_iquant_to_decode_pipeline(tmp_path):
+    """Full calibration workflow end to end: collect an imatrix (jitted),
+    quantize to an imatrix-requiring i-quant, load and decode — the
+    reference's imatrix -> quantize -> run pipeline."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.engine import Engine
+    from llamacog_tpu.tools.imatrix import collect_imatrix
+    from llamacog_tpu.tools.quantize import main as quantize_main
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    # i-quant superblocks need K % 256 == 0
+    src = str(tmp_path / "f32.gguf")
+    make_tiny_llama_gguf(src, n_embd=256, n_head=4, n_head_kv=2, n_ff=512,
+                         quant_type=GGMLType.F32)
+    model = load_model(src, mode="dequant", dtype=jnp.float32, fuse=False)
+    text = "the quick brown fox jumps over the lazy dog " * 30
+    col = collect_imatrix(model, text, n_ctx=32, max_chunks=3)
+    dat = str(tmp_path / "im.dat")
+    col.save(dat, last_prompt="calib")
+
+    out = str(tmp_path / "iq2.gguf")
+    assert quantize_main([src, out, "IQ4_XS", "--imatrix", dat]) == 0
+
+    m = load_model(out, with_tokenizer=False, dtype=jnp.float32)
+    eng = Engine(m.params, m.config, batch_size=1, max_seq=32,
+                 dtype=jnp.float32)
+    ref = load_model(src, with_tokenizer=False, dtype=jnp.float32)
+    eng_ref = Engine(ref.params, ref.config, batch_size=1, max_seq=32,
+                     dtype=jnp.float32)
+    toks = [3, 17, 9, 41]
+    a = np.asarray(eng.prefill(toks))
+    b = np.asarray(eng_ref.prefill(toks))
+    assert np.isfinite(a).all()
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    # random gaussian weights quantize worse than real ones; the gate
+    # checks the pipeline wiring, not quantization quality
+    assert corr > 0.9, f"IQ4_XS logits corr {corr}"
