@@ -746,7 +746,7 @@ def make_handler(ctx: ServerContext):
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
-            elif path == "/health":
+            elif path in ("/health", "/v1/health"):
                 self._json({"status": "ok"})
             elif path == "/props":
                 cfg = ctx.model.config
