@@ -104,3 +104,21 @@ def test_engine_copy_row(tmp_path):
     # both rows decode identically from the shared state
     logits = e.decode_one(np.array([5, 5]))
     np.testing.assert_allclose(logits[0], logits[1], atol=1e-5)
+
+
+@pytest.mark.parametrize("kv", ["q8_0", "q4_0"])
+def test_context_shift_quantized_cache(model, kv):
+    """On-device context shift (dequant -> gather -> re-rope -> requant)
+    through both quantized cache variants."""
+    from llamacog_tpu.runtime.kv_cache import Q4KVCache, QuantKVCache
+
+    e = Engine(model.params, model.config, max_seq=32, dtype=jnp.float32,
+               kv_type=kv)
+    want = Q4KVCache if kv == "q4_0" else QuantKVCache
+    assert type(e.cache) is want
+    e.prefill(list(range(1, 17)))
+    e.shift_row(0, n_keep=4, n_discard=8)
+    assert type(e.cache) is want  # shift must not downgrade the cache class
+    assert e.seq_len[0] == 8
+    logits = e.decode_one(np.array([5]))
+    assert np.isfinite(logits).all()
