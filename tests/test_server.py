@@ -385,3 +385,32 @@ def test_lcp_slot_routing():
     assert lcp([], [1]) == 0
     assert lcp(None, [1]) == 0
     assert lcp([1, 2], None) == 0
+
+
+def test_server_q4_kv_e2e(tmp_path):
+    """Server serving through a Q4_0 KV cache (-ctk q4_0), incl. a
+    context-shifted generation."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.kv_cache import Q4KVCache
+    from llamacog_tpu.server.server import ServerContext
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / "q4srv.gguf")
+    make_tiny_llama_gguf(path)
+    model = load_model(path, mode="quantized", dtype=jnp.float32)
+    ctx = ServerContext(model, n_slots=1, ctx_size=48, dtype=jnp.float32,
+                        kv_type="q4_0")
+    assert type(ctx.engine.cache) is Q4KVCache
+    ctx.start()
+    try:
+        task = ctx.make_task({"prompt": "hello world", "n_predict": 80,
+                              "temperature": 0.0}, kind="completion")
+        ctx.pending.put(task)
+        res = task.out.get(timeout=300)
+        assert "error" not in res, res
+        assert res["tokens_predicted"] > 20
+        assert type(ctx.engine.cache) is Q4KVCache
+    finally:
+        ctx.stop()
