@@ -67,13 +67,17 @@ def _group_norm(x, ln_w, ln_b, H):
     return xh.reshape(B, T, E) * ln_w + ln_b
 
 
-def _repeat_kv(t, n_embd):
-    """QRWKV k/v projections may have fewer heads; repeat to n_embd
-    (build_rwkv6_time_mix :12015-12022)."""
+def _repeat_kv(t, n_embd, head_size):
+    """QRWKV k/v projections may have fewer heads; repeat whole HEADS so
+    full head j reads kv head j // rep (build_rwkv6_time_mix :12015-12022:
+    ggml_repeat of [D, 1, Hkv, T] then reshape merges (rep, Hkv))."""
     if t.shape[-1] == n_embd:
         return t
     rep = n_embd // t.shape[-1]
-    return jnp.repeat(t, rep, axis=-1).reshape(*t.shape[:-1], n_embd)
+    hkv = t.shape[-1] // head_size
+    g = t.reshape(*t.shape[:-1], hkv, 1, head_size)
+    g = jnp.broadcast_to(g, (*t.shape[:-1], hkv, rep, head_size))
+    return g.reshape(*t.shape[:-1], n_embd)
 
 
 def _x_prev(x, shift_row):
@@ -116,7 +120,7 @@ def _time_mix_v6(layer, cfg, x, x_prev, wkv_state):
         v = v + layer["time_mix_value_b"]
     gate = qmatmul(xg, layer["time_mix_gate"]).astype(jnp.float32)
     g = jax.nn.sigmoid(gate) if is_qrwkv else jax.nn.silu(gate)
-    k, v = (_repeat_kv(t, E) for t in (k, v))  # QRWKV GQA-style kv heads
+    k, v = (_repeat_kv(t, E, D) for t in (k, v))  # QRWKV GQA-style kv heads
 
     w = qmatmul(
         jnp.tanh(qmatmul(xw, layer["time_mix_decay_w1"])).astype(x.dtype),

@@ -498,3 +498,116 @@ def test_rwkv7_converted_matches_reference_cli(llama_cli, tmp_path):
     ref = _ref_generate(llama_cli, gguf)
     ours = _our_generate(gguf)
     assert ours == ref, f"ref={ref!r}\nours={ours!r}"
+
+
+def _world_vocab(d):
+    lines = [f"{i} {bytes([b])!r} 1"
+             for i, b in enumerate(range(0x20, 0x7F), start=1)]
+    (d / "rwkv_vocab_v20230424.txt").write_text("\n".join(lines))
+
+
+def test_rwkv6qwen2_converted_matches_reference_cli(llama_cli, tmp_path):
+    """rwkv6-qwen2 hybrid (gated linear attention + qwen2 FFN shell)
+    through our converter vs compiled llama-cli."""
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from llamacog_tpu.tools.convert_hf import convert
+
+    E6, NLh = 64, 2
+    cfg = dict(architectures=["RWKV6Qwen2ForCausalLM"], vocab_size=128,
+               hidden_size=E6, num_hidden_layers=NLh, num_attention_heads=8,
+               num_key_value_heads=2, rms_norm_eps=1e-6,
+               intermediate_size=96)
+    t = {"model.embed_tokens.weight": (128, E6),
+         "model.norm.weight": (E6,), "lm_head.weight": (128, E6)}
+    for i in range(NLh):
+        p = f"model.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = (E6,)
+        for x in "xwkvrg":
+            t[f"{p}.self_attn.time_maa_{x}"] = (1, 1, E6)
+        t.update({f"{p}.self_attn.time_maa_w1": (E6, 5 * 32),
+                  f"{p}.self_attn.time_maa_w2": (5, 32, E6),
+                  f"{p}.self_attn.time_decay": (1, 1, E6),
+                  f"{p}.self_attn.time_decay_w1": (E6, 64),
+                  f"{p}.self_attn.time_decay_w2": (64, E6),
+                  f"{p}.self_attn.q_proj.weight": (E6, E6),
+                  f"{p}.self_attn.k_proj.weight": (16, E6),
+                  f"{p}.self_attn.v_proj.weight": (16, E6),
+                  f"{p}.self_attn.gate.weight": (E6, E6),
+                  f"{p}.self_attn.o_proj.weight": (E6, E6),
+                  f"{p}.post_attention_layernorm.weight": (E6,),
+                  f"{p}.mlp.gate_proj.weight": (96, E6),
+                  f"{p}.mlp.up_proj.weight": (96, E6),
+                  f"{p}.mlp.down_proj.weight": (E6, 96)})
+    d = tmp_path / "r6q2hf"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfg))
+    rng = np.random.default_rng(7)
+    save_file({k: (rng.standard_normal(v) * 0.5).astype(np.float32)
+               for k, v in t.items()}, str(d / "model.safetensors"))
+    _world_vocab(d)
+    gguf = str(tmp_path / "r6q2.gguf")
+    convert(str(d), gguf, outtype="f32")
+    ref = _ref_generate(llama_cli, gguf)
+    ours = _our_generate(gguf)
+    assert ours == ref, f"ref={ref!r}\nours={ours!r}"
+
+
+def test_arwkv7_converted_matches_reference_cli(llama_cli, tmp_path):
+    """arwkv7 hybrid (rwkv7 time mix in a qwen2 layer shell) through our
+    converter vs compiled llama-cli."""
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from llamacog_tpu.tools.convert_hf import convert
+
+    E7, HS, NLh, NFF = 64, 8, 2, 96
+    cfg = dict(architectures=["RwkvHybridForCausalLM"], vocab_size=128,
+               hidden_size=E7, num_hidden_layers=NLh, head_size=HS,
+               rms_norm_eps=1e-6, intermediate_size=NFF, wkv_has_gate=True,
+               wkv_version=7, num_attention_heads=8)
+    t = {"model.embed_tokens.weight": (128, E7),
+         "model.norm.weight": (E7,), "lm_head.weight": (128, E7)}
+    for i in range(NLh):
+        p = f"model.layers.{i}.self_attn.time_mixer"
+        for x in "rwkvag":
+            t[f"{p}.x_{x}"] = (1, 1, E7)
+        # ARwkv7Model hardcodes lora ranks decay/iclr 64, v-mix 32, gate 128
+        t.update({f"{p}.w0": (1, 1, E7), f"{p}.w1": (E7, 64),
+                  f"{p}.w2": (64, E7),
+                  f"{p}.a0": (1, 1, E7), f"{p}.a1": (E7, 64),
+                  f"{p}.a2": (64, E7),
+                  f"{p}.g1": (E7, 128), f"{p}.g2": (128, E7),
+                  f"{p}.k_k": (1, 1, E7), f"{p}.k_a": (1, 1, E7),
+                  f"{p}.r_k": (E7 // HS, HS),
+                  f"{p}.receptance.weight": (E7, E7),
+                  f"{p}.key.weight": (E7, E7),
+                  f"{p}.value.weight": (E7, E7),
+                  f"{p}.output.weight": (E7, E7),
+                  f"{p}.ln_x.weight": (E7,), f"{p}.ln_x.bias": (E7,)})
+        if i > 0:
+            t.update({f"{p}.v0": (1, 1, E7), f"{p}.v1": (E7, 32),
+                      f"{p}.v2": (32, E7)})
+        q = f"model.layers.{i}"
+        t.update({f"{q}.input_layernorm.weight": (E7,),
+                  f"{q}.post_attention_layernorm.weight": (E7,),
+                  f"{q}.mlp.gate_proj.weight": (NFF, E7),
+                  f"{q}.mlp.up_proj.weight": (NFF, E7),
+                  f"{q}.mlp.down_proj.weight": (E7, NFF)})
+    d = tmp_path / "ar7hf"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfg))
+    rng = np.random.default_rng(8)
+    save_file({k: (rng.standard_normal(v) * 0.5).astype(np.float32)
+               for k, v in t.items()}, str(d / "model.safetensors"))
+    _world_vocab(d)
+    gguf = str(tmp_path / "ar7.gguf")
+    convert(str(d), gguf, outtype="f32")
+    ref = _ref_generate(llama_cli, gguf)
+    ours = _our_generate(gguf)
+    assert ours == ref, f"ref={ref!r}\nours={ours!r}"
