@@ -156,7 +156,9 @@ class ModelConfig:
             return md.get(f"{arch}.{key}", default)
 
         n_embd = int(g("embedding_length"))
-        nh = g("attention.head_count", 0) or 0
+        nh = g("attention.head_count", 0)
+        if nh is None:
+            nh = 0
         # per-layer head-count arrays (llama_hparams stores arrays,
         # src/llama-hparams.h): keep the array, use max for cache sizing
         n_head_arr = n_head_kv_arr = ()
@@ -183,6 +185,14 @@ class ModelConfig:
             yarn_log_mul=float(g("rope.scaling.yarn_log_multiplier", 0.0)),
             sections=tuple(int(s) for s in sections) if sections is not None else (),
         )
+        # feed_forward_length may be a per-layer array (deci/nemotron);
+        # per-layer FFN widths aren't materialized (tensors carry their own
+        # shapes) — keep the max for metadata/estimates
+        nf = g("feed_forward_length", 4 * n_embd)
+        try:
+            n_ff = int(nf)
+        except TypeError:
+            n_ff = max(int(x) for x in nf)
         n_vocab = g("vocab_size")
         if n_vocab is None:
             toks = md.get("tokenizer.ggml.tokens")
@@ -195,7 +205,7 @@ class ModelConfig:
             n_layer=int(g("block_count")),
             n_head=n_head,
             n_head_kv=n_head_kv,
-            n_ff=int(g("feed_forward_length", 4 * n_embd)),
+            n_ff=n_ff,
             head_dim_k=head_dim,
             head_dim_v=int(g("attention.value_length", head_dim)),
             rope=rope,

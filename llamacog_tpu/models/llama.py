@@ -590,11 +590,18 @@ def forward(
             if "cvec" in params:
                 x = x + params["cvec"][il_loc].astype(x.dtype)
             continue
-        if not any(kk in layer for kk in ("attn_qkv", "attn_q")):
-            # attention-free layer (per-layer head arrays with 0 KV heads,
-            # Deci-style): cache write must still line up across layers
+        if not any(kk in layer for kk in ("attn_qkv", "attn_qk", "attn_q")):
+            # Deci per-layer variants: cache writes must still line up
             new_ks.append(jnp.zeros((B, T, Hkv, Dk), x.dtype))
             new_vs.append(jnp.zeros((B, T, Hkv, Dv), x.dtype))
+            if "attn_output" in layer:
+                # "linear attention" (n_head > 0, n_head_kv == 0,
+                # llm_build_deci): wo over the attn-normed input + residual
+                h = _norm(x, layer, "attn_norm", cfg)
+                x = x + _linear(h, layer, "attn_output")
+            if not any(kk in layer for kk in ("ffn_gate_up", "ffn_up",
+                                              "ffn_gate_inp")):
+                continue  # FFN-free layer (Nemotron-Ultra style)
             h = _norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else x
             ffn = _ffn_moe(layer, h, cfg) if (
                 cfg.n_expert > 0 and "ffn_gate_inp" in layer) else _ffn(layer, h, cfg)

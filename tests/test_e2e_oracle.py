@@ -611,3 +611,67 @@ def test_arwkv7_converted_matches_reference_cli(llama_cli, tmp_path):
     ref = _ref_generate(llama_cli, gguf)
     ours = _our_generate(gguf)
     assert ours == ref, f"ref={ref!r}\nours={ours!r}"
+
+
+def test_deci_converted_matches_reference_cli(llama_cli, tmp_path):
+    """Nemotron-51B-style DeciLM (per-layer kv heads, one linear-attention
+    block) through our converter vs compiled llama-cli — exercises the
+    variable-GQA runtime path and the linear_attn mapping."""
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from llamacog_tpu.tools.convert_hf import convert
+
+    E8, NH8 = 64, 4
+    blocks = [
+        {"attention": {"n_heads_in_group": 2, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0}},
+        {"attention": {"n_heads_in_group": None, "replace_with_linear": True},
+         "ffn": {"ffn_mult": 1.0}},
+        {"attention": {"n_heads_in_group": 4, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0}},
+    ]
+    ffn_dim = 256
+    cfg = dict(architectures=["DeciLMForCausalLM"], vocab_size=128,
+               hidden_size=E8, num_hidden_layers=3,
+               num_attention_heads=NH8, block_configs=blocks,
+               max_position_embeddings=2048, rms_norm_eps=1e-5,
+               rope_theta=10000.0)
+    hd = E8 // NH8
+    t = {"model.embed_tokens.weight": (128, E8), "model.norm.weight": (E8,),
+         "lm_head.weight": (128, E8)}
+
+    def attn(i, kv):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.self_attn.q_proj.weight": (NH8 * hd, E8),
+                  f"{p}.self_attn.k_proj.weight": (kv * hd, E8),
+                  f"{p}.self_attn.v_proj.weight": (kv * hd, E8),
+                  f"{p}.self_attn.o_proj.weight": (E8, NH8 * hd)})
+
+    def mlp(i):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.input_layernorm.weight": (E8,),
+                  f"{p}.post_attention_layernorm.weight": (E8,),
+                  f"{p}.mlp.gate_proj.weight": (ffn_dim, E8),
+                  f"{p}.mlp.up_proj.weight": (ffn_dim, E8),
+                  f"{p}.mlp.down_proj.weight": (E8, ffn_dim)})
+
+    attn(0, 2)
+    t["model.layers.1.self_attn.linear_attn.weight"] = (E8, E8)
+    attn(2, 1)
+    for i in range(3):
+        mlp(i)
+    d = tmp_path / "decihf"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfg))
+    rng = np.random.default_rng(9)
+    save_file({k: (rng.standard_normal(v) * 0.5).astype(np.float32)
+               for k, v in t.items()}, str(d / "model.safetensors"))
+    _world_vocab(d)
+    gguf = str(tmp_path / "deci.gguf")
+    convert(str(d), gguf, outtype="f32")
+    ref = _ref_generate(llama_cli, gguf)
+    ours = _our_generate(gguf)
+    assert ours == ref, f"ref={ref!r}\nours={ours!r}"
