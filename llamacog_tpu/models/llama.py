@@ -681,7 +681,9 @@ def forward(
             new_ks.append(k)
             new_vs.append(v)
         attn = _attend(q, k, v, il_loc, is_swa)
-        attn = attn.reshape(B, T, H * Dv)
+        # flatten by the ACTUAL head count: per-layer head arrays (openelm/
+        # deci) make this differ from the global H
+        attn = attn.reshape(B, T, attn.shape[2] * Dv)
         if "attn_sub_norm" in layer:  # bitnet: norm before wo (:10892)
             attn = rms_norm(attn, layer["attn_sub_norm"], cfg.rms_norm_eps)
         attn = _linear(attn, layer, "attn_output")

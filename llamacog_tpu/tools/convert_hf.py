@@ -536,7 +536,7 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16",
                   1e-5 if arch == "olmo" else None)
     if ln_eps is not None:
         w.add(f"{arch}.attention.layer_norm_epsilon", ln_eps)
-    w.add(f"{arch}.rope.freq_base", cfg.get("rope_theta", 10000.0))
+    w.add(f"{arch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
     w.add(f"{arch}.vocab_size", cfg["vocab_size"])
     if cfg.get("head_dim") or arch == "llama":
         # transformers' LlamaConfig defaults head_dim = E // n_head, so the
@@ -761,6 +761,23 @@ def _qkv_falcon(t: np.ndarray, n_head: int, n_kv: int) -> np.ndarray:
     return np.concatenate([q, k, v], axis=0)
 
 
+# GGUF keys llama.cpp reads as f32; JSON configs often carry them as ints
+# (e.g. rope_freq_constant: 10000), which would otherwise serialize as u32
+_FLOAT_KEY_SUFFIXES = (
+    ".freq_base", ".freq_scale", "_epsilon", "scaling.factor",
+    ".attn_factor", ".yarn_log_multiplier", "_scale", "logit_scale",
+    "_softcapping", "attention.scale",
+)
+
+
+def _coerce_meta(key: str, v):
+    if isinstance(v, bool) or not isinstance(v, int):
+        return v
+    if any(key.endswith(sfx) for sfx in _FLOAT_KEY_SUFFIXES):
+        return float(v)
+    return v
+
+
 def _convert_table(d, cfg, sd, out_path, outtype, progress, arch, meta,
                    model_map, layer_prefix, layer_map, n_layer,
                    layer_hook=None) -> dict:
@@ -772,7 +789,7 @@ def _convert_table(d, cfg, sd, out_path, outtype, progress, arch, meta,
     w.add("general.architecture", arch)
     w.add("general.name", cfg.get("_name_or_path", d.name) or d.name)
     for k, v in meta.items():
-        w.add(f"{arch}.{k}", v)
+        w.add(f"{arch}.{k}", _coerce_meta(k, v))
     w.add(f"{arch}.vocab_size", cfg["vocab_size"])
     _export_tokenizer(w, d, cfg)
     count = [0]

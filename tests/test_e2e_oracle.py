@@ -675,3 +675,48 @@ def test_deci_converted_matches_reference_cli(llama_cli, tmp_path):
     ref = _ref_generate(llama_cli, gguf)
     ours = _our_generate(gguf)
     assert ours == ref, f"ref={ref!r}\nours={ours!r}"
+
+
+def test_openelm_converted_matches_reference_cli(llama_cli, tmp_path):
+    """OpenELM (per-layer q/kv head arrays, per-head qk-norm, per-layer ffn
+    dims, tied head) through our converter vs compiled llama-cli."""
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from llamacog_tpu.tools.convert_hf import convert
+
+    E8, hd = 64, 16
+    q_heads, kv_heads = [4, 2], [2, 1]
+    cfg = dict(architectures=["OpenELMForCausalLM"], vocab_size=128,
+               model_dim=E8, num_transformer_layers=2, head_dim=hd,
+               num_query_heads=q_heads, num_kv_heads=kv_heads,
+               ffn_multipliers=[1.0, 2.0], ffn_dim_divisor=32,
+               max_context_length=2048, rope_freq_constant=10000)
+    ffn = [64, 128]
+    t = {"transformer.token_embeddings.weight": (128, E8),
+         "transformer.norm.weight": (E8,)}
+    for i in range(2):
+        p = f"transformer.layers.{i}"
+        qkv = (q_heads[i] + 2 * kv_heads[i]) * hd
+        t.update({f"{p}.attn_norm.weight": (E8,),
+                  f"{p}.ffn_norm.weight": (E8,),
+                  f"{p}.attn.qkv_proj.weight": (qkv, E8),
+                  f"{p}.attn.out_proj.weight": (E8, q_heads[i] * hd),
+                  f"{p}.attn.q_norm.weight": (hd,),
+                  f"{p}.attn.k_norm.weight": (hd,),
+                  f"{p}.ffn.proj_1.weight": (2 * ffn[i], E8),
+                  f"{p}.ffn.proj_2.weight": (E8, ffn[i])})
+    d = tmp_path / "oelm"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfg))
+    rng = np.random.default_rng(10)
+    save_file({k: (rng.standard_normal(v) * 0.5).astype(np.float32)
+               for k, v in t.items()}, str(d / "model.safetensors"))
+    _world_vocab(d)
+    gguf = str(tmp_path / "oelm.gguf")
+    convert(str(d), gguf, outtype="f32")
+    ref = _ref_generate(llama_cli, gguf)
+    ours = _our_generate(gguf)
+    assert ours == ref, f"ref={ref!r}\nours={ours!r}"
