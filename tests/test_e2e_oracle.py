@@ -720,3 +720,133 @@ def test_openelm_converted_matches_reference_cli(llama_cli, tmp_path):
     ref = _ref_generate(llama_cli, gguf)
     ours = _our_generate(gguf)
     assert ours == ref, f"ref={ref!r}\nours={ours!r}"
+
+
+def _converted_oracle(tmp_path, llama_cli, name, cfg, tensors, seed=11,
+                      init_scale=0.5):
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from llamacog_tpu.tools.convert_hf import convert
+
+    d = tmp_path / name
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfg))
+    rng = np.random.default_rng(seed)
+    save_file({k: (rng.standard_normal(v) * init_scale).astype(np.float32)
+               for k, v in tensors.items()}, str(d / "model.safetensors"))
+    _world_vocab(d)
+    gguf = str(tmp_path / f"{name}.gguf")
+    convert(str(d), gguf, outtype="f32")
+    ref = _ref_generate(llama_cli, gguf)
+    ours = _our_generate(gguf)
+    assert ours == ref, f"{name}: ref={ref!r}\nours={ours!r}"
+
+
+def _llama_style_tensors(E8, F8, NLh, NH8, NKV8, fused_qkv=None,
+                         norm_bias=False, tied=False):
+    hd = E8 // NH8
+    t = {"model.embed_tokens.weight": (128, E8), "model.norm.weight": (E8,)}
+    if not tied:
+        t["lm_head.weight"] = (128, E8)
+    if norm_bias:
+        t["model.norm.bias"] = (E8,)
+    for i in range(NLh):
+        p = f"model.layers.{i}"
+        if fused_qkv == "W_pack":
+            t[f"{p}.self_attn.W_pack.weight"] = (3 * E8, E8)
+        else:
+            t[f"{p}.self_attn.q_proj.weight"] = (NH8 * hd, E8)
+            t[f"{p}.self_attn.k_proj.weight"] = (NKV8 * hd, E8)
+            t[f"{p}.self_attn.v_proj.weight"] = (NKV8 * hd, E8)
+        t[f"{p}.self_attn.o_proj.weight"] = (E8, NH8 * hd)
+        t[f"{p}.input_layernorm.weight"] = (E8,)
+        t[f"{p}.post_attention_layernorm.weight"] = (E8,)
+        if norm_bias:
+            t[f"{p}.input_layernorm.bias"] = (E8,)
+            t[f"{p}.post_attention_layernorm.bias"] = (E8,)
+        t[f"{p}.mlp.gate_proj.weight"] = (F8, E8)
+        t[f"{p}.mlp.up_proj.weight"] = (F8, E8)
+        t[f"{p}.mlp.down_proj.weight"] = (E8, F8)
+    return t
+
+
+def test_minicpm_converted_matches_reference_cli(llama_cli, tmp_path):
+    """minicpm: scale_emb embedding scale, scale_depth residual scale,
+    E/dim_model_base logit scale (llm_build_minicpm flags)."""
+    cfg = dict(architectures=["MiniCPMForCausalLM"], vocab_size=128,
+               hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+               num_attention_heads=4, num_key_value_heads=2,
+               max_position_embeddings=2048, rms_norm_eps=1e-5,
+               scale_emb=12.0, scale_depth=1.4, dim_model_base=32)
+    t = _llama_style_tensors(64, 96, 2, 4, 2, tied=True)
+    _converted_oracle(tmp_path, llama_cli, "minicpme2e", cfg, t,
+                      init_scale=0.1)
+
+
+def test_baichuan_converted_matches_reference_cli(llama_cli, tmp_path):
+    """baichuan: fused W_pack QKV + NORM-rope permute. llama.cpp hard-aborts
+    unless n_layer is 32 (7B/rope) or 40 (13B/alibi), so the fixture uses
+    32 tiny layers."""
+    cfg = dict(architectures=["BaichuanForCausalLM"], vocab_size=128,
+               hidden_size=64, intermediate_size=96, num_hidden_layers=32,
+               num_attention_heads=4, model_max_length=4096,
+               rms_norm_eps=1e-6)
+    t = _llama_style_tensors(64, 96, 32, 4, 4, fused_qkv="W_pack")
+    _converted_oracle(tmp_path, llama_cli, "baichuane2e", cfg, t)
+
+
+def test_exaone_converted_matches_reference_cli(llama_cli, tmp_path):
+    cfg = dict(architectures=["ExaoneForCausalLM"], vocab_size=128,
+               hidden_size=64, num_layers=2, num_attention_heads=4,
+               num_key_value_heads=2, max_position_embeddings=2048,
+               layer_norm_epsilon=1e-5, intermediate_size=96,
+               rope_theta=10000.0, activation_function="silu")
+    t = {"transformer.wte.weight": (128, 64),
+         "transformer.ln_f.weight": (64,), "lm_head.weight": (128, 64)}
+    for i in range(2):
+        p = f"transformer.h.{i}"
+        t.update({f"{p}.ln_1.weight": (64,), f"{p}.ln_2.weight": (64,),
+                  f"{p}.attn.attention.q_proj.weight": (64, 64),
+                  f"{p}.attn.attention.k_proj.weight": (32, 64),
+                  f"{p}.attn.attention.v_proj.weight": (32, 64),
+                  f"{p}.attn.attention.out_proj.weight": (64, 64),
+                  f"{p}.mlp.c_fc_0.weight": (96, 64),
+                  f"{p}.mlp.c_fc_1.weight": (96, 64),
+                  f"{p}.mlp.c_proj.weight": (64, 96)})
+    _converted_oracle(tmp_path, llama_cli, "exaonee2e", cfg, t)
+
+
+def test_internlm2_converted_matches_reference_cli(llama_cli, tmp_path):
+    """internlm2: grouped wqkv interleave split."""
+    E8, NH8, NKV8 = 64, 4, 2
+    hd = E8 // NH8
+    cfg = dict(architectures=["InternLM2ForCausalLM"], vocab_size=128,
+               hidden_size=E8, intermediate_size=96, num_hidden_layers=2,
+               num_attention_heads=NH8, num_key_value_heads=NKV8,
+               max_position_embeddings=2048, rope_theta=10000.0,
+               rms_norm_eps=1e-5)
+    t = {"model.tok_embeddings.weight": (128, E8),
+         "model.norm.weight": (E8,), "output.weight": (128, E8)}
+    for i in range(2):
+        p = f"model.layers.{i}"
+        t.update({f"{p}.attention.wqkv.weight": ((NH8 + 2 * NKV8) * hd, E8),
+                  f"{p}.attention.wo.weight": (E8, E8),
+                  f"{p}.attention_norm.weight": (E8,),
+                  f"{p}.ffn_norm.weight": (E8,),
+                  f"{p}.feed_forward.w1.weight": (96, E8),
+                  f"{p}.feed_forward.w2.weight": (E8, 96),
+                  f"{p}.feed_forward.w3.weight": (96, E8)})
+    _converted_oracle(tmp_path, llama_cli, "internlm2e2e", cfg, t)
+
+
+def test_orion_converted_matches_reference_cli(llama_cli, tmp_path):
+    """orion: LayerNorm (with biases) llama variant."""
+    cfg = dict(architectures=["OrionForCausalLM"], vocab_size=128,
+               hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+               num_attention_heads=4, num_key_value_heads=2,
+               max_sequence_length=4096, rms_norm_eps=1e-5)
+    t = _llama_style_tensors(64, 96, 2, 4, 2, norm_bias=True)
+    _converted_oracle(tmp_path, llama_cli, "orione2e", cfg, t)
