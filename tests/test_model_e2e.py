@@ -260,3 +260,38 @@ def test_thread_safety_parallel_contexts(tmp_path):
     with ThreadPoolExecutor(max_workers=4) as pool:
         parallel = list(pool.map(run, range(4)))
     assert parallel == serial
+
+
+def test_mixed_kind_qk_fusion_runs_attention(tmp_path):
+    """A Q4_K_M-style mixed-kind model (loader fuses q+k, v separate Q6_K)
+    must produce the same logits as the dequantized path — guarding against
+    the fused-qk branch being skipped as 'attention-free' (a silent
+    regression that shipped for one round: the attention guard predates the
+    attn_qk fusion key)."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime.engine import Engine
+    from llamacog_tpu.tools.quantize import main as quantize_main
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    src = str(tmp_path / "f32.gguf")
+    # K=256 so the K-quant superblocks apply -> Q4_K_M mixed per-tensor kinds
+    make_tiny_llama_gguf(src, n_embd=256, n_head=4, n_head_kv=2, n_ff=512,
+                         quant_type=GGMLType.F32)
+    q = str(tmp_path / "q4km.gguf")
+    assert quantize_main([src, q, "Q4_K_M"]) == 0
+
+    m = load_model(q, with_tokenizer=False, dtype=jnp.float32)
+    fused_qk = [l for l in m.params["layers"] if "attn_qk" in l]
+    assert fused_qk, "expected mixed-kind q+k fusion in a Q4_K_M model"
+    eng = Engine(m.params, m.config, batch_size=1, max_seq=32,
+                 dtype=jnp.float32)
+    got = np.asarray(eng.prefill([3, 17, 9, 41]))
+
+    ref_m = load_model(q, with_tokenizer=False, dtype=jnp.float32,
+                       mode="dequant")
+    ref_eng = Engine(ref_m.params, ref_m.config, batch_size=1, max_seq=32,
+                     dtype=jnp.float32)
+    ref = np.asarray(ref_eng.prefill([3, 17, 9, 41]))
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
