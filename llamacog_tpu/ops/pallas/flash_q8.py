@@ -124,6 +124,8 @@ def flash_decode_q8(
         ],
         out_specs=pl.BlockSpec((1, H, Dv), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)}),
     )(qp, kq, ks, vq, vs, kcp, vcp, seq_len.reshape(B, 1))
     return QuantKVCache.kv_unpermute(out)
 
@@ -255,6 +257,8 @@ def flash_prefill_q8(
         out_specs=pl.BlockSpec((1, 1, TR, Dv), lambda b, h, r: (b, h, r, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)}),
     )(qh, kqh, ksh, vqh, vsh, kch, vch, seq_len.reshape(B, 1))
     out = out.reshape(B, Hkv, T, rep, Dv).transpose(0, 2, 1, 3, 4).reshape(B, T, H, Dv)
     return QuantKVCache.kv_unpermute(out)
@@ -429,13 +433,18 @@ def flash_decode_q8_tiled(
         ],
         interpret=interpret,
         **({} if interpret else {"compiler_params": pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"))}),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)}),
     )(qp, kq, ks, vq, vs, kcp, vcp, seq_len.reshape(B, 1))
     return QuantKVCache.kv_unpermute(out)
 
 
 # whole-S VMEM residency stops fitting around this context length
 _WHOLE_S_MAX = 4096
+# ... and, independently, when the per-head f32 dequant buffers exceed the
+# scoped-vmem budget (the unrolled head loop holds Hkv * S * (Dk+Dv) f32;
+# measured OOM at Hkv=8, S=1024, D=128 -> 8.4 MB of dequant + operands)
+_WHOLE_VMEM_MAX = 6 * 1024 * 1024
 
 
 def flash_decode_q8_auto(q, kq, ks, vq, vs, k_cur, v_cur, seq_len, scale,
@@ -443,7 +452,10 @@ def flash_decode_q8_auto(q, kq, ks, vq, vs, k_cur, v_cur, seq_len, scale,
     S = kq.shape[1]
     if kv_cap is not None:
         S = min(S, kv_cap)
-    if S > _WHOLE_S_MAX and S % DTS == 0:
+    Hkv = kq.shape[2]
+    dk, dv = k_cur.shape[-1], v_cur.shape[-1]
+    est = Hkv * S * (dk + dv) * 4
+    if (S > _WHOLE_S_MAX or est > _WHOLE_VMEM_MAX) and S % DTS == 0:
         return flash_decode_q8_tiled(q, kq, ks, vq, vs, k_cur, v_cur, seq_len,
                                      scale, softcap=softcap, window=window,
                                      interpret=interpret, kv_cap=kv_cap)

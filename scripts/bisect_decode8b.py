@@ -26,8 +26,8 @@ def main():
         make_synthetic_params,
     )
 
-    variants = sys.argv[1:] or ["base", "noattn", "nohead", "noargmax",
-                                "noffn"]
+    variants = sys.argv[1:] or ["base", "noattn", "scoresonly", "nosoftmax",
+                                "nocur"]
     cfg = llama3_8b_config()
     t0 = time.time()
     params = make_synthetic_params(cfg)
@@ -52,6 +52,30 @@ def main():
     def ffn_zero(layer, x, cfg_):
         return jnp.zeros_like(x)
 
+    def attn_scores_only(q, k, v, mask, scale, k_cur=None, v_cur=None, **kw):
+        B, T, H, Dk = q.shape
+        Hkv = k.shape[2]
+        rep = H // Hkv
+        qf = q.astype(jnp.float32).reshape(B, T, Hkv, rep, Dk)
+        s_ = jnp.einsum("bthrd,bshd->bhrts", qf, k.astype(jnp.float32))
+        Dv = (v_cur if v_cur is not None else v).shape[-1]
+        return (s_.sum() * 0 + jnp.zeros((B, T, H, Dv), jnp.float32)).astype(q.dtype)
+
+    def attn_nosoftmax(q, k, v, mask, scale, k_cur=None, v_cur=None, **kw):
+        B, T, H, Dk = q.shape
+        Hkv = k.shape[2]
+        rep = H // Hkv
+        qf = q.astype(jnp.float32).reshape(B, T, Hkv, rep, Dk)
+        probs = jnp.einsum("bthrd,bshd->bhrts", qf, k.astype(jnp.float32)) * scale
+        out = jnp.einsum("bhrts,bshd->bthrd", probs, v.astype(jnp.float32))
+        return out.reshape(B, T, H, -1).astype(q.dtype)
+
+    import llamacog_tpu.ops.attention as ATT
+    orig_ma = ATT.masked_attention
+
+    def attn_nocur(q, k, v, mask, scale, k_cur=None, v_cur=None, **kw):
+        return orig_ma(q, k, v, mask, scale, **kw)
+
     def timed(fn, *args):
         t0 = time.time()
         out = fn(*args)
@@ -59,7 +83,9 @@ def main():
         return time.time() - t0, v
 
     for variant in variants:
-        L.masked_attention = attn_zero if variant == "noattn" else orig_attn
+        repl = {"noattn": attn_zero, "scoresonly": attn_scores_only,
+                "nosoftmax": attn_nosoftmax, "nocur": attn_nocur}.get(variant)
+        L.masked_attention = repl if repl is not None else orig_attn
         L._ffn = ffn_zero if variant == "noffn" else orig_ffn
         raw = variant == "nohead"
 
