@@ -34,8 +34,14 @@ def masked_attention(
     B, T, H, Dk = q.shape
     Hkv = k.shape[2]
     rep = H // Hkv
-    if (T == 1 and alibi_slopes is None and logit_softcap == 0.0
-            and v.shape[-1] == Dk and rep > 1):
+    if (T == 1 and q.shape[0] == 1 and alibi_slopes is None
+            and logit_softcap == 0.0 and v.shape[-1] == Dk and rep > 1):
+        # Single-stream only. At B>=8 the flat path loses either way
+        # (measured on the 8B config, grouped 13.9 ms/step at B=8):
+        # f32 operands materialize B x S*Hkv x D x 4-byte cache casts
+        # (+0.5 ms), and bf16 operands with f32 accumulation still pay
+        # the 8x-redundant flattened reads (+0.5 ms) — the grouped
+        # einsum's per-op overhead amortizes over the batch instead.
         return _decode_attention_flat(q, k, v, mask, scale, k_cur, v_cur)
     qf = q.astype(jnp.float32).reshape(B, T, Hkv, rep, Dk)
     kf = k.astype(jnp.float32)
@@ -77,7 +83,8 @@ def masked_attention(
     return out.reshape(B, T, H, -1).astype(q.dtype)
 
 
-def _decode_attention_flat(q, k, v, mask, scale, k_cur, v_cur):
+def _decode_attention_flat(q, k, v, mask, scale, k_cur, v_cur,
+                           ct=jnp.float32):
     """T=1 GQA decode as TWO single matmuls per layer.
 
     The grouped einsum (bthrd,bshd->bhrts) lowers to one small MXU op per
@@ -92,7 +99,6 @@ def _decode_attention_flat(q, k, v, mask, scale, k_cur, v_cur):
     S, Hkv, _ = k.shape[1], k.shape[2], k.shape[3]
     rep = H // Hkv
     Dv = v.shape[-1]
-    ct = jnp.float32
     qf = q.astype(ct).reshape(B, H, Dk)
     cols = [k.astype(ct).reshape(B, S * Hkv, Dk)]
     vcols = [v.astype(ct).reshape(B, S * Hkv, Dv)]
@@ -111,6 +117,6 @@ def _decode_attention_flat(q, k, v, mask, scale, k_cur, v_cur):
                         preferred_element_type=jnp.float32) * scale
     scores = jnp.where(group[None] & ok[:, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)  # off-group exp(-1e30) == 0
-    out = jnp.einsum("bhj,bjd->bhd", probs, vf,
+    out = jnp.einsum("bhj,bjd->bhd", probs.astype(ct), vf,
                      preferred_element_type=jnp.float32)
     return out.reshape(B, 1, H, Dv).astype(q.dtype)

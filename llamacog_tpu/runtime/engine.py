@@ -108,7 +108,8 @@ class Engine:
         # (mtmd_image_tokens_get_n_pos, tools/mtmd/mtmd.cpp:1022)
         self.pos_offset = np.zeros(batch_size, dtype=np.int32)
 
-        @functools.partial(jax.jit, static_argnames=("t", "kv_cap"))
+        @functools.partial(jax.jit, static_argnames=("t", "kv_cap"),
+                           donate_argnames=("cache",))
         def step(params, cache, tokens, write_pos, seq_len, t, pos_off=None,
                  wmask=None, last_pos=None, kv_cap=None):
             base = write_pos if pos_off is None else write_pos + pos_off
@@ -122,7 +123,8 @@ class Engine:
 
         self._step = step
 
-        @functools.partial(jax.jit, static_argnames=("t", "kv_cap"))
+        @functools.partial(jax.jit, static_argnames=("t", "kv_cap"),
+                           donate_argnames=("cache",))
         def step_row(params, cache, tokens, row, write_pos_row, n_new_row, t,
                      pos_off_row, last_pos=None, kv_cap=None):
             """Prefill ONE row at B=1: the full-batch step pays batch_size x
@@ -148,7 +150,8 @@ class Engine:
 
         self._step_row = step_row
 
-        @functools.partial(jax.jit, static_argnames=("t",))
+        @functools.partial(jax.jit, static_argnames=("t",),
+                           donate_argnames=("cache",))
         def embed_step(params, cache, tokens, write_pos, seq_len, t, wmask=None):
             positions = write_pos[:, None] + jnp.arange(t)[None, :]
             hidden, cache = forward(
@@ -160,7 +163,8 @@ class Engine:
 
         self._embed_step = embed_step
 
-        @functools.partial(jax.jit, static_argnames=("t",))
+        @functools.partial(jax.jit, static_argnames=("t",),
+                           donate_argnames=("cache",))
         def embd_input_step(params, cache, embd, write_pos, t, wmask=None,
                             n_new=None):
             """Prefill with precomputed embeddings (multimodal image chunks —
@@ -175,7 +179,8 @@ class Engine:
 
         self._embd_input_step = embd_input_step
 
-        @functools.partial(jax.jit, static_argnames=("t",))
+        @functools.partial(jax.jit, static_argnames=("t",),
+                           donate_argnames=("cache",))
         def embd_mrope_step(params, cache, embd, write_pos, cos, sin, t, wmask=None,
                             n_new=None):
             """Image-chunk prefill with caller-built M-RoPE tables

@@ -47,6 +47,8 @@ def main():
         total = b * n / dt
         print(f"B={b:3d}: {total:8.1f} t/s total "
               f"({n/dt:6.1f} t/s/stream, {dt/n*1e3:.2f} ms/step)")
+        del engine  # free this B's cache before the next alloc
+        engine = None
 
 
 if __name__ == "__main__":
