@@ -182,6 +182,12 @@ def _dec_iq1(R, p):
     return parts, _f32(p["scales"]) + _f32(p["mins"])
 
 
+def _dec_tq(p):
+    # ternary (BitNet): v = (q - 1)*d -> q*d with correction plane d
+    st = _rep_to(p["d"], p["qs"].shape[-1])
+    return [_wm(v, st) for v in _crumbs(p["qs"])], _f32(p["d"])
+
+
 # kind -> (decoder, payload plane names, group/scale plane for G)
 TILE_DECODERS = {
     "Q4_0": (_dec_q4_0, ("qs", "d"), "d"),
@@ -203,6 +209,8 @@ TILE_DECODERS = {
     "IQ3_S": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
     "IQ1_S": (functools.partial(_dec_iq1, 32), ("qs", "scales", "mins"), "scales"),
     "IQ1_M": (functools.partial(_dec_iq1, 8), ("qs", "scales", "mins"), "scales"),
+    "TQ1_0": (_dec_tq, ("qs", "d"), "d"),
+    "TQ2_0": (_dec_tq, ("qs", "d"), "d"),
 }
 
 

@@ -42,6 +42,7 @@ GROUP_SIZE = {
     "Q2_K": 16, "Q3_K": 16, "Q6_K": 16,
     "IQ2_XXS": 32, "IQ2_XS": 16, "IQ2_S": 16,
     "IQ3_XXS": 32, "IQ3_S": 32, "IQ1_S": 32, "IQ1_M": 8,
+    "TQ1_0": 256, "TQ2_0": 256,
 }
 
 # i-quant codebook byte alphabets (positions in the iq_grids.npz tables):
@@ -436,6 +437,36 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         p["scales"] = el["scales"].reshape(N, K // R).astype(np.float32)
         if "mins" in el:
             p["mins"] = el["mins"].reshape(N, K // R).astype(np.float32)
+    elif t in (GGMLType.TQ1_0, GGMLType.TQ2_0):
+        # ternary (BitNet b1.58): elements are {-1,0,1} stored as codes
+        # {0,1,2} in a 2-bit plane; value = (q - 1) * d, one f16 d per
+        # 256-block (decode_np.dequant_tq1_0/tq2_0 for the wire layouts)
+        codes = np.empty((N, nb, 256), dtype=np.uint8)
+        if t == GGMLType.TQ1_0:
+            pow3 = np.array([1, 3, 9, 27, 81], dtype=np.uint16)
+            qs16 = data[:, :, 0:48].astype(np.uint16)
+            for grp, nby in ((0, 32), (1, 16)):
+                base, byts = grp * 160, qs16[:, :, grp * 32 : grp * 32 + nby]
+                for j in range(5):
+                    codes[:, :, base + j * nby : base + (j + 1) * nby] = (
+                        ((byts * pow3[j]) & 0xFF) * 3 // 256
+                    )
+            qh16 = data[:, :, 48:52].astype(np.uint16)
+            for j in range(4):
+                codes[:, :, 240 + j * 4 : 240 + (j + 1) * 4] = (
+                    ((qh16 * pow3[j]) & 0xFF) * 3 // 256
+                )
+            p["d"] = _f16(data[:, :, 52:54]).reshape(N, nb)
+        else:
+            qs = data[:, :, 0:64]
+            for half in range(2):
+                byts = qs[:, :, half * 32 : half * 32 + 32]
+                for j in range(4):
+                    codes[:, :, half * 128 + j * 32 : half * 128 + (j + 1) * 32] = (
+                        byts >> (2 * j)
+                    ) & 3
+            p["d"] = _f16(data[:, :, 64:66]).reshape(N, nb)
+        p["qs"] = _pack2(_strided(codes.reshape(N, K), 256))
     else:
         raise NotImplementedError(f"planar relayout for {t.name}")
     return QuantTensor(t.name, tuple(shape), {k: np.ascontiguousarray(v) for k, v in p.items()})
@@ -512,6 +543,9 @@ def decode_strided(qt: QuantTensor) -> jnp.ndarray:
     if kind in ("IQ1_S", "IQ1_M"):
         v = _unpack2_j(p["qs"]).astype(jnp.float32) - 1.0
         return v * _tile_scale_j(p["scales"], R) - _tile_scale_j(p["mins"], R)
+    if kind in ("TQ1_0", "TQ2_0"):
+        v = _unpack2_j(p["qs"]).astype(jnp.float32) - 1.0
+        return v * _tile_scale_j(p["d"], R)
     raise NotImplementedError(f"decode for {kind}")
 
 

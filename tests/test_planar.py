@@ -23,6 +23,8 @@ TYPES = [
     GGMLType.Q6_K,
     GGMLType.IQ4_NL,
     GGMLType.IQ4_XS,
+    GGMLType.TQ1_0,
+    GGMLType.TQ2_0,
 ]
 
 
