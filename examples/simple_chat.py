@@ -17,7 +17,11 @@ tok = model.tokenizer
 tmpl = detect_template(model.config.metadata.get("tokenizer.chat_template", "")) or "llama2"
 
 messages: list[dict] = []
-n_cached = 0  # tokens already in the KV cache (simple-chat prev_len)
+# chars of the rendered template already in the KV cache (simple-chat.cpp
+# prev_len): tracking a CHAR offset and tokenizing only the string delta is
+# retokenization-safe — token counts of the reply can change when the next
+# turn's template re-renders it, so a token-count offset would misalign
+prev_len = 0
 # interactive when run with "-", scripted turns otherwise
 turns = sys.stdin if "-" in sys.argv[1:] else ["hello there", "what can you do?"]
 for user_text in (l.strip() for l in turns):
@@ -25,11 +29,10 @@ for user_text in (l.strip() for l in turns):
         continue
     messages.append({"role": "user", "content": user_text})
     prompt = apply_builtin_template(tmpl, messages, add_assistant=True)
-    ids = tok.tokenize(prompt, add_special=True)
-    new_ids = ids[n_cached:]  # incremental: only feed the delta
+    new_ids = tok.tokenize(prompt[prev_len:], add_special=prev_len == 0)
     res = engine.generate_greedy(new_ids, 24, eog_ids=tuple(tok.eog_ids)
                                  if hasattr(tok, "eog_ids") else ())
     reply = model.vocab.detokenize(res.tokens)
     print(f"> {user_text}\n{reply}\n")
     messages.append({"role": "assistant", "content": reply})
-    n_cached = len(ids) + len(res.tokens)
+    prev_len = len(apply_builtin_template(tmpl, messages, add_assistant=False))

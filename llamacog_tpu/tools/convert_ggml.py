@@ -45,6 +45,9 @@ _LAYER = {
 
 _FTYPE_OK_OLD = (0, 1)  # ALL_F32, MOSTLY_F16
 _FTYPE_BAD_V2 = (2, 3, 4, 7)  # Q4_0/Q4_1/Q4_1_SOME_F16/Q8_0 changed in v3
+# legacy GGMLFType enum (convert_llama_ggml_to_gguf.py:27-44); 5/6 were
+# removed upstream and never shipped in files
+_FTYPE_VALID = frozenset(range(0, 5)) | frozenset(range(7, 19))
 
 
 def _map_name(name: bytes) -> str:
@@ -84,6 +87,8 @@ def convert(in_path: str, out_path: str, *, context_length: int = 2048,
     n_vocab, n_embd, n_mult, n_head, n_layer, n_rot, ftype = struct.unpack_from(
         "<7I", data, off)
     off += 28
+    if ftype not in _FTYPE_VALID:
+        raise ValueError(f"invalid legacy ftype {ftype}")
     if (fmt != "GGJT" or version < 2) and ftype not in _FTYPE_OK_OLD:
         raise ValueError("quantizations changed in GGJTv2; only F32/F16 "
                          "convert from older files")
@@ -92,18 +97,34 @@ def convert(in_path: str, out_path: str, *, context_length: int = 2048,
                          "files are not convertible")
 
     has_scores = fmt != "GGML"
-    tokens, scores = [], []
-    for _ in range(n_vocab):
+    # legacy files store raw SPM piece bytes with no token types; re-derive
+    # the GGUF form the way the reference does (convert_llama_ggml_to_gguf.py
+    # add_vocab :287-339): ids 0-2 become <unk>/<s>/</s> (UNKNOWN/CONTROL),
+    # empty pieces are CONTROL, single-byte ids 3-258 become '<0xXX>' BYTE
+    # tokens, and spaces in normal pieces are escaped to U+2581
+    tokens, scores, ttypes = [], [], []
+    for tokid in range(n_vocab):
         (ln,) = struct.unpack_from("<I", data, off)
         off += 4
-        tokens.append(bytes(data[off:off + ln]).decode("utf-8", errors="replace"))
+        vbytes = bytes(data[off:off + ln])
         off += ln
         if has_scores:
             (sc,) = struct.unpack_from("<f", data, off)
             off += 4
-            scores.append(sc)
         else:
-            scores.append(0.0)
+            sc = 0.0
+        tt = 1  # normal
+        if tokid <= 2:
+            vbytes, tt = ((b"<unk>", 2), (b"<s>", 3), (b"</s>", 3))[tokid]
+        elif not vbytes:
+            tt = 3  # control
+        elif 3 <= tokid <= 258 and len(vbytes) == 1:
+            vbytes, tt = f"<0x{vbytes[0]:02X}>".encode(), 6  # byte
+        else:
+            vbytes = vbytes.replace(b" ", b"\xe2\x96\x81")
+        tokens.append(vbytes.decode("utf-8", errors="replace"))
+        scores.append(sc)
+        ttypes.append(tt)
 
     pad32 = fmt == "GGJT"
     tensors = []  # (gguf_name, numpy_shape, GGMLType, start, nbytes)
@@ -125,7 +146,10 @@ def convert(in_path: str, out_path: str, *, context_length: int = 2048,
         tensors.append((_map_name(name), tuple(reversed(dims)), tt, off, nbytes))
         off += nbytes
 
-    n_ff = next(sh[0] for nm, sh, *_ in tensors if nm == "blk.0.ffn_gate.weight")
+    ffs = [sh[0] for nm, sh, *_ in tensors if nm == "blk.0.ffn_gate.weight"]
+    if not ffs:
+        raise ValueError("missing layer 0 FF tensor (layers.0.feed_forward.w1)")
+    n_ff = ffs[0]
     n_kv_head = n_head
     if gqa > 1:
         assert n_head % gqa == 0, f"GQA {gqa} does not divide n_head {n_head}"
@@ -149,15 +173,7 @@ def convert(in_path: str, out_path: str, *, context_length: int = 2048,
     w.add("tokenizer.ggml.pre", "default")
     w.add("tokenizer.ggml.tokens", tokens)
     w.add("tokenizer.ggml.scores", np.asarray(scores, np.float32))
-    # legacy files carry no token types; mark the SPM specials + byte range
-    ttypes = np.ones(n_vocab, np.int32)
-    for tid, tt_ in ((0, 2), (1, 3), (2, 3)):
-        if tid < n_vocab:
-            ttypes[tid] = tt_
-    for tid in range(3, min(259, n_vocab)):
-        if tokens[tid].startswith("<0x") and tokens[tid].endswith(">"):
-            ttypes[tid] = 6
-    w.add("tokenizer.ggml.token_type", ttypes)
+    w.add("tokenizer.ggml.token_type", np.asarray(ttypes, np.int32))
     w.add("tokenizer.ggml.bos_token_id", 1)
     w.add("tokenizer.ggml.eos_token_id", 2)
     w.add("tokenizer.ggml.unknown_token_id", 0)

@@ -118,7 +118,8 @@ def load_gguf_vocab(path: str, n_vocab: int):
 def convert(model_path: str, vocab_path: str, out_path: str,
             outtype: str = "f32") -> None:
     cfg, wts = read_checkpoint(model_path)
-    is_gguf = open(vocab_path, "rb").read(4) == b"GGUF"
+    with open(vocab_path, "rb") as f:
+        is_gguf = f.read(4) == b"GGUF"
     texts, scores, types = (
         load_gguf_vocab(vocab_path, cfg["vocab_size"]) if is_gguf
         else load_llama2c_vocab(vocab_path, cfg["vocab_size"])

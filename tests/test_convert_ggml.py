@@ -31,18 +31,26 @@ for i in range(CFG["n_layer"]):
     ]
 
 
+def _raw_legacy_vocab(n: int) -> list[bytes]:
+    """Raw pieces as stored in real legacy files."""
+    pieces = [b"<unk>", b"<s>", b"</s>"]
+    pieces += [bytes([i - 3]) for i in range(3, n - 2)]
+    pieces += [b"", b"hello world"]  # control-typed empty + space escaping
+    return pieces
+
+
 def _write_ggjt(src_gguf: str, out_bin: str, ftype: int) -> None:
     with GGUFReader(src_gguf) as r, open(out_bin, "wb") as f:
         f.write(b"tjgg" + struct.pack("<I", 3))
         f.write(struct.pack("<7I", CFG["n_vocab"], CFG["n_embd"], 256,
                             CFG["n_head"], CFG["n_layer"],
                             CFG["n_embd"] // CFG["n_head"], ftype))
-        toks = r.metadata["tokenizer.ggml.tokens"]
-        scores = r.metadata.get("tokenizer.ggml.scores",
-                                [0.0] * len(toks))
-        for t, s in zip(toks, scores):
-            b = t.encode()
-            f.write(struct.pack("<I", len(b)) + b + struct.pack("<f", s))
+        # RAW legacy SPM pieces (what real pre-GGUF files carry): plain
+        # specials at 0-2, raw single bytes at 3-258, unescaped spaces in
+        # word pieces — the converter must re-derive the GGUF forms
+        for tokid, piece in enumerate(_raw_legacy_vocab(CFG["n_vocab"])):
+            f.write(struct.pack("<I", len(piece)) + piece
+                    + struct.pack("<f", -float(tokid)))
         for gguf_name, legacy in _LEGACY:
             ti = r.tensors[gguf_name]
             dims = tuple(reversed(ti.shape))  # ne order
@@ -64,6 +72,17 @@ def test_ggjt_roundtrip_logits(tmp_path, qt):
     info = convert(binp, out, eps=1e-5)  # match the tiny model's rms eps
     assert info["format"] == "GGJTv3"
 
+    # reference add_vocab transforms (convert_llama_ggml_to_gguf.py:287-339)
+    with GGUFReader(out) as r2:
+        toks = r2.metadata["tokenizer.ggml.tokens"]
+        tt = list(r2.metadata["tokenizer.ggml.token_type"])
+        scores = list(r2.metadata["tokenizer.ggml.scores"])
+    assert toks[:3] == ["<unk>", "<s>", "</s>"] and tt[:3] == [2, 3, 3]
+    assert toks[3] == "<0x00>" and toks[10] == "<0x07>" and tt[3] == 6
+    assert toks[-2] == "" and tt[-2] == 3
+    assert toks[-1] == "hello▁world" and tt[-1] == 1
+    assert scores[5] == -5.0  # scores carried through
+
     import jax.numpy as jnp
 
     from llamacog_tpu.models.loader import load_model
@@ -75,6 +94,15 @@ def test_ggjt_roundtrip_logits(tmp_path, qt):
         e = Engine(m.params, m.config, batch_size=1, max_seq=64)
         logits.append(np.asarray(e.prefill_logits(list(range(3, 19)))))
     np.testing.assert_allclose(logits[0], logits[1], rtol=2e-4, atol=2e-4)
+
+
+def test_rejects_invalid_ftype(tmp_path):
+    src = str(tmp_path / "src.gguf")
+    make_tiny_llama_gguf(src, quant_type=GGMLType.F32, **CFG)
+    binp = str(tmp_path / "legacy.bin")
+    _write_ggjt(src, binp, ftype=6)  # 5/6 never existed in the legacy enum
+    with pytest.raises(ValueError, match="invalid legacy ftype"):
+        convert(binp, str(tmp_path / "out.gguf"))
 
 
 def test_rejects_old_quantized(tmp_path):
