@@ -66,6 +66,23 @@ def get_active_mesh() -> Mesh | None:
     return _ACTIVE_MESH
 
 
+class active_mesh:
+    """Scope the active mesh to a block: the trace-time mesh consultation
+    (ops/linear.py, ops/pallas/flash_*.py) must see each Engine's OWN mesh —
+    a module global left set by one engine would silently change kernel
+    selection for every engine created after it."""
+
+    def __init__(self, mesh: Mesh | None):
+        self.mesh = mesh
+
+    def __enter__(self):
+        self.prev = _ACTIVE_MESH
+        set_active_mesh(self.mesh)
+
+    def __exit__(self, *exc):
+        set_active_mesh(self.prev)
+
+
 def _put_quant(x: QuantTensor, mesh: Mesh, spec: P) -> QuantTensor:
     """Shard a planar QuantTensor and record the realized layout.
 

@@ -64,13 +64,28 @@ class Engine:
             # kernels shard_map-wrapped per the recorded layouts
             # (parallel/pallas_shard.py) and XLA inserting/overlapping the
             # remaining collectives (SURVEY §2.4-2.5)
-            from ..parallel.sharding import set_active_mesh, shard_cache, shard_params
+            from ..parallel.sharding import shard_cache, shard_params
 
-            set_active_mesh(mesh)
             self.params = params = shard_params(params, mesh)
             self._shard_cache_fn = lambda c: shard_cache(c, mesh)
         else:
             self._shard_cache_fn = None
+        from ..parallel.sharding import active_mesh
+
+        def scoped(fn, _mesh=mesh):
+            """Each dispatch (and thus each lazy trace) sees THIS engine's
+            mesh, not whatever another engine last set globally."""
+
+            @functools.wraps(fn)
+            def wrapped(*a, **k):
+                with active_mesh(_mesh):
+                    return fn(*a, **k)
+
+            if hasattr(fn, "_cache_size"):
+                wrapped._cache_size = fn._cache_size
+            return wrapped
+
+        self._scoped = scoped
         if self.recurrent:
             self._init_recurrent()
             return
@@ -121,7 +136,7 @@ class Engine:
             )
             return logits, cache
 
-        self._step = step
+        self._step = scoped(step)
 
         @functools.partial(jax.jit, static_argnames=("t", "kv_cap"),
                            donate_argnames=("cache",))
@@ -148,7 +163,7 @@ class Engine:
             )
             return logits, cache
 
-        self._step_row = step_row
+        self._step_row = scoped(step_row)
 
         @functools.partial(jax.jit, static_argnames=("t",),
                            donate_argnames=("cache",))
@@ -161,7 +176,7 @@ class Engine:
             )
             return hidden, cache
 
-        self._embed_step = embed_step
+        self._embed_step = scoped(embed_step)
 
         @functools.partial(jax.jit, static_argnames=("t",),
                            donate_argnames=("cache",))
@@ -177,7 +192,7 @@ class Engine:
             )
             return logits, cache
 
-        self._embd_input_step = embd_input_step
+        self._embd_input_step = scoped(embd_input_step)
 
         @functools.partial(jax.jit, static_argnames=("t",),
                            donate_argnames=("cache",))
@@ -194,7 +209,7 @@ class Engine:
             )
             return logits, cache
 
-        self._embd_mrope_step = embd_mrope_step
+        self._embd_mrope_step = scoped(embd_mrope_step)
 
         @functools.partial(jax.jit, static_argnames=("n", "kv_cap"),
                            donate_argnames=("cache",))
@@ -223,7 +238,7 @@ class Engine:
             )
             return cache, out_toks, seq_len
 
-        self._greedy_loop = greedy_loop
+        self._greedy_loop = scoped(greedy_loop)
 
     def _kv_cap(self, needed: int) -> int | None:
         """Static attended-cache bound, bucketed to 2048 (the reference's
@@ -272,7 +287,7 @@ class Engine:
                     return_hidden=return_hidden,
                 )
 
-            self._recurrent_step = step
+            self._recurrent_step = self._scoped(step)
             return
         hybrid = any(k == "attn" for k in layer_kinds(self.params))
         if hybrid:
@@ -299,7 +314,7 @@ class Engine:
                     return_hidden=return_hidden,
                 )
 
-        self._recurrent_step = step
+        self._recurrent_step = self._scoped(step)
 
     def _recurrent_prefill(self, token_ids, row, all_logits=False):
         n = len(token_ids)
@@ -599,7 +614,7 @@ class Engine:
                 cache.v.at[:, row].set(v),
             )
 
-        self._shift_jit = shift_fn
+        self._shift_jit = self._scoped(shift_fn)
         return shift_fn
 
     def generate_greedy(
