@@ -119,13 +119,31 @@ def main() -> None:
     print(f"[bench] pp{len(prompt)}: {ttft*1e3:.0f}ms TTFT "
           f"({len(prompt)/ttft:.0f} t/s prefill)", file=sys.stderr)
 
-    # on-device greedy loop: token feedback never leaves the chip
-    tok = np.array([5])
-    engine.decode_greedy_tokens(tok, N_DECODE)  # warmup/compile
-    t1 = time.time()
-    toks = engine.decode_greedy_tokens(np.array([7]), N_DECODE)
-    dt = time.time() - t1
-    assert toks.shape == (1, N_DECODE)
+    # on-device greedy loop: token feedback never leaves the chip.
+    # >=3 timed segments at identical depth/static-shape; emit the median
+    # (single-segment timing proved tunnel-variance-exposed: BENCH_r02
+    # recorded 99.3 t/s where in-process reruns measured 121-125).
+    engine.reset()
+    engine.prefill(prompt)
+    engine.decode_greedy_tokens(np.array([5]), N_DECODE)  # warmup/compile
+    cache_size = getattr(engine._greedy_loop, "_cache_size", None)
+    n_compiled = cache_size() if cache_size else None
+    n_seg = int(os.environ.get("LLAMACOG_BENCH_SEGMENTS", "3"))
+    times = []
+    for seg in range(n_seg):
+        engine.reset()
+        engine.prefill(prompt)
+        t1 = time.time()
+        toks = engine.decode_greedy_tokens(np.array([7]), N_DECODE)
+        dt = time.time() - t1
+        assert toks.shape == (1, N_DECODE)
+        times.append(dt)
+        print(f"[bench] segment {seg+1}/{n_seg}: {N_DECODE/dt:.1f} t/s "
+              f"({dt/N_DECODE*1e3:.2f} ms/tok)", file=sys.stderr)
+    if n_compiled is not None:
+        assert cache_size() == n_compiled, (
+            f"recompile in timed region ({n_compiled} -> {cache_size()})")
+    dt = sorted(times)[len(times) // 2]
     tps = N_DECODE / dt
 
     roofline = HBM_BW / wbytes
