@@ -462,16 +462,19 @@ def forward(
         win = cfg.sliding_window if is_swa else 0
         if use_flash_q8:
             return flash_q8.flash_decode_q8_auto(
-                q[:, 0], cache.k_q[il], cache.k_s[il], cache.v_q[il],
-                cache.v_s[il], k[:, 0], v[:, 0], write_pos, scale,
+                q[:, 0], tuple(p[il] for p in cache.k_planes),
+                tuple(p[il] for p in cache.v_planes),
+                k[:, 0], v[:, 0], write_pos, scale,
                 softcap=cfg.attn_logit_softcap, window=win, interpret=_interp,
-                kv_cap=kv_cap,
+                kv_cap=kv_cap, kinds=cache.kinds,
             )[:, None]
         if use_flash_q8_prefill:
             return flash_q8.flash_prefill_q8(
-                q, cache.k_q[il], cache.k_s[il], cache.v_q[il], cache.v_s[il],
+                q, tuple(p[il] for p in cache.k_planes),
+                tuple(p[il] for p in cache.v_planes),
                 k, v, write_pos, scale, softcap=cfg.attn_logit_softcap,
                 window=win, interpret=_interp, kv_cap=kv_cap,
+                kinds=cache.kinds,
             )
         k_old, v_old = cache.read(il)
         if kv_cap is not None:  # XLA fuses the slice into the reads

@@ -1,15 +1,19 @@
-"""Flash attention reading the Q8_0 KV cache directly (Pallas TPU).
+"""Flash attention reading quantized KV-cache planes directly (Pallas TPU).
 
 Role of the reference's quantized-KV fattn vec kernels
 (ggml-cuda/fattn.cu:133-151; CPU analog ggml-cpu/ops.cpp:7096): K and V stay
-int8+scales in HBM and are dequantized per tile in-register, so attention
-reads 9 bits/element instead of the XLA fallback's dequantize-the-whole-
-cache-to-bf16 round trip (int8 read + bf16 write + bf16 read = 5x traffic).
+packed in HBM and are dequantized per tile in-register, so attention reads
+the packed bits instead of the XLA fallback's dequantize-the-whole-cache
+round trip (packed read + bf16 write + bf16 read = 3-5x traffic). K and V
+kinds are independent (reference -ctk/-ctv, common/arg.cpp:2093-2130):
+q8_0 / q4_0 / q4_1 / q5_0 / q5_1 / dense f16/bf16.
 
-The cache stores head-dim elements group-strided (QuantKVCache._quant):
-column c = r*G + g holds element g*32 + r, so the in-kernel scale broadcast
-is one pltpu.repeat tile. Q and the current-step K/V are permuted to match
-and the output is unpermuted back — O(B*H*D) work outside the kernel.
+The cache stores head-dim elements group-strided (kv_quant_planes):
+column c = r*G + g holds element g*32 + r, so per-group planes broadcast
+with one pltpu.repeat tile (group = c mod G, in-group index r = c // G —
+the 5-bit kinds extract bit r of the int32 high-bit pack the same way).
+Q and the current-step K/V are permuted to match and the output is
+unpermuted back — O(B*H*D) work outside the kernel.
 """
 
 from __future__ import annotations
@@ -23,25 +27,62 @@ from jax.experimental.pallas import tpu as pltpu
 
 TS = 512  # prefill KV tile length
 
+SUPPORTED_KV_KINDS = ("q8_0", "q4_0", "q4_1", "q5_0", "q5_1", "f16", "bf16")
+Q8_KINDS = (("q8_0", "q8_0"),)  # legacy name for the default pair
 
-def _deq(q_tile, s_tile, gs):
-    """int8 (Q8_0 cache) or nibble-packed uint8 (Q4_0 cache) tile -> f32.
 
-    The q4 pack puts strided column c in the low nibble of byte c and
-    strided column c + D/2 in the high nibble (Q4KVCache._quant), so the
-    unpack concat reproduces the strided order the scale broadcast expects."""
-    if q_tile.dtype == jnp.uint8:  # q4 packed
-        qi = q_tile.astype(jnp.int32)
-        v = jnp.concatenate([qi & 0xF, qi >> 4], axis=-1).astype(jnp.float32) - 8.0
+def _plane_args(kind, tiles):
+    """Canonical plane tuple -> (q, s, m, h) for the kind."""
+    q = tiles[0]
+    s = tiles[1] if len(tiles) > 1 else None
+    m = tiles[2] if kind in ("q4_1", "q5_1") else None
+    h = tiles[2] if kind == "q5_0" else tiles[3] if kind == "q5_1" else None
+    return q, s, m, h
+
+
+def _deq(kind, gs, tiles):
+    """Plane tiles [S, *] (strided order) -> f32 [S, D].
+
+    The 4/5-bit packs put strided column c in the low nibble of byte c and
+    column c + D/2 in the high nibble (kv_quant_planes), so the unpack
+    concat reproduces the strided order the per-group broadcasts expect."""
+    q, s, m, h = _plane_args(kind, tiles)
+    if kind in ("f16", "bf16"):
+        return q.astype(jnp.float32)
+    if kind == "q8_0":
+        v = q.astype(jnp.float32)
     else:
-        v = q_tile.astype(jnp.float32)
-    return v * pltpu.repeat(s_tile.astype(jnp.float32), gs, axis=1)
+        qi = q.astype(jnp.int32)
+        v = jnp.concatenate([qi & 0xF, qi >> 4], axis=-1).astype(jnp.float32)
+    if h is not None:  # 5th bit: bit (c // G) of the int32 pack at c mod G
+        G = h.shape[-1]
+        hb = pltpu.repeat(h, gs, axis=1)
+        r = jax.lax.broadcasted_iota(jnp.int32, hb.shape, 1) // G
+        v = v + 16.0 * ((hb >> r) & 1).astype(jnp.float32)
+    if kind == "q4_0":
+        v = v - 8.0
+    elif kind == "q5_0":
+        v = v - 16.0
+    out = v * pltpu.repeat(s.astype(jnp.float32), gs, axis=1)
+    if m is not None:
+        out = out + pltpu.repeat(m.astype(jnp.float32), gs, axis=1)
+    return out
+
+
+def _gs(kind, d, planes):
+    """In-kernel repeat factor for per-group planes (unused for dense)."""
+    if kind in ("f16", "bf16"):
+        return 1
+    return d // planes[1].shape[-1]
 
 
 def _decode_kernel(hkv, rep, scale, softcap, window, gsk, gsv,
-                   q_ref, kq_ref, ks_ref, vq_ref, vs_ref, kc_ref, vc_ref,
-                   len_ref, o_ref):
-    S = kq_ref.shape[1]
+                   kind_k, kind_v, nk, nv, *refs):
+    q_ref = refs[0]
+    k_refs = refs[1:1 + nk]
+    v_refs = refs[1 + nk:1 + nk + nv]
+    kc_ref, vc_ref, len_ref, o_ref = refs[1 + nk + nv:]
+    S = k_refs[0].shape[1]
     n = len_ref[pl.program_id(0), 0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     valid = pos < n
@@ -51,7 +92,7 @@ def _decode_kernel(hkv, rep, scale, softcap, window, gsk, gsv,
 
     for h in range(hkv):
         q_h = q_ref[0, h * rep:(h + 1) * rep, :].astype(jnp.float32)  # [rep, Dk]
-        k_h = _deq(kq_ref[0, :, h, :], ks_ref[0, :, h, :], gsk)  # [S, Dk]
+        k_h = _deq(kind_k, gsk, tuple(r[0, :, h, :] for r in k_refs))  # [S, Dk]
         s_old = jax.lax.dot_general(
             q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -66,7 +107,7 @@ def _decode_kernel(hkv, rep, scale, softcap, window, gsk, gsv,
         e_old = jnp.exp(s_old - m)
         e_cur = jnp.exp(s_cur - m)
         denom = jnp.sum(e_old, axis=-1, keepdims=True) + e_cur
-        v_h = _deq(vq_ref[0, :, h, :], vs_ref[0, :, h, :], gsv)  # [S, Dv]
+        v_h = _deq(kind_v, gsv, tuple(r[0, :, h, :] for r in v_refs))  # [S, Dv]
         out = jax.lax.dot_general(
             e_old, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -75,13 +116,12 @@ def _decode_kernel(hkv, rep, scale, softcap, window, gsk, gsv,
         o_ref[0, h * rep:(h + 1) * rep, :] = (out / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "softcap", "window", "interpret", "kv_cap"))
+@functools.partial(jax.jit, static_argnames=(
+    "scale", "softcap", "window", "interpret", "kv_cap", "kinds"))
 def flash_decode_q8(
     q: jnp.ndarray,  # [B, H, Dk] natural order
-    kq: jnp.ndarray,  # [B, S, Hkv, Dk] int8 (strided order)
-    ks: jnp.ndarray,  # [B, S, Hkv, Gk] f32
-    vq: jnp.ndarray,
-    vs: jnp.ndarray,
+    k_planes: tuple,  # each [B, S, Hkv, *] (strided order)
+    v_planes: tuple,
     k_cur: jnp.ndarray,  # [B, Hkv, Dk] natural order
     v_cur: jnp.ndarray,
     seq_len: jnp.ndarray,  # [B]
@@ -91,33 +131,38 @@ def flash_decode_q8(
     interpret: bool = False,
     kv_cap: int | None = None,  # static prefix bound: blocks beyond it are
     # never DMA'd (the padded-n_kv role)
+    kinds: tuple = ("q8_0", "q8_0"),
 ) -> jnp.ndarray:  # [B, H, Dv] natural order
     from ...runtime.kv_cache import QuantKVCache
 
     B, H, Dk = q.shape
-    S, Hkv = kq.shape[1], kq.shape[2]
+    S, Hkv = k_planes[0].shape[1], k_planes[0].shape[2]
     if kv_cap is not None and kv_cap < S:
         S = kv_cap
-    Dv = v_cur.shape[-1]  # logical (vq may be nibble-packed at Dv/2 bytes)
+    Dv = v_cur.shape[-1]  # logical (the value plane may be nibble-packed)
     rep = H // Hkv
-    gsk = Dk // ks.shape[-1]
-    gsv = Dv // vs.shape[-1]
+    kind_k, kind_v = kinds
+    gsk = _gs(kind_k, Dk, k_planes)
+    gsv = _gs(kind_v, Dv, v_planes)
     qp = QuantKVCache.kv_permute(q)
     kcp = QuantKVCache.kv_permute(k_cur)
     vcp = QuantKVCache.kv_permute(v_cur)
     kern = functools.partial(_decode_kernel, Hkv, rep, scale, softcap, window,
-                             gsk, gsv)
+                             gsk, gsv, kind_k, kind_v,
+                             len(k_planes), len(v_planes))
+    cache_specs = [
+        # block S may be a PREFIX of the stored cache (kv_cap)
+        pl.BlockSpec((1, S, Hkv, p.shape[-1]), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for p in (*k_planes, *v_planes)
+    ]
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, H, Dv), q.dtype),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H, Dk), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            # block S may be a PREFIX of the stored cache (kv_cap)
-            pl.BlockSpec((1, S, Hkv, kq.shape[-1]), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Hkv, ks.shape[-1]), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Hkv, vq.shape[-1]), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Hkv, vs.shape[-1]), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            *cache_specs,
             pl.BlockSpec((1, Hkv, Dk), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hkv, Dv), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
@@ -126,14 +171,16 @@ def flash_decode_q8(
         interpret=interpret,
         **({} if interpret else {"compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)}),
-    )(qp, kq, ks, vq, vs, kcp, vcp, seq_len.reshape(B, 1))
+    )(qp, *k_planes, *v_planes, kcp, vcp, seq_len.reshape(B, 1))
     return QuantKVCache.kv_unpermute(out)
 
 
-def _prefill_kernel(rep, T, scale, softcap, window, s_tiles, gsk, gsv,
-                    q_ref, kq_ref, ks_ref, vq_ref, vs_ref, kc_ref, vc_ref,
-                    len_ref, o_ref):
-    Dv = vs_ref.shape[-1] * gsv  # logical (vq may be nibble-packed)
+def _prefill_kernel(rep, T, Dv, scale, softcap, window, s_tiles, gsk, gsv,
+                    kind_k, kind_v, nk, nv, *refs):
+    q_ref = refs[0]
+    k_refs = refs[1:1 + nk]
+    v_refs = refs[1 + nk:1 + nk + nv]
+    kc_ref, vc_ref, len_ref, o_ref = refs[1 + nk + nv:]
     n = len_ref[pl.program_id(0), 0]
     TR = q_ref.shape[-2]  # q-row tile (see flash_prefill.py)
     r0 = pl.program_id(2) * TR
@@ -148,10 +195,10 @@ def _prefill_kernel(rep, T, scale, softcap, window, s_tiles, gsk, gsv,
 
     def s_tile(i, carry):
         m_i, l_i, acc = carry
-        k_t = _deq(kq_ref[0, 0, pl.ds(i * TS, TS), :],
-                   ks_ref[0, 0, pl.ds(i * TS, TS), :], gsk)
-        v_t = _deq(vq_ref[0, 0, pl.ds(i * TS, TS), :],
-                   vs_ref[0, 0, pl.ds(i * TS, TS), :], gsv)
+        k_t = _deq(kind_k, gsk,
+                   tuple(r[0, 0, pl.ds(i * TS, TS), :] for r in k_refs))
+        v_t = _deq(kind_v, gsv,
+                   tuple(r[0, 0, pl.ds(i * TS, TS), :] for r in v_refs))
         s = jax.lax.dot_general(
             q, k_t, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -200,13 +247,12 @@ def _prefill_kernel(rep, T, scale, softcap, window, s_tiles, gsk, gsv,
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "softcap", "window", "interpret", "kv_cap"))
+@functools.partial(jax.jit, static_argnames=(
+    "scale", "softcap", "window", "interpret", "kv_cap", "kinds"))
 def flash_prefill_q8(
     q: jnp.ndarray,  # [B, T, H, Dk] natural order
-    kq: jnp.ndarray,  # [B, S, Hkv, Dk] int8 (strided order)
-    ks: jnp.ndarray,
-    vq: jnp.ndarray,
-    vs: jnp.ndarray,
+    k_planes: tuple,  # each [B, S, Hkv, *] (strided order)
+    v_planes: tuple,
     k_cur: jnp.ndarray,  # [B, T, Hkv, Dk] natural order
     v_cur: jnp.ndarray,
     seq_len: jnp.ndarray,
@@ -215,41 +261,44 @@ def flash_prefill_q8(
     window: int = 0,
     interpret: bool = False,
     kv_cap: int | None = None,
+    kinds: tuple = ("q8_0", "q8_0"),
 ) -> jnp.ndarray:  # [B, T, H, Dv]
     from ...runtime.kv_cache import QuantKVCache
 
     B, T, H, Dk = q.shape
-    S, Hkv = kq.shape[1], kq.shape[2]
+    S, Hkv = k_planes[0].shape[1], k_planes[0].shape[2]
     if kv_cap is not None and kv_cap < S:
         S = kv_cap
-    Dv = v_cur.shape[-1]  # logical (vq may be nibble-packed at Dv/2 bytes)
-    Gk, Gv = ks.shape[-1], vs.shape[-1]
+    Dv = v_cur.shape[-1]  # logical (the value plane may be nibble-packed)
     rep = H // Hkv
     R = T * rep
     s_tiles = S // TS
     TR = 512 if R % 512 == 0 else R
+    kind_k, kind_v = kinds
+    gsk = _gs(kind_k, Dk, k_planes)
+    gsv = _gs(kind_v, Dv, v_planes)
     qp = QuantKVCache.kv_permute(q)
     kcp = QuantKVCache.kv_permute(k_cur)
     vcp = QuantKVCache.kv_permute(v_cur)
     qh = qp.reshape(B, T, Hkv, rep, Dk).transpose(0, 2, 1, 3, 4).reshape(B, Hkv, R, Dk)
-    kqh = kq[:, :S].transpose(0, 2, 1, 3)  # [B, Hkv, S, Dk]
-    ksh = ks[:, :S].transpose(0, 2, 1, 3)
-    vqh = vq[:, :S].transpose(0, 2, 1, 3)
-    vsh = vs[:, :S].transpose(0, 2, 1, 3)
+    kvh = [p[:, :S].transpose(0, 2, 1, 3) for p in (*k_planes, *v_planes)]
     kch = kcp.transpose(0, 2, 1, 3)
     vch = vcp.transpose(0, 2, 1, 3)
-    kern = functools.partial(_prefill_kernel, rep, T, scale, softcap, window,
-                             s_tiles, Dk // Gk, Dv // Gv)
+    kern = functools.partial(_prefill_kernel, rep, T, Dv, scale, softcap,
+                             window, s_tiles, gsk, gsv, kind_k, kind_v,
+                             len(k_planes), len(v_planes))
+    cache_specs = [
+        pl.BlockSpec((1, 1, S, p.shape[-1]), lambda b, h, r: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for p in kvh
+    ]
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, R, Dv), q.dtype),
         grid=(B, Hkv, R // TR),
         in_specs=[
             pl.BlockSpec((1, 1, TR, Dk), lambda b, h, r: (b, h, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, kq.shape[-1]), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, Gk), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, vq.shape[-1]), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, Gv), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            *cache_specs,
             pl.BlockSpec((1, 1, T, Dk), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, T, Dv), lambda b, h, r: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda b, h, r: (0, 0), memory_space=pltpu.SMEM),
@@ -259,9 +308,20 @@ def flash_prefill_q8(
         interpret=interpret,
         **({} if interpret else {"compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)}),
-    )(qh, kqh, ksh, vqh, vsh, kch, vch, seq_len.reshape(B, 1))
+    )(qh, *kvh, kch, vch, seq_len.reshape(B, 1))
     out = out.reshape(B, Hkv, T, rep, Dv).transpose(0, 2, 1, 3, 4).reshape(B, T, H, Dv)
     return QuantKVCache.kv_unpermute(out)
+
+
+def _cache_kinds(cache):
+    from ...runtime.kv_cache import QuantKVCache
+
+    if not isinstance(cache, QuantKVCache):
+        return None
+    kinds = getattr(cache, "kinds", ("q8_0", "q8_0"))
+    if all(k in SUPPORTED_KV_KINDS for k in kinds):
+        return kinds
+    return None
 
 
 def decode_supported(cfg, cache, t: int) -> bool:
@@ -273,14 +333,13 @@ def decode_supported(cfg, cache, t: int) -> bool:
         return False  # ALiBi bias / per-layer heads use the masked path
     import os
 
-    from ...runtime.kv_cache import QuantKVCache
-
     if os.environ.get("LLAMACOG_FLASH_Q8", "1") != "1":
+        return False
+    if _cache_kinds(cache) is None:
         return False
     S = int(cache.max_seq)
     return (
         t == 1
-        and isinstance(cache, QuantKVCache)
         and cfg.head_dim_k % 32 == 0
         and cfg.head_dim_v % 32 == 0
         and cfg.n_head % cfg.n_head_kv == 0
@@ -297,15 +356,13 @@ def prefill_supported(cfg, cache, t: int, s: int) -> bool:
         return False  # ALiBi bias / per-layer heads use the masked path
     import os
 
-    from ...runtime.kv_cache import QuantKVCache
-
     if os.environ.get("LLAMACOG_FLASH_Q8", "1") != "1":
         return False
     return (
         t >= 8
         and t % 8 == 0
         and s % TS == 0
-        and isinstance(cache, QuantKVCache)
+        and _cache_kinds(cache) is not None
         and cfg.head_dim_k % 32 == 0
         and cfg.head_dim_v % 32 == 0
         and cfg.n_head % cfg.n_head_kv == 0
@@ -322,14 +379,15 @@ def prefill_supported(cfg, cache, t: int, s: int) -> bool:
 DTS = 1024  # decode KV tile length
 
 
-def _decode_tiled_kernel(hkv, rep, n_tiles, scale, softcap, window, gsk, gsv,
-                         q_ref, kq_ref, ks_ref, vq_ref, vs_ref, kc_ref, vc_ref,
-                         len_ref, o_ref, m_ref, l_ref, acc_ref):
+def _decode_tiled_kernel(hkv, rep, n_tiles, Dv, scale, softcap, window,
+                         gsk, gsv, kind_k, kind_v, nk, nv, *refs):
+    q_ref = refs[0]
+    k_refs = refs[1:1 + nk]
+    v_refs = refs[1 + nk:1 + nk + nv]
+    kc_ref, vc_ref, len_ref, o_ref, m_ref, l_ref, acc_ref = refs[1 + nk + nv:]
     b = pl.program_id(0)
     i = pl.program_id(1)
     n = len_ref[b, 0]
-    H = q_ref.shape[1]
-    Dv = vs_ref.shape[-1] * gsv  # logical (vq may be nibble-packed)
 
     @pl.when(i == 0)
     def _():
@@ -337,7 +395,7 @@ def _decode_tiled_kernel(hkv, rep, n_tiles, scale, softcap, window, gsk, gsv,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    TSs = kq_ref.shape[1]
+    TSs = k_refs[0].shape[1]
     pos = i * TSs + jax.lax.broadcasted_iota(jnp.int32, (1, TSs), 1)
     valid = pos < n
     if window > 0:
@@ -346,7 +404,7 @@ def _decode_tiled_kernel(hkv, rep, n_tiles, scale, softcap, window, gsk, gsv,
     for h in range(hkv):
         sl = slice(h * rep, (h + 1) * rep)
         q_h = q_ref[0, sl, :].astype(jnp.float32)  # [rep, Dk]
-        k_h = _deq(kq_ref[0, :, h, :], ks_ref[0, :, h, :], gsk)  # [TSs, Dk]
+        k_h = _deq(kind_k, gsk, tuple(r[0, :, h, :] for r in k_refs))  # [TSs, Dk]
         s = jax.lax.dot_general(
             q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -359,7 +417,7 @@ def _decode_tiled_kernel(hkv, rep, n_tiles, scale, softcap, window, gsk, gsv,
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
-        v_h = _deq(vq_ref[0, :, h, :], vs_ref[0, :, h, :], gsv)  # [TSs, Dv]
+        v_h = _deq(kind_v, gsv, tuple(r[0, :, h, :] for r in v_refs))  # [TSs, Dv]
         pv = jax.lax.dot_general(
             p, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -388,39 +446,44 @@ def _decode_tiled_kernel(hkv, rep, n_tiles, scale, softcap, window, gsk, gsv,
             o_ref[0, sl, :] = (acc / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "softcap", "window", "interpret", "kv_cap"))
+@functools.partial(jax.jit, static_argnames=(
+    "scale", "softcap", "window", "interpret", "kv_cap", "kinds"))
 def flash_decode_q8_tiled(
-    q, kq, ks, vq, vs, k_cur, v_cur, seq_len, scale,
+    q, k_planes, v_planes, k_cur, v_cur, seq_len, scale,
     softcap: float = 0.0, window: int = 0, interpret: bool = False,
-    kv_cap: int | None = None,
+    kv_cap: int | None = None, kinds: tuple = ("q8_0", "q8_0"),
 ):
     """Same contract as flash_decode_q8, S tiled in DTS chunks."""
     from ...runtime.kv_cache import QuantKVCache
 
     B, H, Dk = q.shape
-    S, Hkv = kq.shape[1], kq.shape[2]
+    S, Hkv = k_planes[0].shape[1], k_planes[0].shape[2]
     if kv_cap is not None and kv_cap < S:
         S = kv_cap  # grid covers only the attended prefix
-    Dv = v_cur.shape[-1]  # logical (vq may be nibble-packed at Dv/2 bytes)
+    Dv = v_cur.shape[-1]  # logical (the value plane may be nibble-packed)
     rep = H // Hkv
-    gsk = Dk // ks.shape[-1]
-    gsv = Dv // vs.shape[-1]
+    kind_k, kind_v = kinds
+    gsk = _gs(kind_k, Dk, k_planes)
+    gsv = _gs(kind_v, Dv, v_planes)
     n_tiles = S // DTS
     qp = QuantKVCache.kv_permute(q)
     kcp = QuantKVCache.kv_permute(k_cur)
     vcp = QuantKVCache.kv_permute(v_cur)
-    kern = functools.partial(_decode_tiled_kernel, Hkv, rep, n_tiles, scale,
-                             softcap, window, gsk, gsv)
+    kern = functools.partial(_decode_tiled_kernel, Hkv, rep, n_tiles, Dv,
+                             scale, softcap, window, gsk, gsv, kind_k, kind_v,
+                             len(k_planes), len(v_planes))
+    cache_specs = [
+        pl.BlockSpec((1, DTS, Hkv, p.shape[-1]), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for p in (*k_planes, *v_planes)
+    ]
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, H, Dv), q.dtype),
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec((1, H, Dk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DTS, Hkv, kq.shape[-1]), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DTS, Hkv, ks.shape[-1]), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DTS, Hkv, vq.shape[-1]), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DTS, Hkv, vs.shape[-1]), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+            *cache_specs,
             pl.BlockSpec((1, Hkv, Dk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hkv, Dv), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
@@ -435,7 +498,7 @@ def flash_decode_q8_tiled(
         **({} if interpret else {"compiler_params": pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024)}),
-    )(qp, kq, ks, vq, vs, kcp, vcp, seq_len.reshape(B, 1))
+    )(qp, *k_planes, *v_planes, kcp, vcp, seq_len.reshape(B, 1))
     return QuantKVCache.kv_unpermute(out)
 
 
@@ -447,18 +510,20 @@ _WHOLE_S_MAX = 4096
 _WHOLE_VMEM_MAX = 6 * 1024 * 1024
 
 
-def flash_decode_q8_auto(q, kq, ks, vq, vs, k_cur, v_cur, seq_len, scale,
-                         softcap=0.0, window=0, interpret=False, kv_cap=None):
-    S = kq.shape[1]
+def flash_decode_q8_auto(q, k_planes, v_planes, k_cur, v_cur, seq_len, scale,
+                         softcap=0.0, window=0, interpret=False, kv_cap=None,
+                         kinds=("q8_0", "q8_0")):
+    S = k_planes[0].shape[1]
     if kv_cap is not None:
         S = min(S, kv_cap)
-    Hkv = kq.shape[2]
+    Hkv = k_planes[0].shape[2]
     dk, dv = k_cur.shape[-1], v_cur.shape[-1]
     est = Hkv * S * (dk + dv) * 4
     if (S > _WHOLE_S_MAX or est > _WHOLE_VMEM_MAX) and S % DTS == 0:
-        return flash_decode_q8_tiled(q, kq, ks, vq, vs, k_cur, v_cur, seq_len,
-                                     scale, softcap=softcap, window=window,
-                                     interpret=interpret, kv_cap=kv_cap)
-    return flash_decode_q8(q, kq, ks, vq, vs, k_cur, v_cur, seq_len, scale,
+        return flash_decode_q8_tiled(q, k_planes, v_planes, k_cur, v_cur,
+                                     seq_len, scale, softcap=softcap,
+                                     window=window, interpret=interpret,
+                                     kv_cap=kv_cap, kinds=kinds)
+    return flash_decode_q8(q, k_planes, v_planes, k_cur, v_cur, seq_len, scale,
                            softcap=softcap, window=window, interpret=interpret,
-                           kv_cap=kv_cap)
+                           kv_cap=kv_cap, kinds=kinds)

@@ -594,8 +594,10 @@ class Engine:
             delta = jnp.where(idx < n_keep, 0, -n_discard).astype(jnp.int32)
             quant = isinstance(cache, QuantKVCache)
             if quant:
-                k = cache._dequant(cache.k_q[:, row], cache.k_s[:, row], jnp.float32)
-                v = cache._dequant(cache.v_q[:, row], cache.v_s[:, row], jnp.float32)
+                k = cache.dequant_k(tuple(p[:, row] for p in cache.k_planes),
+                                    jnp.float32)
+                v = cache.dequant_v(tuple(p[:, row] for p in cache.v_planes),
+                                    jnp.float32)
             else:
                 k, v = cache.k[:, row], cache.v[:, row]  # [L, S, Hkv, Dk]
             k = jnp.take(k, src, axis=1)
@@ -603,11 +605,14 @@ class Engine:
             d2 = jnp.broadcast_to(delta[None, :], (k.shape[0], S))
             k = apply_rope(k, d2, config.rope, ff)
             if quant:
-                kq, ks = cache._quant(k)
-                vq, vs = cache._quant(v)
+                kp = cache.quant_k(k)
+                vp = cache.quant_v(v)
                 return type(cache)(
-                    cache.k_q.at[:, row].set(kq), cache.k_s.at[:, row].set(ks),
-                    cache.v_q.at[:, row].set(vq), cache.v_s.at[:, row].set(vs),
+                    tuple(c.at[:, row].set(p)
+                          for c, p in zip(cache.k_planes, kp)),
+                    tuple(c.at[:, row].set(p)
+                          for c, p in zip(cache.v_planes, vp)),
+                    cache.kinds,
                 )
             return type(cache)(
                 cache.k.at[:, row].set(k.astype(cache.k.dtype)),

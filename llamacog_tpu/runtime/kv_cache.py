@@ -86,52 +86,207 @@ class KVCache:
         return KVCache(k, v)
 
 
-@jax.tree_util.register_pytree_node_class
-@dataclass
-class QuantKVCache:
-    """Q8_0-style quantized KV cache: int8 values + f32 scale per 32-group
-    along the head dim (reference: quantized KV via cache type flags,
-    llama-kv-cache-unified.cpp:952; CUDA fattn vec kernels read q8 KV).
-    Halves KV HBM (9 bits/elem vs 16), doubling usable context."""
+# ---------------------------------------------------------------------------
+# Per-kind KV plane codecs (the reference accepts q4_0/q4_1/q5_0/q5_1/q8_0/
+# f16 for K and V independently: ggml-cuda/fattn.cu:133-151, flag parsing
+# common/arg.cpp:2093-2130). Planes are stored GROUP-STRIDED like
+# quant/planar.py: stored column c = r*G + g holds source element g*gs + r,
+# so the flash kernels broadcast per-group planes with one pltpu.repeat tile
+# (column c's group is c mod G, its in-group index is c // G).
+#
+# Plane roles (canonical order):
+#   q — packed values: int8 [.., D] (q8_0), nibble-packed uint8 [.., D/2]
+#       (4/5-bit kinds: strided column c in the low nibble of byte c,
+#       column c + D/2 in the high nibble), or dense f16/bf16 [.., D]
+#   s — f32 per-group scale [.., G]
+#   m — f32 per-group min  [.., G]           (q4_1 / q5_1)
+#   h — int32 per-group high-bit pack [.., G]: bit r holds the 5th bit of
+#       the element at in-group index r     (q5_0 / q5_1)
+# ---------------------------------------------------------------------------
 
-    k_q: jnp.ndarray  # [L, B, S, Hkv, Dk] int8
-    k_s: jnp.ndarray  # [L, B, S, Hkv, Dk/32] f32
-    v_q: jnp.ndarray
-    v_s: jnp.ndarray
+KV_QUANT_KINDS = ("q8_0", "q4_0", "q4_1", "q5_0", "q5_1")
+KV_DENSE_KINDS = ("f16", "bf16")
+_PLANE_ORDER = ("q", "s", "m", "h")
+
+
+def _group_size(d: int) -> int:
+    return 32 if d % 32 == 0 else d
+
+
+def _stride(q: jnp.ndarray, shape) -> jnp.ndarray:
+    """[.., G, gs] group view -> strided store order [.., D]."""
+    return jnp.swapaxes(q, -1, -2).reshape(*shape)
+
+
+def _pack_nibbles(q: jnp.ndarray) -> jnp.ndarray:
+    """Strided uint8 [.., D] (values 0..15) -> packed [.., D/2]."""
+    D = q.shape[-1]
+    lo, hi = q[..., : D // 2], q[..., D // 2:]
+    return lo | (hi << 4)
+
+
+def _pack_high_bits(hi: jnp.ndarray) -> jnp.ndarray:
+    """[.., G, gs] 0/1 high bits -> int32 [.., G], bit r = in-group index r."""
+    gs = hi.shape[-1]
+    return jnp.sum(hi.astype(jnp.int32) << jnp.arange(gs, dtype=jnp.int32),
+                   axis=-1).astype(jnp.int32)
+
+
+def kv_quant_planes(kind: str, x: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """[..., D] natural order -> tuple of planes in canonical order."""
+    D = x.shape[-1]
+    gs = _group_size(D)
+    G = D // gs
+    if kind in KV_DENSE_KINDS:
+        dt = jnp.float16 if kind == "f16" else jnp.bfloat16
+        return (QuantKVCache.kv_permute(x).astype(dt),)
+    g = x.astype(jnp.float32).reshape(*x.shape[:-1], G, gs)
+    if kind == "q8_0":
+        amax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
+        d = amax / 127.0
+        q = jnp.where(d > 0, jnp.round(g / jnp.where(d > 0, d, 1.0)), 0.0)
+        return (_stride(q, x.shape).astype(jnp.int8), d.squeeze(-1))
+    if kind in ("q4_0", "q5_0"):
+        # quantize_row_q4_0/q5_0 semantics: d = signed_amax / -(2^(b-1))
+        half = 8.0 if kind == "q4_0" else 16.0
+        amax_i = jnp.argmax(jnp.abs(g), axis=-1, keepdims=True)
+        vmax = jnp.take_along_axis(g, amax_i, axis=-1)  # signed max-|.|
+        d = vmax / -half
+        q = jnp.where(
+            d != 0, jnp.clip(jnp.round(g / jnp.where(d != 0, d, 1.0)) + half,
+                             0.0, 2 * half - 1.0), half)
+    else:  # q4_1 / q5_1: quantize_row_qx_1 semantics (min + scale)
+        levels = 15.0 if kind == "q4_1" else 31.0
+        vmin = jnp.min(g, axis=-1, keepdims=True)
+        vmax = jnp.max(g, axis=-1, keepdims=True)
+        d = (vmax - vmin) / levels
+        q = jnp.where(
+            d != 0, jnp.clip(jnp.round((g - vmin) / jnp.where(d != 0, d, 1.0)),
+                             0.0, levels), 0.0)
+    q = q.astype(jnp.uint8)
+    planes = [_pack_nibbles(_stride(q & 0xF, x.shape)), d.squeeze(-1)]
+    if kind in ("q4_1", "q5_1"):
+        planes.append(vmin.squeeze(-1))
+    if kind in ("q5_0", "q5_1"):
+        planes.append(_pack_high_bits((q >> 4) & 1))
+    return tuple(planes)
+
+
+def kv_dequant_planes(kind: str, planes: tuple, dtype) -> jnp.ndarray:
+    """Strided planes -> [..., D] natural order."""
+    q = planes[0]
+    if kind in KV_DENSE_KINDS:
+        return QuantKVCache.kv_unpermute(q).astype(dtype)
+    s = planes[1]
+    G = s.shape[-1]
+    if kind == "q8_0":
+        v = q.astype(jnp.float32)
+    else:
+        qi = q.astype(jnp.int32)
+        v = jnp.concatenate([qi & 0xF, qi >> 4], axis=-1).astype(jnp.float32)
+    D = v.shape[-1]
+    gs = D // G
+    g = v.reshape(*v.shape[:-1], gs, G)  # row r = in-group index, col = group
+    if kind in ("q5_0", "q5_1"):
+        h = planes[-1]
+        bit = (h[..., None, :] >> jnp.arange(gs, dtype=jnp.int32)[:, None]) & 1
+        g = g + 16.0 * bit.astype(jnp.float32)
+    if kind == "q4_0":
+        g = g - 8.0
+    elif kind == "q5_0":
+        g = g - 16.0
+    out = g * s[..., None, :]
+    if kind in ("q4_1", "q5_1"):
+        out = out + planes[2][..., None, :]
+    out = jnp.swapaxes(out, -1, -2).reshape(*v.shape[:-1], D)
+    return out.astype(dtype)
+
+
+def kv_plane_shapes(kind: str, d: int) -> tuple[tuple[int, ...], ...]:
+    """Per-element trailing shape+dtype of each plane for head dim d."""
+    g = _group_size(d)
+    G = d // g
+    if kind == "f16":
+        return (((d,), jnp.float16),)
+    if kind == "bf16":
+        return (((d,), jnp.bfloat16),)
+    if kind == "q8_0":
+        return (((d,), jnp.int8), ((G,), jnp.float32))
+    base = [((d // 2,), jnp.uint8), ((G,), jnp.float32)]
+    if kind in ("q4_1", "q5_1"):
+        base.append(((G,), jnp.float32))
+    if kind in ("q5_0", "q5_1"):
+        base.append(((G,), jnp.int32))
+    return tuple(base)
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantKVCache:
+    """Quantized KV cache with independent K and V kinds (reference:
+    quantized KV via cache type flags, llama-kv-cache-unified.cpp:952;
+    CUDA fattn vec kernels read any-quant KV, fattn.cu:133-151).
+
+    Stores a tuple of planes per tensor (see codec comment above). Q8_0
+    is 9 bits/elem (half of bf16), q4_0 is 5 bits (a quarter), q4_1/q5_0
+    ~6, q5_1 ~7 — with the kernels reading the packed planes directly."""
+
+    DEFAULT_KINDS = ("q8_0", "q8_0")
+
+    def __init__(self, k_planes, v_planes, kinds=None):
+        self.k_planes = tuple(k_planes)
+        self.v_planes = tuple(v_planes)
+        self.kinds = tuple(kinds) if kinds is not None else self.DEFAULT_KINDS
+
+    # back-compat accessors (q8/q4 two-plane layout)
+    @property
+    def k_q(self):
+        return self.k_planes[0]
+
+    @property
+    def k_s(self):
+        return self.k_planes[1]
+
+    @property
+    def v_q(self):
+        return self.v_planes[0]
+
+    @property
+    def v_s(self):
+        return self.v_planes[1]
 
     def tree_flatten(self):
-        return (self.k_q, self.k_s, self.v_q, self.v_s), None
+        return (self.k_planes, self.v_planes), self.kinds
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(children[0], children[1], aux)
 
     @property
     def max_seq(self) -> int:
-        return self.k_q.shape[2]
+        return self.k_planes[0].shape[2]
 
     @staticmethod
     def group_size(d: int) -> int:
-        return 32 if d % 32 == 0 else d
+        return _group_size(d)
 
     @classmethod
-    def create(cls, n_layers, batch, max_seq, n_head_kv, head_dim_k, head_dim_v, dtype=None):
-        def z(d):
-            g = cls.group_size(d)
-            return (
-                jnp.zeros((n_layers, batch, max_seq, n_head_kv, d), dtype=jnp.int8),
-                jnp.zeros((n_layers, batch, max_seq, n_head_kv, d // g), dtype=jnp.float32),
+    def create(cls, n_layers, batch, max_seq, n_head_kv, head_dim_k, head_dim_v,
+               dtype=None, kinds=None):
+        kinds = tuple(kinds) if kinds is not None else cls.DEFAULT_KINDS
+
+        def z(kind, d):
+            return tuple(
+                jnp.zeros((n_layers, batch, max_seq, n_head_kv) + shp, dtype=dt)
+                for shp, dt in kv_plane_shapes(kind, d)
             )
 
-        kq, ks = z(head_dim_k)
-        vq, vs = z(head_dim_v)
-        return cls(kq, ks, vq, vs)
+        return cls(z(kinds[0], head_dim_k), z(kinds[1], head_dim_v), kinds)
 
     @staticmethod
     def kv_permute(x: jnp.ndarray) -> jnp.ndarray:
         """Natural head-dim order -> the cache's strided store order."""
         D = x.shape[-1]
-        gs = QuantKVCache.group_size(D)
+        gs = _group_size(D)
         G = D // gs
         return jnp.swapaxes(x.reshape(*x.shape[:-1], G, gs), -1, -2).reshape(x.shape)
 
@@ -139,163 +294,127 @@ class QuantKVCache:
     def kv_unpermute(x: jnp.ndarray) -> jnp.ndarray:
         """Strided store order -> natural head-dim order."""
         D = x.shape[-1]
-        gs = QuantKVCache.group_size(D)
+        gs = _group_size(D)
         G = D // gs
         return jnp.swapaxes(x.reshape(*x.shape[:-1], gs, G), -1, -2).reshape(x.shape)
 
+    # back-compat statics (Q8_0 two-plane codec)
     @staticmethod
     def _quant(x: jnp.ndarray):
-        """[..., D] -> int8 [..., D], scales [..., G] (Q8_0 semantics).
-
-        Element order is GROUP-STRIDED like quant/planar.py: stored column
-        c = r*G + g holds source element g*gs + r, so the flash kernels
-        broadcast the scale plane with one pltpu.repeat tile (column c gets
-        scale c mod G). Q/output head-dims are permuted to match outside the
-        kernels (kv_permute/kv_unpermute)."""
-        D = x.shape[-1]
-        gs = QuantKVCache.group_size(D)
-        G = D // gs
-        g = x.astype(jnp.float32).reshape(*x.shape[:-1], G, gs)
-        amax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
-        d = amax / 127.0
-        q = jnp.where(d > 0, jnp.round(g / jnp.where(d > 0, d, 1.0)), 0.0)
-        # [.., G, gs] -> strided store order [.., gs, G] -> [.., D]
-        q = jnp.swapaxes(q, -1, -2).reshape(*x.shape[:-1], D)
-        return q.astype(jnp.int8), d.squeeze(-1)
+        return kv_quant_planes("q8_0", x)
 
     @staticmethod
     def _dequant(q: jnp.ndarray, s: jnp.ndarray, dtype):
-        D = q.shape[-1]
-        G = s.shape[-1]
-        gs = D // G
-        g = q.reshape(*q.shape[:-1], gs, G).astype(jnp.float32)
-        out = g * s[..., None, :]
-        out = jnp.swapaxes(out, -1, -2).reshape(*q.shape[:-1], D)
-        return out.astype(dtype)
+        return kv_dequant_planes("q8_0", (q, s), dtype)
+
+    def quant_k(self, x: jnp.ndarray) -> tuple:
+        return kv_quant_planes(self.kinds[0], x)
+
+    def quant_v(self, x: jnp.ndarray) -> tuple:
+        return kv_quant_planes(self.kinds[1], x)
+
+    def dequant_k(self, planes: tuple, dtype=jnp.bfloat16) -> jnp.ndarray:
+        return kv_dequant_planes(self.kinds[0], planes, dtype)
+
+    def dequant_v(self, planes: tuple, dtype=jnp.bfloat16) -> jnp.ndarray:
+        return kv_dequant_planes(self.kinds[1], planes, dtype)
 
     def update(self, layer: int, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray):
-        kq_new, ks_new = self._quant(k_new)
-        vq_new, vs_new = self._quant(v_new)
+        kp_new = self.quant_k(k_new)
+        vp_new = self.quant_v(v_new)
 
         def write_row(cache_row, new_row, pos):
             return jax.lax.dynamic_update_slice(
                 cache_row, new_row.astype(cache_row.dtype), (pos,) + (0,) * (cache_row.ndim - 1)
             )
 
-        kq = jax.vmap(write_row)(self.k_q[layer], kq_new, write_pos)
-        ks = jax.vmap(write_row)(self.k_s[layer], ks_new, write_pos)
-        vq = jax.vmap(write_row)(self.v_q[layer], vq_new, write_pos)
-        vs = jax.vmap(write_row)(self.v_s[layer], vs_new, write_pos)
+        kp = tuple(jax.vmap(write_row)(c[layer], n, write_pos)
+                   for c, n in zip(self.k_planes, kp_new))
+        vp = tuple(jax.vmap(write_row)(c[layer], n, write_pos)
+                   for c, n in zip(self.v_planes, vp_new))
         new_cache = type(self)(
-            self.k_q.at[layer].set(kq),
-            self.k_s.at[layer].set(ks),
-            self.v_q.at[layer].set(vq),
-            self.v_s.at[layer].set(vs),
+            tuple(c.at[layer].set(p) for c, p in zip(self.k_planes, kp)),
+            tuple(c.at[layer].set(p) for c, p in zip(self.v_planes, vp)),
+            self.kinds,
         )
-        k_all = self._dequant(kq, ks, k_new.dtype)
-        v_all = self._dequant(vq, vs, v_new.dtype)
+        k_all = self.dequant_k(kp, k_new.dtype)
+        v_all = self.dequant_v(vp, v_new.dtype)
         return new_cache, k_all, v_all
 
     def read(self, layer: int):
-        k = self._dequant(self.k_q[layer], self.k_s[layer], jnp.bfloat16)
-        v = self._dequant(self.v_q[layer], self.v_s[layer], jnp.bfloat16)
+        k = self.dequant_k(tuple(p[layer] for p in self.k_planes))
+        v = self.dequant_v(tuple(p[layer] for p in self.v_planes))
         return k, v
 
     def write_all(self, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray,
                   active: jnp.ndarray | None = None, n_new=None):
-        kq_new, ks_new = self._quant(k_new)
-        vq_new, vs_new = self._quant(v_new)
-
-        def write_row(planes, news, pos, act):
-            return tuple(
-                jnp.where(
-                    act,
-                    jax.lax.dynamic_update_slice(
-                        c, n.astype(c.dtype), (0, pos) + (0,) * (c.ndim - 2)
-                    ),
-                    c,
-                )
-                for c, n in zip(planes, news)
-            )
-
+        kp_new = self.quant_k(k_new)
+        vp_new = self.quant_v(v_new)
         if active is None:
             active = jnp.ones(write_pos.shape, bool)
-        kq, ks, vq, vs = jax.vmap(
-            lambda a, b, c, d, na, nb, nc, nd, p, m: write_row(
-                (a, b, c, d), (na, nb, nc, nd), p, m
-            ),
-            in_axes=(1,) * 8 + (0, 0), out_axes=(1, 1, 1, 1),
-        )(self.k_q, self.k_s, self.v_q, self.v_s, kq_new, ks_new, vq_new, vs_new,
-          write_pos, active)
-        return type(self)(kq, ks, vq, vs)
+
+        def write_plane(c, n, pos, act):
+            upd = jax.lax.dynamic_update_slice(
+                c, n.astype(c.dtype), (0, pos) + (0,) * (c.ndim - 2)
+            )
+            return jnp.where(act, upd, c)
+
+        wr = jax.vmap(write_plane, in_axes=(1, 1, 0, 0), out_axes=1)
+        kp = tuple(wr(c, n, write_pos, active)
+                   for c, n in zip(self.k_planes, kp_new))
+        vp = tuple(wr(c, n, write_pos, active)
+                   for c, n in zip(self.v_planes, vp_new))
+        return type(self)(kp, vp, self.kinds)
 
 
 @jax.tree_util.register_pytree_node_class
 class Q4KVCache(QuantKVCache):
-    """Q4_0-style 4-bit KV cache: packed nibbles + f32 scale per 32-group
-    along the head dim (reference cache-type-K/V q4_0 flags;
-    llama-kv-cache-unified.cpp:952). 5 bits/element — quarter of bf16 KV,
-    doubling usable context again over Q8_0.
+    """Q4_0/Q4_0 KV cache (back-compat alias; see QuantKVCache)."""
 
-    The packed plane stores strided column c in the low nibble of byte c
-    and strided column c + D/2 in the high nibble, so the in-kernel unpack
-    is one concat of shift/mask slices that reproduces the strided order
-    (same trick as quant/planar._pack4)."""
-
-    @classmethod
-    def create(cls, n_layers, batch, max_seq, n_head_kv, head_dim_k, head_dim_v, dtype=None):
-        def z(d):
-            g = cls.group_size(d)
-            return (
-                jnp.zeros((n_layers, batch, max_seq, n_head_kv, d // 2), dtype=jnp.uint8),
-                jnp.zeros((n_layers, batch, max_seq, n_head_kv, d // g), dtype=jnp.float32),
-            )
-
-        kq, ks = z(head_dim_k)
-        vq, vs = z(head_dim_v)
-        return cls(kq, ks, vq, vs)
+    DEFAULT_KINDS = ("q4_0", "q4_0")
 
     @staticmethod
     def _quant(x: jnp.ndarray):
-        """[..., D] -> packed uint8 [..., D/2], scales [..., G]
-        (quantize_row_q4_0 semantics: d = signed_amax / -8, q in [0, 15])."""
-        D = x.shape[-1]
-        gs = QuantKVCache.group_size(D)
-        G = D // gs
-        g = x.astype(jnp.float32).reshape(*x.shape[:-1], G, gs)
-        amax_i = jnp.argmax(jnp.abs(g), axis=-1, keepdims=True)
-        vmax = jnp.take_along_axis(g, amax_i, axis=-1)  # signed max-|.|
-        d = vmax / -8.0
-        q = jnp.where(
-            d != 0, jnp.clip(jnp.round(g / jnp.where(d != 0, d, 1.0)) + 8.0,
-                             0.0, 15.0), 8.0)
-        # [.., G, gs] -> strided [.., D] -> pack nibble pairs (c, c + D/2)
-        q = jnp.swapaxes(q, -1, -2).reshape(*x.shape[:-1], D).astype(jnp.uint8)
-        lo, hi = q[..., : D // 2], q[..., D // 2:]
-        return lo | (hi << 4), d.squeeze(-1)
+        return kv_quant_planes("q4_0", x)
 
     @staticmethod
     def _dequant(q: jnp.ndarray, s: jnp.ndarray, dtype):
-        D2 = q.shape[-1]
-        D = D2 * 2
-        G = s.shape[-1]
-        gs = D // G
-        qi = q.astype(jnp.int32)
-        v = jnp.concatenate([qi & 0xF, qi >> 4], axis=-1).astype(jnp.float32) - 8.0
-        g = v.reshape(*q.shape[:-1], gs, G)
-        out = g * s[..., None, :]
-        out = jnp.swapaxes(out, -1, -2).reshape(*q.shape[:-1], D)
-        return out.astype(dtype)
+        return kv_dequant_planes("q4_0", (q, s), dtype)
+
+
+_KIND_ALIASES = {"q8": "q8_0", "q4": "q4_0", "f32": "dense", "dense": "dense",
+                 "bf16": "bf16", "f16": "f16"}
+
+
+def parse_kv_kinds(kind: str) -> tuple[str, str]:
+    """'q8_0' -> (q8_0, q8_0); 'q8_0:q5_1' -> split K/V types (reference
+    -ctk/-ctv flags, common/arg.cpp:2093-2130)."""
+    parts = kind.split(":") if ":" in kind else [kind, kind]
+    if len(parts) != 2:
+        raise ValueError(f"bad kv cache type {kind!r}")
+    out = []
+    for p in parts:
+        p = _KIND_ALIASES.get(p, p)
+        if p not in KV_QUANT_KINDS + KV_DENSE_KINDS + ("dense",):
+            raise ValueError(f"unknown kv cache type {p!r}")
+        out.append(p)
+    return tuple(out)
 
 
 def make_cache(kind: str, n_layers, batch, max_seq, n_head_kv, dk, dv, dtype=jnp.bfloat16):
-    if kind in ("bf16", "f16", "f32", "dense"):
+    kk, kv = parse_kv_kinds(kind)
+    dense = KV_DENSE_KINDS + ("dense",)
+    if kk in dense and kv in dense:
+        # uniform dense cache stores the engine compute dtype (bf16 is the
+        # TPU-native role of the reference's f16 KV default); the plain
+        # cache's XLA reads fuse best at B=1
         return KVCache.create(n_layers, batch, max_seq, n_head_kv, dk, dv, dtype=dtype)
-    if kind in ("q8_0", "q8"):
-        return QuantKVCache.create(n_layers, batch, max_seq, n_head_kv, dk, dv)
-    if kind in ("q4_0", "q4"):
-        return Q4KVCache.create(n_layers, batch, max_seq, n_head_kv, dk, dv)
-    raise ValueError(f"unknown kv cache type {kind!r}")
+    # dense mixed with quant runs through the planar cache (strided dense
+    # plane) so the flash kernels see one layout
+    kk = "bf16" if kk == "dense" else kk
+    kv = "bf16" if kv == "dense" else kv
+    cls = Q4KVCache if (kk, kv) == ("q4_0", "q4_0") else QuantKVCache
+    return cls.create(n_layers, batch, max_seq, n_head_kv, dk, dv, kinds=(kk, kv))
 
 
 def build_causal_mask(

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from .engine import Engine
-from .kv_cache import KVCache, Q4KVCache, QuantKVCache, SwaKVCache
+from .kv_cache import KVCache, QuantKVCache, SwaKVCache
 
 STATE_MAGIC = "LCGS"
 STATE_VERSION = 1
@@ -27,12 +27,16 @@ def save_row_state(engine: Engine, path: str, row: int = 0, tokens: list[int] | 
     }
     c = engine.cache
     if isinstance(c, QuantKVCache):
+        # canonical tag "kind_k:kind_v"; planes saved positionally. bf16
+        # dense planes (mixed dense/quant caches) store bit patterns.
         arrays["kind"] = np.frombuffer(
-            b"q4_0" if isinstance(c, Q4KVCache) else b"q8_0", dtype=np.uint8)
-        arrays["k_q"] = np.asarray(c.k_q[:, row, :n])
-        arrays["k_s"] = np.asarray(c.k_s[:, row, :n])
-        arrays["v_q"] = np.asarray(c.v_q[:, row, :n])
-        arrays["v_s"] = np.asarray(c.v_s[:, row, :n])
+            ":".join(c.kinds).encode(), dtype=np.uint8)
+        for tag, planes in (("k", c.k_planes), ("v", c.v_planes)):
+            for i, p in enumerate(planes):
+                a = np.asarray(p[:, row, :n])
+                if str(a.dtype) == "bfloat16":
+                    a = a.view(np.uint16)
+                arrays[f"{tag}p{i}"] = a
     elif isinstance(c, SwaKVCache):
         arrays["kind"] = np.frombuffer(b"iswa", dtype=np.uint8)
 
@@ -81,17 +85,30 @@ def load_row_state(engine: Engine, path: str, row: int = 0) -> list[int]:
         raise ValueError(f"state length {n} exceeds engine max_seq {engine.max_seq}")
     kind = bytes(z["kind"]).decode()
     c = engine.cache
-    if kind in ("q8_0", "q4_0"):
-        want = Q4KVCache if kind == "q4_0" else QuantKVCache
-        if type(c) is not want:
-            raise ValueError(f"state is {kind} but engine cache is "
-                             f"{type(c).__name__}")
-        engine.cache = want(
-            c.k_q.at[:, row, :n].set(jnp.asarray(z["k_q"])),
-            c.k_s.at[:, row, :n].set(jnp.asarray(z["k_s"])),
-            c.v_q.at[:, row, :n].set(jnp.asarray(z["v_q"])),
-            c.v_s.at[:, row, :n].set(jnp.asarray(z["v_s"])),
-        )
+    if kind not in ("iswa", "dense") and not kind.startswith("f"):
+        kinds = tuple(kind.split(":")) if ":" in kind else (kind, kind)
+        if not isinstance(c, QuantKVCache) or c.kinds != kinds:
+            have = c.kinds if isinstance(c, QuantKVCache) else type(c).__name__
+            raise ValueError(f"state is {kinds} but engine cache is {have}")
+        if "k_q" in z:  # legacy v1 layout (fixed q/s plane names)
+            loaded = {"kp0": z["k_q"], "kp1": z["k_s"],
+                      "vp0": z["v_q"], "vp1": z["v_s"]}
+        else:
+            loaded = {key: z[key] for key in z.files if key[1:2] == "p"}
+
+        def restore(planes, tag):
+            out = []
+            for i, p in enumerate(planes):
+                a = loaded[f"{tag}p{i}"]
+                if str(p.dtype) == "bfloat16":
+                    import ml_dtypes
+
+                    a = a.view(ml_dtypes.bfloat16)
+                out.append(p.at[:, row, :n].set(jnp.asarray(a)))
+            return tuple(out)
+
+        engine.cache = type(c)(
+            restore(c.k_planes, "k"), restore(c.v_planes, "v"), kinds)
     elif kind == "iswa":
         if not isinstance(c, SwaKVCache):
             raise ValueError("state is iswa but engine cache is not")

@@ -29,11 +29,15 @@ def main(argv=None) -> int:
                    help="draft model GGUF for per-slot speculative decoding")
     p.add_argument("--no-context-shift", action="store_true",
                    help="finish a slot when its context fills instead of shifting")
+    _KV_TYPES = ("f16", "bf16", "q8_0", "q4_0", "q4_1", "q5_0", "q5_1")
     p.add_argument("-ctk", "--cache-type-k",
-                   choices=("f16", "bf16", "q8_0", "q4_0"),
-                   default="bf16", help="KV cache type (q8_0 halves KV HBM, "
+                   choices=_KV_TYPES,
+                   default="bf16", help="K cache type (q8_0 halves KV HBM, "
                    "q4_0 quarters it; "
                    "the flash kernels read it directly)")
+    p.add_argument("-ctv", "--cache-type-v",
+                   choices=_KV_TYPES, default=None,
+                   help="V cache type (defaults to the K type)")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator host:port (jax.distributed)")
     p.add_argument("--num-hosts", type=int, default=None)
@@ -90,8 +94,8 @@ def main(argv=None) -> int:
         model, host=args.host, port=args.port, n_slots=args.n_slots,
         ctx_size=args.ctx_size, dtype=dtype, loras=loras, mesh=mesh, vision=vision,
         draft_model=draft_model, ctx_shift=not args.no_context_shift,
-        kv_type=(args.cache_type_k if args.cache_type_k in ("q8_0", "q4_0")
-                 else "dense"),
+        kv_type=(args.cache_type_k if args.cache_type_v in (None, args.cache_type_k)
+                 else f"{args.cache_type_k}:{args.cache_type_v}"),
     )
     print(f"llamacog-server listening on http://{args.host}:{args.port} "
           f"({args.n_slots} slots, ctx {args.ctx_size})", file=sys.stderr)

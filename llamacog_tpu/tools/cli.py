@@ -11,6 +11,13 @@ import sys
 import time
 
 
+def _kv_type_arg(ctk: str, ctv: str | None) -> str:
+    """-ctk/-ctv flag values -> Engine kv_type ("k:v" when they differ);
+    make_cache resolves dense kinds and picks the cache class."""
+    ctv = ctv or ctk
+    return ctk if ctk == ctv else f"{ctk}:{ctv}"
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="llamacog-cli", description="TPU-native llama inference")
     p.add_argument("-m", "--model", required=True, help="GGUF model path")
@@ -43,9 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--override-kv", action="append", default=[],
                    metavar="KEY=TYPE:VALUE",
                    help="override a GGUF metadata key (types int/float/bool/str)")
+    _KV_TYPES = ("f16", "bf16", "q8_0", "q4_0", "q4_1", "q5_0", "q5_1")
     p.add_argument("-ctk", "--cache-type-k",
-                   choices=("f16", "bf16", "q8_0", "q4_0"), default="bf16",
-                   help="KV cache type (q8_0 halves KV HBM, q4_0 quarters)")
+                   choices=_KV_TYPES, default="bf16",
+                   help="K cache type (q8_0 halves KV HBM, q4_0 quarters)")
+    p.add_argument("-ctv", "--cache-type-v",
+                   choices=_KV_TYPES, default=None,
+                   help="V cache type (defaults to the K type; the reference "
+                   "accepts independent K/V types, common/arg.cpp:2093-2130)")
     p.add_argument("--no-display-prompt", action="store_true")
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument(
@@ -83,8 +95,7 @@ def main(argv=None) -> int:
     if tok is None:
         print("error: model has no supported tokenizer", file=sys.stderr)
         return 1
-    kv_type = (args.cache_type_k if args.cache_type_k in ("q8_0", "q4_0")
-               else "dense")
+    kv_type = _kv_type_arg(args.cache_type_k, args.cache_type_v)
     engine = Engine(model.params, model.config, max_seq=args.ctx_size,
                     dtype=dtype, kv_type=kv_type)
 
