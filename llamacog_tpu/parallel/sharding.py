@@ -199,6 +199,23 @@ def shard_cache(cache, mesh: Mesh):
     return jax.tree_util.tree_map(put, cache)
 
 
+def to_host(x) -> np.ndarray:
+    """Device value -> host numpy, multi-process safe.
+
+    Single-process arrays (and host values) take the plain np.asarray path.
+    Under a multi-host mesh a jit output may be sharded across processes
+    (not fully addressable); gather it first — the reference analog is
+    logits landing on the rpc client host (ggml-rpc.cpp graph_compute
+    reply). Fully-replicated outputs read locally with no traffic."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Batch-dim sharding for tokens/positions/masks."""
     return NamedSharding(mesh, P("data", *(None,) * (ndim - 1)))

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..models.config import ModelConfig
 from ..models.llama import forward
+from ..parallel.sharding import to_host
 
 PREFILL_BUCKETS = (32, 128, 512, 2048)
 
@@ -256,8 +257,8 @@ class Engine:
             self.params, self.cache, tok, seq_len, jnp.asarray(self.pos_offset), n,
             kv_cap=self._kv_cap(int(self.seq_len.max()) + n + 1),
         )
-        self.seq_len = np.array(new_len)  # writable host copy
-        return np.asarray(out)
+        self.seq_len = np.array(to_host(new_len))  # writable host copy
+        return to_host(out)
 
     def _init_recurrent(self):
         """Recurrent-state path: pure mamba (llama_memory_recurrent role) or
@@ -329,7 +330,7 @@ class Engine:
             jnp.asarray(self.seq_len), t=n
         )
         self.seq_len[row] += n
-        return np.asarray(logits[row, :n]) if all_logits else np.asarray(logits[row, n - 1])
+        return to_host(logits[row, :n]) if all_logits else to_host(logits[row, n - 1])
 
     def clear_row_state(self, row: int) -> None:
         if self.recurrent:
@@ -367,7 +368,7 @@ class Engine:
             self.params, self.cache, jnp.asarray(toks), write_pos, jnp.asarray(new_len), t
         )
         self.seq_len = new_len
-        h = np.asarray(hidden[0, :n])  # [n, E]
+        h = to_host(hidden[0, :n])  # [n, E]
         if pooling == "mean":
             return h.mean(axis=0)
         if pooling == "cls":
@@ -446,7 +447,7 @@ class Engine:
         if self.recurrent:
             return self._recurrent_prefill(token_ids, row)
         logits = self._prefill_row_logits(token_ids, row, last_only=True)
-        return np.asarray(logits[-1])
+        return to_host(logits[-1])
 
     def prefill_embd(self, embd: np.ndarray, row: int = 0,
                      grid: tuple[int, int] | None = None) -> np.ndarray:
@@ -488,7 +489,7 @@ class Engine:
                 wmask=self._row_mask(row), n_new=jnp.asarray(new_len) - write_pos,
             )
         self.seq_len = new_len
-        return np.asarray(logits[row, n - 1])
+        return to_host(logits[row, n - 1])
 
     def prefill_logits(self, token_ids: list[int], row: int = 0) -> np.ndarray:
         """Prefill a row and return logits for EVERY prompt position [n, V]
@@ -497,7 +498,7 @@ class Engine:
         if self.recurrent:
             return self._recurrent_prefill(token_ids, row, all_logits=True)
         logits = self._prefill_row_logits(token_ids, row)
-        return np.asarray(logits[: len(token_ids)])
+        return to_host(logits[: len(token_ids)])
 
     def decode_one(self, token_ids: np.ndarray, active=None) -> np.ndarray:
         """One decode step for all rows. token_ids: [B] -> logits [B, V].
@@ -522,7 +523,7 @@ class Engine:
                 jnp.asarray(self.seq_len), t=1
             )
             self.seq_len = new_len
-            return np.asarray(logits[:, 0])
+            return to_host(logits[:, 0])
         write_pos = jnp.asarray(self.seq_len)
         logits, self.cache = self._step(
             self.params, self.cache, toks, write_pos, jnp.asarray(new_len), 1,
@@ -530,7 +531,7 @@ class Engine:
             kv_cap=self._kv_cap(int(self.seq_len.max()) + 1),
         )
         self.seq_len = new_len
-        return np.asarray(logits[:, 0])
+        return to_host(logits[:, 0])
 
     def clear_row(self, row: int) -> None:
         self.seq_len[row] = 0
