@@ -850,3 +850,79 @@ def test_orion_converted_matches_reference_cli(llama_cli, tmp_path):
                max_sequence_length=4096, rms_norm_eps=1e-5)
     t = _llama_style_tensors(64, 96, 2, 4, 2, norm_bias=True)
     _converted_oracle(tmp_path, llama_cli, "orione2e", cfg, t)
+
+
+# ---------------------------------------------------------------------------
+# Converted-oracle long tail: build the HF model with transformers, convert
+# with OUR converter, then require token-for-token agreement between the
+# compiled reference llama-cli and our engine on the same GGUF. These arches
+# already have byte-level converter parity (tests/test_convert_oracle.py);
+# this closes the runtime-graph half (the rwkv6qwen2 GQA bug showed "flag
+# permutations of tested families" still hide real errors).
+# ---------------------------------------------------------------------------
+
+_HF_COMMON = dict(
+    vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+    tie_word_embeddings=False, pad_token_id=0, bos_token_id=1, eos_token_id=2,
+)
+
+# (config class, model class, config overrides)
+HF_CONVERTED_CASES = {
+    "stablelm": ("StableLmConfig", "StableLmForCausalLM", {}),
+    "granite": ("GraniteConfig", "GraniteForCausalLM", {}),
+    "granitemoe": ("GraniteMoeConfig", "GraniteMoeForCausalLM",
+                   dict(num_local_experts=4, num_experts_per_tok=2)),
+    "olmo": ("OlmoConfig", "OlmoForCausalLM", {}),
+    "olmo2": ("Olmo2Config", "Olmo2ForCausalLM", {}),
+    # MHA: the reference creates attn_{q,k}_norm at n_embd width
+    # (real OlmoE is MHA, so HF's per-kv-width k_norm only matches then)
+    "olmoe": ("OlmoeConfig", "OlmoeForCausalLM",
+              dict(num_experts=4, num_experts_per_tok=2,
+                   num_key_value_heads=4)),
+    "starcoder2": ("Starcoder2Config", "Starcoder2ForCausalLM", {}),
+    "nemotron": ("NemotronConfig", "NemotronForCausalLM", {}),
+    "commandr": ("CohereConfig", "CohereForCausalLM",
+                 dict(tie_word_embeddings=True)),
+    # >=1 non-SWA layer (pattern 4) and a window < n_ctx; the reference
+    # segfaults on an all-SWA 2-layer file
+    "cohere2": ("Cohere2Config", "Cohere2ForCausalLM",
+                dict(tie_word_embeddings=True, rotary_pct=0.5,
+                     num_hidden_layers=4, sliding_window=32)),
+    # HF Glm4Config defaults head_dim=128 regardless of hidden_size
+    "glm4": ("Glm4Config", "Glm4ForCausalLM", dict(head_dim=16)),
+    "arcee": ("ArceeConfig", "ArceeForCausalLM", {}),
+}
+
+
+@pytest.mark.parametrize("name", sorted(HF_CONVERTED_CASES))
+def test_hf_converted_matches_reference_cli(llama_cli, tmp_path, name):
+    torch = pytest.importorskip("torch")
+    T = pytest.importorskip("transformers")
+
+    from llamacog_tpu.tools.convert_hf import convert
+
+    cfg_name, model_name, over = HF_CONVERTED_CASES[name]
+    cfg_cls = getattr(T, cfg_name, None)
+    model_cls = getattr(T, model_name, None)
+    if cfg_cls is None or model_cls is None:
+        pytest.skip("arch not in this transformers version")
+    kw = dict(_HF_COMMON)
+    kw.update(over)
+    torch.manual_seed(0)
+    m = model_cls(cfg_cls(**kw)).eval()
+    # HF's 0.02-std init makes logits near-degenerate (argmax decided by
+    # rounding noise the ref's f16 KV would flip); rescale like the
+    # hand-built converted oracles (init_scale=0.5)
+    g = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for p in m.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.5)
+    d = tmp_path / name
+    m.save_pretrained(d, safe_serialization=True)
+    _world_vocab(d)
+    gguf = str(tmp_path / f"{name}.gguf")
+    convert(str(d), gguf, outtype="f32")
+    ref = _ref_generate(llama_cli, gguf)
+    ours = _our_generate(gguf)
+    assert ours == ref, f"{name}: ref={ref!r}\nours={ours!r}"
