@@ -343,6 +343,76 @@ def test_webui_and_ollama_endpoints(server):
     with urllib.request.urlopen(server + "/", timeout=60) as r:
         html = r.read().decode()
     assert r.status == 200 and "llamacog" in html and "chat/completions" in html
+    # DOM-level functional surface of the webui (reference tools/server/webui
+    # feature set): conversation sidebar + persistence, settings dialog with
+    # sampler params, markdown renderer, stop/regenerate/edit actions,
+    # attachments, import/export. Parse the DOM (not string grep) and walk it.
+    from html.parser import HTMLParser
+
+    class Dom(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.ids = {}
+            self.stack = []
+            self.script = ""
+            self._in_script = False
+
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            if "id" in a:
+                self.ids[a["id"]] = (tag, a)
+            if tag == "script":
+                self._in_script = True
+            if tag not in ("meta", "input", "br", "hr", "img"):
+                self.stack.append(tag)
+
+        def handle_endtag(self, tag):
+            if tag == "script":
+                self._in_script = False
+            assert self.stack and self.stack[-1] == tag, (
+                f"unbalanced </{tag}> (open: {self.stack[-5:]})")
+            self.stack.pop()
+
+        def handle_data(self, data):
+            if self._in_script:
+                self.script += data
+
+    dom = Dom()
+    dom.feed(html)
+    assert not dom.stack, f"unclosed tags: {dom.stack}"
+    # structural elements with the right tag types
+    assert dom.ids["settings"][0] == "dialog"
+    assert dom.ids["s_system"][0] == "textarea"
+    assert dom.ids["inp"][0] == "textarea"
+    assert dom.ids["attfile"][1].get("accept") == "image/*"
+    assert dom.ids["impfile"][1].get("accept") == "application/json"
+    for el_id in ("convs", "newc", "s_temp", "s_topk", "s_topp", "s_minp",
+                  "s_maxtok", "s_rep", "s_custom", "stop", "att", "exp",
+                  "imp", "log", "send", "burger"):
+        assert el_id in dom.ids, el_id
+    for num_id in ("s_temp", "s_topk", "s_topp", "s_minp", "s_maxtok"):
+        assert dom.ids[num_id][1].get("type") == "number", num_id
+    # behavior surface lives in the single inline script
+    for feature in ("localStorage.lcg_convs", "localStorage.lcg_settings",
+                    "mdToHtml", "AbortController", "regenerate", "image_url",
+                    "min_p", "repeat_penalty", "presence_penalty",
+                    "/v1/chat/completions", "/props"):
+        assert feature in dom.script, feature
+    # the exact request shape the webui JS sends streams successfully
+    req = urllib.request.Request(
+        server + "/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "system", "content": "be brief"},
+                         {"role": "user", "content": "hi"}],
+            "stream": True, "temperature": 0.8, "max_tokens": 4,
+            "top_k": 40, "top_p": 0.95, "min_p": 0.05,
+            "repeat_penalty": 1.0, "presence_penalty": 0.0,
+            "frequency_penalty": 0.0,
+        }).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        sse = r.read().decode()
+    assert "data: " in sse and "[DONE]" in sse
     body, status = _get(server + "/api/tags")
     assert status == 200 and body["models"][0]["details"]["family"]
     body, status = _post(server + "/api/show", {})
