@@ -4,16 +4,129 @@ Algorithm per the reference (common/speculative.cpp:137-280): the draft
 model greedily extends until its confidence drops below p_min or n_draft is
 reached; the target decodes the whole draft batch in ONE call (one jit step
 on TPU) and accepts the longest prefix that agrees with its own sampling.
+
+Two implementations:
+* SpeculativeDecoder — host-driven, sampler-aware, per-slot (the server
+  integration). Matches the reference control flow, including the p_min
+  confidence gate.
+* OnDeviceSpeculative — greedy-only, the whole draft->verify->accept loop
+  inside ONE jit (lax.while_loop). The reference's loop is host-driven,
+  which is fine at PCIe latency; on TPU every host round-trip costs more
+  than a decode step, so speculative decoding can only ever pay for itself
+  if the token feedback never leaves the chip (same reasoning as
+  Engine.decode_greedy_tokens).
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .engine import Engine
 from .sampler import SamplerChain, _softmax
+
+
+def truncated_draft_params(params: dict, n_layers: int) -> dict:
+    """Self-speculative draft: the target's first n_layers plus its own
+    embedding/norm/head, sharing every array (zero extra HBM). The
+    early-exit draft of LayerSkip / Draft&Verify, without trained exit
+    heads — acceptance on real checkpoints improves with them, but the
+    cost model (k draft steps + one (k+1)-token verify) is identical."""
+    draft = dict(params)
+    draft["layers"] = params["layers"][:n_layers]
+    return draft
+
+
+class OnDeviceSpeculative:
+    """Greedy speculative decoding with zero per-token host traffic.
+
+    Each while_loop round: k+1 draft forwards (the +1 keeps the draft
+    cache complete when all k drafts are accepted), one (k+1)-token
+    target verify step, longest-agreeing-prefix acceptance, and emission
+    into a device buffer. Greedy-exact: the emitted tokens are identical
+    to Engine.decode_greedy_tokens on the target (the acceptance rule
+    only ever keeps tokens the target itself would have picked).
+    """
+
+    def __init__(self, target: Engine, draft: Engine, k: int = 4):
+        assert target.batch_size == 1 and draft.batch_size == 1
+        assert not target.recurrent and not draft.recurrent
+        self.target, self.draft, self.k = target, draft, k
+        t_cfg, d_cfg = target.config, draft.config
+        t_dtype, d_dtype = target.dtype, draft.dtype
+        from ..models.llama import forward
+
+        @functools.partial(
+            jax.jit, static_argnames=("n", "k", "t_cap", "d_cap"),
+            donate_argnames=("t_cache", "d_cache"))
+        def spec_loop(t_params, d_params, t_cache, d_cache, cur, t_seq,
+                      d_seq, n, k, t_cap, d_cap):
+            out = jnp.zeros((n + k + 1,), jnp.int32)
+
+            def cond(st):
+                return st[5] < n
+
+            def body(st):
+                t_cache, d_cache, cur, t_seq, d_seq, n_out, out, acc, rnd = st
+
+                def dbody(i, dst):
+                    d_cache, tok, drafts = dst
+                    logits, d_cache = forward(
+                        d_params, d_cfg, tok[:, None], (d_seq + i)[:, None],
+                        d_cache, d_seq + i, dtype=d_dtype, kv_cap=d_cap)
+                    nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                    return d_cache, nxt, drafts.at[i].set(nxt[0])
+
+                d_cache, _, drafts = jax.lax.fori_loop(
+                    0, k + 1, dbody,
+                    (d_cache, cur, jnp.zeros((k + 1,), jnp.int32)))
+
+                batch = jnp.concatenate([cur, drafts[:k]])[None, :]
+                positions = t_seq[:, None] + jnp.arange(k + 1)[None, :]
+                t_logits, t_cache = forward(
+                    t_params, t_cfg, batch, positions, t_cache, t_seq,
+                    dtype=t_dtype, kv_cap=t_cap)
+                choice = jnp.argmax(t_logits[0], -1).astype(jnp.int32)
+                agree = (choice[:k] == drafts[:k]).astype(jnp.int32)
+                n_acc = jnp.sum(jnp.cumprod(agree))
+                idx = jnp.arange(k + 1)
+                emit = jnp.where(idx < n_acc, drafts[:k + 1],
+                                 choice[jnp.minimum(idx, n_acc)])
+                out = jax.lax.dynamic_update_slice(out, emit, (n_out,))
+                return (t_cache, d_cache, choice[n_acc][None],
+                        t_seq + n_acc + 1, d_seq + n_acc + 1,
+                        n_out + n_acc + 1, out, acc + n_acc, rnd + 1)
+
+            st = jax.lax.while_loop(cond, body, (
+                t_cache, d_cache, cur, t_seq, d_seq,
+                jnp.int32(0), out, jnp.int32(0), jnp.int32(0)))
+            return st[0], st[1], st[6], st[3], st[4], st[7], st[8]
+
+        self._loop = spec_loop
+
+    def generate_greedy(self, first_token: int, n: int):
+        """Decode n greedy tokens on device; returns (tokens [n], stats).
+        Both engines must hold the same prefilled context."""
+        t, d = self.target, self.draft
+        cur = jnp.full((1,), first_token, jnp.int32)
+        t_cap = t._kv_cap(int(t.seq_len[0]) + n + self.k + 2)
+        d_cap = d._kv_cap(int(d.seq_len[0]) + n + self.k + 2)
+        t.cache, d.cache, out, t_seq, d_seq, acc, rnd = self._loop(
+            t.params, d.params, t.cache, d.cache, cur,
+            jnp.asarray(t.seq_len), jnp.asarray(d.seq_len),
+            n=n, k=self.k, t_cap=t_cap, d_cap=d_cap)
+        out, t_seq, d_seq, acc, rnd = jax.device_get(
+            (out, t_seq, d_seq, acc, rnd))
+        t.seq_len = np.array(t_seq)
+        d.seq_len = np.array(d_seq)
+        stats = {"rounds": int(rnd), "drafted": int(rnd) * self.k,
+                 "accepted": int(acc),
+                 "accept_rate": float(acc) / max(int(rnd) * self.k, 1)}
+        return out[:n], stats
 
 
 @dataclass
