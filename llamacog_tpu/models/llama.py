@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import masked_attention
-from ..ops.linear import qmatmul
+from ..ops.linear import qmatmul, qmatmul_multi
 from ..ops.norms import layer_norm, rms_norm
 from ..quant.planar import QuantTensor, decode
 from ..runtime.kv_cache import KVCache
@@ -65,6 +65,18 @@ def _norm(x: jnp.ndarray, layer: dict, key: str, cfg: ModelConfig) -> jnp.ndarra
     return rms_norm(x, layer[key], cfg.rms_norm_eps, layer.get(key + "_b"))
 
 
+def _linear_multi(x: jnp.ndarray, layer: dict, keys) -> list:
+    """Same-input projections through ONE fused Pallas launch (mixed quant
+    kinds OK) when none carries bias/lora/scale extras; otherwise falls
+    back to per-key _linear. Used for attn q/k/v and split ffn gate/up."""
+    if all(layer.get(k + "_scale") is None and layer.get(k + "_b") is None
+           and layer.get(k + "_lora") is None for k in keys):
+        outs = qmatmul_multi(x, [layer[k] for k in keys])
+        if outs is not None:
+            return outs
+    return [_linear(x, layer, k) for k in keys]
+
+
 def _linear(x: jnp.ndarray, layer: dict, key: str) -> jnp.ndarray:
     out = qmatmul(x, layer[key])
     sc = layer.get(key + "_scale")
@@ -88,8 +100,7 @@ def _ffn(layer: dict, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
         gate, up = jnp.split(gu, 2, axis=-1)
         h = (_act(gate, cfg.ffn_act) * up.astype(jnp.float32)).astype(x.dtype)
     elif "ffn_gate" in layer:
-        gate = _linear(x, layer, "ffn_gate")
-        up = _linear(x, layer, "ffn_up")
+        gate, up = _linear_multi(x, layer, ("ffn_gate", "ffn_up"))
         h = (_act(gate, cfg.ffn_act) * up.astype(jnp.float32)).astype(x.dtype)
     else:
         up = _linear(x, layer, "ffn_up")
@@ -428,13 +439,19 @@ def forward(
     s_eff = kv_cap if kv_cap is not None else int(cache.max_seq)
 
     chunked_swa = cfg.swa_type == "chunked" and cfg.sliding_window > 0
-    use_flash_q8 = not chunked_swa and flash_q8.decode_supported(cfg, cache, T)
+    # stacked decode reads layer il straight out of the whole-cache planes
+    # (no per-layer XLA slice copy) — dense and quantized caches both
+    use_flash_stacked = (not chunked_swa
+                         and flash_q8.stacked_decode_supported(cfg, cache, T))
+    use_flash_q8 = (not chunked_swa and not use_flash_stacked
+                    and flash_q8.decode_supported(cfg, cache, T))
     use_flash_q8_prefill = (not chunked_swa and not use_flash_q8
                             and flash_q8.prefill_supported(cfg, cache, T, s_eff))
     use_flash = not chunked_swa and flash_decode.supported(cfg, cache, T)
     use_flash_prefill = (not chunked_swa and not use_flash
                          and flash_prefill.supported(cfg, cache, T, s_eff))
-    any_flash = use_flash or use_flash_prefill or use_flash_q8 or use_flash_q8_prefill
+    any_flash = (use_flash or use_flash_prefill or use_flash_q8
+                 or use_flash_q8_prefill or use_flash_stacked)
     if any_flash:
         mask = intra = swa_mask = intra_swa = None
         _interp = jax.default_backend() != "tpu"
@@ -460,6 +477,12 @@ def forward(
         materializing a dequantized cache), dense flash, or the XLA masked
         fallback."""
         win = cfg.sliding_window if is_swa else 0
+        if use_flash_stacked:
+            return flash_q8.decode_from_cache(
+                q[:, 0], cache, il, k[:, 0], v[:, 0], write_pos, scale,
+                softcap=cfg.attn_logit_softcap, window=win,
+                interpret=_interp, kv_cap=kv_cap,
+            )[:, None]
         if use_flash_q8:
             return flash_q8.flash_decode_q8_auto(
                 q[:, 0], tuple(p[il] for p in cache.k_planes),
@@ -620,18 +643,16 @@ def forward(
             k = k.reshape(B, T, -1, Dk)
             v = v.reshape(B, T, -1, Dv)
         elif "attn_qk" in layer:
-            # q+k fused when v's quant kind differs (loader mixed-kind fuse)
-            qk = _linear(h, layer, "attn_qk")
+            # q+k fused when v's quant kind differs (loader mixed-kind
+            # fuse); qk and v ride ONE phase-partitioned pallas launch
+            qk, v = _linear_multi(h, layer, ("attn_qk", "attn_v"))
             h_l = cfg.n_head_at(il)
             q, k = jnp.split(qk, [h_l * Dk], axis=-1)
-            v = _linear(h, layer, "attn_v")
             q = q.reshape(B, T, -1, Dk)
             k = k.reshape(B, T, -1, Dk)
             v = v.reshape(B, T, -1, Dv)
         else:
-            q = _linear(h, layer, "attn_q")
-            k = _linear(h, layer, "attn_k")
-            v = _linear(h, layer, "attn_v")
+            q, k, v = _linear_multi(h, layer, ("attn_q", "attn_k", "attn_v"))
             if cfg.qk_norm_full and "attn_q_norm" in layer:
                 # olmo2: norm over the whole projection, not per head
                 q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)

@@ -82,3 +82,32 @@ def qmatmul(x: jnp.ndarray, w: Any, compute_dtype=None) -> jnp.ndarray:
     return jnp.matmul(
         x.astype(compute_dtype), wd.T, preferred_element_type=jnp.float32
     ).astype(x.dtype)
+
+
+def qmatmul_multi(x: jnp.ndarray, ws) -> list | None:
+    """Fused multi-weight qmatmul: ONE Pallas launch for several weights
+    sharing the activation (ops/pallas/qmm.qmm_multi), mixed kinds OK.
+    Returns None when any weight can't ride the fused kernel (caller falls
+    back to per-weight qmatmul). The role of one CUDA stream batching the
+    q/k/v matvecs: fewer launches + one x round-trip per group."""
+    backend = _BACKEND
+    if backend == "auto":
+        import jax
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend != "pallas":
+        return None
+    from .pallas.qmm import supports
+    if not all(isinstance(w, QuantTensor) and w.pspec is None
+               and supports(w.kind) and w.shape[-1] == x.shape[-1]
+               for w in ws):
+        return None
+    if _HOOK is not None:  # after the checks: the fallback path re-fires it
+        for w in ws:
+            _HOOK(w, x)
+    import jax
+
+    from .pallas.qmm import qmm_multi
+
+    outs = qmm_multi(x, ws, interpret=jax.default_backend() != "tpu")
+    return [o.astype(x.dtype) for o in outs]

@@ -527,3 +527,302 @@ def flash_decode_q8_auto(q, k_planes, v_planes, k_cur, v_cur, seq_len, scale,
     return flash_decode_q8(q, k_planes, v_planes, k_cur, v_cur, seq_len, scale,
                            softcap=softcap, window=window, interpret=interpret,
                            kv_cap=kv_cap, kinds=kinds)
+
+
+# ---------------------------------------------------------------------------
+# Stacked-cache decode: the per-layer entry points above receive p[il]
+# slices, which XLA must MATERIALIZE before the custom-call (a ~2 MB HBM
+# copy per layer per step on a dense 8B cache — ~1 ms/tok of pure copies in
+# the decode trace). These variants take the whole stacked planes
+# [L, B, S, Hkv, *] and pick the layer inside the BlockSpec index_map (`il`
+# is a trace-time constant: the layer loop is unrolled), so the kernel DMAs
+# its KV tiles straight out of the cache buffer and nothing is copied.
+# Dense bf16/f16 caches ride the same kernels ("bf16" kind = identity _deq)
+# with no group permute — this is also the production replacement for the
+# XLA flat decode attention (ops/attention.py), whose cache reshapes forced
+# those copies.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "il", "scale", "softcap", "window", "interpret", "kv_cap", "kinds",
+    "permute"))
+def flash_decode_stacked(
+    q: jnp.ndarray,  # [B, H, Dk]
+    k_planes: tuple,  # each [L, B, S, Hkv, *]
+    v_planes: tuple,
+    il: int,  # static layer index
+    k_cur: jnp.ndarray,  # [B, Hkv, Dk]
+    v_cur: jnp.ndarray,
+    seq_len: jnp.ndarray,  # [B]
+    scale: float,
+    softcap: float = 0.0,
+    window: int = 0,
+    interpret: bool = False,
+    kv_cap: int | None = None,
+    kinds: tuple = ("q8_0", "q8_0"),
+    permute: bool = True,  # False for dense caches (no strided group order)
+) -> jnp.ndarray:  # [B, H, Dv]
+    from ...runtime.kv_cache import QuantKVCache
+
+    B, H, Dk = q.shape
+    S, Hkv = k_planes[0].shape[2], k_planes[0].shape[3]
+    if kv_cap is not None and kv_cap < S:
+        S = kv_cap
+    Dv = v_cur.shape[-1]
+    rep = H // Hkv
+    kind_k, kind_v = kinds
+    gsk = _gs(kind_k, Dk, k_planes)
+    gsv = _gs(kind_v, Dv, v_planes)
+    if permute:
+        qp = QuantKVCache.kv_permute(q)
+        kcp = QuantKVCache.kv_permute(k_cur)
+        vcp = QuantKVCache.kv_permute(v_cur)
+    else:
+        qp, kcp, vcp = q, k_cur, v_cur
+    est = Hkv * S * (Dk + Dv) * 4
+    tiled = (S > _WHOLE_S_MAX or est > _WHOLE_VMEM_MAX) and S % DTS == 0
+    params = {} if interpret else {"compiler_params": pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",) * (2 if tiled else 1),
+        vmem_limit_bytes=100 * 1024 * 1024)}
+    if tiled:
+        n_tiles = S // DTS
+        kern = functools.partial(_decode_tiled_kernel, Hkv, rep, n_tiles, Dv,
+                                 scale, softcap, window, gsk, gsv,
+                                 kind_k, kind_v, len(k_planes), len(v_planes))
+        cache_specs = [
+            pl.BlockSpec((None, 1, DTS, Hkv, p.shape[-1]),
+                         (lambda b, i, _il=il: (_il, b, i, 0, 0)),
+                         memory_space=pltpu.VMEM)
+            for p in (*k_planes, *v_planes)
+        ]
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((B, H, Dv), q.dtype),
+            grid=(B, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, H, Dk), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *cache_specs,
+                pl.BlockSpec((1, Hkv, Dk), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, Dv), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 1), lambda b, i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, H, Dv), lambda b, i: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((H, 1), jnp.float32),
+                pltpu.VMEM((H, 1), jnp.float32),
+                pltpu.VMEM((H, Dv), jnp.float32),
+            ],
+            interpret=interpret,
+            **params,
+        )(qp, *k_planes, *v_planes, kcp, vcp, seq_len.reshape(B, 1))
+    else:
+        kern = functools.partial(_decode_kernel, Hkv, rep, scale, softcap,
+                                 window, gsk, gsv, kind_k, kind_v,
+                                 len(k_planes), len(v_planes))
+        cache_specs = [
+            pl.BlockSpec((None, 1, S, Hkv, p.shape[-1]),
+                         (lambda b, _il=il: (_il, b, 0, 0, 0)),
+                         memory_space=pltpu.VMEM)
+            for p in (*k_planes, *v_planes)
+        ]
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((B, H, Dv), q.dtype),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, Dk), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *cache_specs,
+                pl.BlockSpec((1, Hkv, Dk), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, Dv), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, H, Dv), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+            **params,
+        )(qp, *k_planes, *v_planes, kcp, vcp, seq_len.reshape(B, 1))
+    return QuantKVCache.kv_unpermute(out) if permute else out
+
+
+def _decode_flat_dense_kernel(hkv, rep, n_tiles, Dv, scale, softcap, window,
+                              *refs):
+    """Dense-cache decode with the flat-GQA trick INSIDE the kernel: the
+    [TS, Hkv, D] KV tile collapses (contiguously, no copy) to [TS*Hkv, D],
+    so QK and PV are ONE MXU dot each per tile instead of Hkv small
+    per-head dots, with a static block mask (flat column j belongs to kv
+    head j % Hkv) zeroing off-group scores through exp(-1e30). Same math as
+    ops/attention._decode_attention_flat, which this replaces on the
+    production path (the XLA version forced per-layer cache copies)."""
+    (q_ref, k_ref, v_ref, kc_ref, vc_ref, len_ref, o_ref,
+     m_ref, l_ref, acc_ref) = refs
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n = len_ref[b, 0]
+    H = q_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    TSs = k_ref.shape[1]
+    J = TSs * hkv
+    k_flat = k_ref[0, :, :, :].reshape(J, k_ref.shape[-1])
+    q = q_ref[0, :, :].astype(jnp.float32)  # [H, Dk]
+    s = jax.lax.dot_general(
+        q, k_flat.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [H, J]
+    if softcap > 0.0:
+        s = softcap * jnp.tanh(s / softcap)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, J), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, J), 0)
+    pos = i * TSs + col // hkv
+    ok = (col % hkv == row // rep) & (pos < n)
+    if window > 0:
+        ok = ok & (pos > n - window)
+    s = jnp.where(ok, s, -1e30)
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # off-group/invalid -> exactly 0
+    v_flat = v_ref[0, :, :, :].reshape(J, Dv)
+    pv = jax.lax.dot_general(
+        p, v_flat.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:, :1] = m_new
+    l_ref[:, :1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        # element-repeat kc/vc rows to q's head order (q head h reads kv
+        # head h // rep; pltpu.repeat would tile [k0,k1,k0,k1...] instead)
+        kc = jnp.concatenate(
+            [jnp.broadcast_to(kc_ref[0, hk, :].astype(jnp.float32)[None, :],
+                              (rep, kc_ref.shape[-1])) for hk in range(hkv)],
+            axis=0)
+        vc = jnp.concatenate(
+            [jnp.broadcast_to(vc_ref[0, hk, :].astype(jnp.float32)[None, :],
+                              (rep, Dv)) for hk in range(hkv)], axis=0)
+        s_cur = jnp.sum(q * kc, axis=-1, keepdims=True) * scale  # [H, 1]
+        if softcap > 0.0:
+            s_cur = softcap * jnp.tanh(s_cur / softcap)
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, s_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        e_cur = jnp.exp(s_cur - m_new)
+        acc = acc_ref[...] * alpha + e_cur * vc
+        denom = l_prev * alpha + e_cur
+        o_ref[0, :, :] = (acc / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "il", "scale", "softcap", "window", "interpret", "kv_cap"))
+def _flash_decode_stacked_dense(q, k_stack, v_stack, il, k_cur, v_cur,
+                                seq_len, scale, softcap=0.0, window=0,
+                                interpret=False, kv_cap=None):
+    B, H, Dk = q.shape
+    S, Hkv = k_stack.shape[2], k_stack.shape[3]
+    if kv_cap is not None and kv_cap < S:
+        S = kv_cap
+    Dv = v_stack.shape[-1]
+    rep = H // Hkv
+    # tile S when it divides cleanly; otherwise whole-S (fits VMEM to ~4k,
+    # which stacked_decode_supported guarantees for non-DTS-multiple S)
+    ts = DTS if (S > DTS and S % DTS == 0) else S
+    n_tiles = S // ts
+    kern = functools.partial(_decode_flat_dense_kernel, Hkv, rep, n_tiles,
+                             Dv, scale, softcap, window)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, H, Dv), q.dtype),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, H, Dk), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, ts, Hkv, Dk),
+                         (lambda b, i, _il=il: (_il, b, i, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, ts, Hkv, Dv),
+                         (lambda b, i, _il=il: (_il, b, i, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, Dk), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, Dv), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, Dv), lambda b, i: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, Dv), jnp.float32),
+        ],
+        interpret=interpret,
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)}),
+    )(q, k_stack, v_stack, k_cur, v_cur, seq_len.reshape(B, 1))
+
+
+def decode_from_cache(q, cache, il, k_cur, v_cur, seq_len, scale,
+                      softcap=0.0, window=0, interpret=False, kv_cap=None):
+    """Decode attention for layer `il` reading the stacked cache directly.
+
+    Dispatches on cache type: QuantKVCache planes keep their strided group
+    order (permute=True); a dense KVCache passes its bf16/f16 stores with
+    the identity decode and no permute."""
+    from ...runtime.kv_cache import QuantKVCache
+
+    if isinstance(cache, QuantKVCache):
+        return flash_decode_stacked(
+            q, cache.k_planes, cache.v_planes, il, k_cur, v_cur, seq_len,
+            scale, softcap=softcap, window=window, interpret=interpret,
+            kv_cap=kv_cap, kinds=cache.kinds, permute=True)
+    return _flash_decode_stacked_dense(
+        q, cache.k, cache.v, il, k_cur, v_cur, seq_len, scale,
+        softcap=softcap, window=window, interpret=interpret, kv_cap=kv_cap)
+
+
+def stacked_decode_supported(cfg, cache, t: int) -> bool:
+    import os
+
+    from ...parallel.sharding import get_active_mesh
+    from ...runtime.kv_cache import KVCache, QuantKVCache
+
+    if get_active_mesh() is not None:
+        return False  # sharded serving: attention runs on the SPMD XLA path
+    if cfg.use_alibi or cfg.n_head_kv_arr:
+        return False
+    if os.environ.get("LLAMACOG_FLASH_STACKED", "1") != "1":
+        return False
+    if isinstance(cache, QuantKVCache):
+        if _cache_kinds(cache) is None:
+            return False
+    elif type(cache) is not KVCache:  # SwaKVCache ring keeps the masked path
+        return False
+    S = int(cache.max_seq)
+    return (
+        t == 1
+        and cfg.head_dim_k % 32 == 0
+        and cfg.head_dim_v % 32 == 0
+        and cfg.n_head % cfg.n_head_kv == 0
+        and (S <= _WHOLE_S_MAX or S % DTS == 0)
+    )

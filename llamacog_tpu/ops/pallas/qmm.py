@@ -158,15 +158,9 @@ def _dec_q5_K(p):
     return [_wm(lo | (hb[0] << 4), st), _wm(hi | (hb[1] << 4), st)], _f32(p["mins"])
 
 
-def _dec_q6_K(p):
-    st = _rep_to(p["scales"], p["qs"].shape[-1])
-    hb = _crumbs(p["qh"])
-    lo, hi = _nib(p["qs"])
-    parts = [
-        _wm(lo | (jnp.concatenate(hb[0:2], axis=-1) << 4), st),
-        _wm(hi | (jnp.concatenate(hb[2:4], axis=-1) << 4), st),
-    ]
-    return parts, 32.0 * _f32(p["scales"])
+# Q6_K decodes via _dec_i8: planar stores signed int8 levels (q - 32), so
+# the kernel is Q8_0-style int8 x group scale with no qh reassembly and no
+# correction dot (the packed 4+2-bit decode measured VPU-bound at 8B).
 
 
 def _dec_i8(scale_name, p):
@@ -199,7 +193,7 @@ TILE_DECODERS = {
     "Q3_K": (_dec_q3_K, ("qs", "scales"), "scales"),
     "Q4_K": (_dec_q4_K, ("qs", "scales", "mins"), "scales"),
     "Q5_K": (_dec_q5_K, ("qs", "qh", "scales", "mins"), "scales"),
-    "Q6_K": (_dec_q6_K, ("qs", "qh", "scales"), "scales"),
+    "Q6_K": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
     "IQ4_NL": (functools.partial(_dec_i8, "d"), ("qs", "d"), "d"),
     "IQ4_XS": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
     "IQ2_XXS": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
@@ -219,15 +213,9 @@ TILE_DECODERS = {
 # ---------------------------------------------------------------------------
 
 
-def _qmm_kernel(kind, n_planes, G, permute, x_ref, *refs):
-    names = TILE_DECODERS[kind][1]
-    planes = {name: refs[i][...] for i, name in enumerate(names)}
-    out_ref = refs[n_planes]
+def _tile_matvec(kind, G, planes, xf):
+    """One weight tile's fused dequant x matmul: planes dict -> [B, TN] f32."""
     parts, corr = TILE_DECODERS[kind][0](planes)
-    xf = x_ref[...]  # [B, K] strided cols (permuted outside: Mosaic has no
-    # in-kernel shape-cast for the reorder; XLA CSE dedupes the repeated
-    # permutes of one activation across q/k/v/gate_up)
-    del permute
     x = xf if _MXU_F32 else xf.astype(jnp.bfloat16)
     P = len(parts)
     Kp = x.shape[1] // P
@@ -250,7 +238,39 @@ def _qmm_kernel(kind, n_planes, G, permute, x_ref, *refs):
             xg, corr, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    out_ref[...] = acc
+    return acc
+
+
+def _qmm_kernel(kind, n_planes, G, permute, x_ref, *refs):
+    names = TILE_DECODERS[kind][1]
+    planes = {name: refs[i][...] for i, name in enumerate(names)}
+    out_ref = refs[n_planes]
+    # x is [B, K] strided cols (permuted outside: Mosaic has no in-kernel
+    # shape-cast for the reorder; XLA CSE dedupes the repeated permutes of
+    # one activation across q/k/v/gate_up)
+    del permute
+    out_ref[...] = _tile_matvec(kind, G, planes, x_ref[...])
+
+
+def _qmm_multi_kernel(kinds, n_planes, Gs, bounds, *refs):
+    """Phase-partitioned multi-weight kernel: grid steps [bounds[t],
+    bounds[t+1]) decode tensor t's tiles and write its output block."""
+    nt = len(kinds)
+    x_refs = refs[:nt]
+    plane_refs = []
+    off = nt
+    for t in range(nt):
+        plane_refs.append(refs[off:off + n_planes[t]])
+        off += n_planes[t]
+    out_refs = refs[off:off + nt]
+    i = pl.program_id(0)
+    for t in range(nt):
+        @pl.when((i >= bounds[t]) & (i < bounds[t + 1]))
+        def _(t=t):
+            names = TILE_DECODERS[kinds[t]][1]
+            planes = {nm: plane_refs[t][j][...] for j, nm in enumerate(names)}
+            out_refs[t][...] = _tile_matvec(kinds[t], Gs[t], planes,
+                                            x_refs[t][...])
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -337,7 +357,7 @@ def pick_tile_n(N: int, K: int, kind: str) -> int:
         return _TN_OVERRIDE if N % _TN_OVERRIDE == 0 else 0
     bits = {"Q2_K": 3.0, "Q3_K": 4.0, "Q4_0": 5.0, "Q4_1": 6.0, "IQ4_NL": 5.0,
             "IQ4_XS": 5.0, "Q4_K": 6.0, "Q5_0": 6.0, "Q5_1": 7.0, "Q5_K": 7.0,
-            "Q6_K": 8.5, "Q8_0": 10.0,
+            "Q6_K": 10.0, "Q8_0": 10.0,
             "IQ2_XXS": 4.0, "IQ2_XS": 5.0, "IQ2_S": 5.0, "IQ3_XXS": 5.0,
             "IQ3_S": 5.0, "IQ1_S": 4.0, "IQ1_M": 10.0}.get(kind, 8.0)
     # bytes per weight row resident: 2x payload + bf16 decoded + f32 scale tile
@@ -355,6 +375,102 @@ def pick_tile_n(N: int, K: int, kind: str) -> int:
                 return cand
         return 0
     return tn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kinds", "shapes", "names", "tns", "Gs",
+                              "interpret", "mxu_f32"))
+def _qmm_multi_call(xs, all_plane_vals, kinds, shapes, names, tns, Gs,
+                    interpret=False, mxu_f32=False):
+    global _MXU_F32
+    nt = len(kinds)
+    B = xs[0].shape[0]
+    steps = [shapes[t][0] // tns[t] for t in range(nt)]
+    bounds = tuple(int(np.sum(steps[:t])) for t in range(nt + 1))
+    n_planes = tuple(len(n) for n in names)
+    in_specs = [
+        pl.BlockSpec((B, xs[t].shape[1]), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for t in range(nt)
+    ]
+    flat_planes = []
+    for t in range(nt):
+        lo, hi = bounds[t], bounds[t + 1]
+        for pv in all_plane_vals[t]:
+            in_specs.append(pl.BlockSpec(
+                (tns[t], pv.shape[1]),
+                (lambda i, _lo=lo, _hi=hi: (jnp.clip(i - _lo, 0, _hi - _lo - 1), 0)),
+                memory_space=pltpu.VMEM))
+            flat_planes.append(pv)
+    out_shapes = [jax.ShapeDtypeStruct((B, shapes[t][0]), jnp.float32)
+                  for t in range(nt)]
+    out_specs = [
+        pl.BlockSpec((B, tns[t]),
+                     (lambda i, _lo=bounds[t], _hi=bounds[t + 1]:
+                      (0, jnp.clip(i - _lo, 0, _hi - _lo - 1))),
+                     memory_space=pltpu.VMEM)
+        for t in range(nt)
+    ]
+    kernel = functools.partial(_qmm_multi_kernel, kinds, n_planes, Gs, bounds)
+    _MXU_F32 = mxu_f32
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
+    total_bytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize
+                      for p in flat_planes)
+    try:
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            grid=(bounds[-1],),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * sum(s[0] * s[1] for s in shapes),
+                bytes_accessed=total_bytes + sum(
+                    B * x.shape[1] * x.dtype.itemsize for x in xs),
+                transcendentals=0,
+            ),
+            **kwargs,
+        )(*xs, *flat_planes)
+    finally:
+        _MXU_F32 = False
+
+
+def qmm_multi(x: jnp.ndarray, qts, interpret: bool = False):
+    """One pallas_call computing x @ dequant(qt)^T for SEVERAL QuantTensors
+    sharing the activation (mixed kinds welcome — the 8B Q4_K_M layer pairs
+    Q4_K attn_qk with Q6_K attn_v). The grid is phase-partitioned: steps
+    [bounds[t], bounds[t+1]) stream tensor t's tiles, each phase's clamped
+    index maps pin the other tensors' blocks (no re-DMA). One kernel launch
+    + one x round-trip replaces len(qts) of each.
+
+    Returns a list of [..., N_t] f32 outputs (same contract as qmm)."""
+    lead = x.shape[:-1]
+    B = int(np.prod(lead)) if lead else 1
+    xs, shapes, names_all, tns, Gs, kinds, planes_all = [], [], [], [], [], [], []
+    for qt in qts:
+        N, K = int(np.prod(qt.shape[:-1])), qt.shape[-1]
+        tn = pick_tile_n(N, K, qt.kind)
+        if tn == 0:
+            raise ValueError(f"N={N} not tileable")
+        dec, names, gplane = TILE_DECODERS[qt.kind]
+        xs.append(permute_activation(x, qt).reshape(B, K))
+        shapes.append((N, K))
+        names_all.append(names)
+        tns.append(tn)
+        Gs.append(qt.planes[gplane].shape[1])
+        kinds.append(qt.kind)
+        planes_all.append(tuple(qt.planes[n] for n in names))
+    outs = _qmm_multi_call(
+        tuple(xs), tuple(planes_all), tuple(kinds), tuple(shapes),
+        tuple(names_all), tuple(tns), tuple(Gs), interpret,
+        mxu_f32=B <= 8)
+    return [o.reshape(*lead, s[0]) for o, s in zip(outs, shapes)]
 
 
 def qmm(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False) -> jnp.ndarray:

@@ -392,8 +392,15 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
             axis=2,
         )  # [-1, 2, 128]
         hi = np.concatenate([(qh >> (2 * s)) & 3 for s in range(4)], axis=2)
-        p["qs"] = _pack4(_strided(lo.reshape(N, K), 16))
-        p["qh"] = _pack2(_strided(hi.reshape(N, K), 16))
+        # signed int8 levels (q - 32), like the LUT formats: the packed
+        # 4+2-bit in-kernel reassembly measured VPU-BOUND at 8B decode
+        # (the LM head ran at 815 us vs its 491 us DMA ideal; Q6_K
+        # ffn_down layers ~+33 us each). One byte/level + no qh plane +
+        # no correction dot puts the kernel back under the DMA stream
+        # for +25% streamed bytes — same trade the IQ relayout measured
+        # at 0.126 -> 0.968 of roofline. Values stay bit-exact.
+        q6 = (lo.reshape(N, K).astype(np.int16) | (hi.reshape(N, K).astype(np.int16) << 4)) - 32
+        p["qs"] = _strided(q6.astype(np.int8).view(np.uint8), 16).view(np.int8)
     elif t == GGMLType.IQ4_XS:
         d = _f16(data[:, :, 0:2]).astype(np.float32)
         sh = _view(data[:, :, 2:4], "<u2").astype(np.uint16)
@@ -532,8 +539,8 @@ def decode_strided(qt: QuantTensor) -> jnp.ndarray:
         v = (_unpack4_j(p["qs"]) | (_unpack1_j(p["qh"]) << 4)).astype(jnp.float32)
         return v * _tile_scale_j(p["scales"], 32) - _tile_scale_j(p["mins"], 32)
     if kind == "Q6_K":
-        v = (_unpack4_j(p["qs"]) | (_unpack2_j(p["qh"]) << 4)).astype(jnp.float32) - 32.0
-        return v * _tile_scale_j(p["scales"], 16)
+        # int8 levels (q - 32), see from_gguf
+        return p["qs"].astype(jnp.float32) * _tile_scale_j(p["scales"], 16)
     R = GROUP_SIZE.get(kind, 32)
     if kind in ("IQ4_NL", "IQ4_XS", "IQ2_XXS", "IQ2_XS", "IQ2_S",
                 "IQ3_XXS", "IQ3_S"):

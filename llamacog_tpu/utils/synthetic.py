@@ -27,7 +27,7 @@ from ..quant.planar import QuantTensor
 _PLANES = {
     "Q4_K": (("qs", 2, jnp.uint8), ("scales", 32, jnp.float32), ("mins", 32, jnp.float32)),
     "Q5_K": (("qs", 2, jnp.uint8), ("qh", 8, jnp.uint8), ("scales", 32, jnp.float32), ("mins", 32, jnp.float32)),
-    "Q6_K": (("qs", 2, jnp.uint8), ("qh", 4, jnp.uint8), ("scales", 16, jnp.float32)),
+    "Q6_K": (("qs", 1, jnp.int8), ("scales", 16, jnp.float32)),
     "Q2_K": (("qs", 4, jnp.uint8), ("scales", 16, jnp.float32), ("mins", 16, jnp.float32)),
     "Q3_K": (("qs", 2, jnp.uint8), ("scales", 16, jnp.float32)),
     "Q4_0": (("qs", 2, jnp.uint8), ("d", 32, jnp.float32)),

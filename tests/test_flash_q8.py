@@ -116,18 +116,18 @@ def test_engine_q8_decode_uses_flash(monkeypatch):
     m = load_model(path, with_tokenizer=False, dtype=jnp.float32)
     assert m.config.head_dim_k % 32 == 0
     calls = []
-    orig = flash_q8.flash_decode_q8
+    orig = flash_q8.flash_decode_stacked
 
     def spy(*a, **kw):
         calls.append(1)
         return orig(*a, **kw)
 
-    monkeypatch.setattr(flash_q8, "flash_decode_q8", spy)
+    monkeypatch.setattr(flash_q8, "flash_decode_stacked", spy)
     eng = Engine(m.params, m.config, batch_size=1, max_seq=64,
                  dtype=jnp.float32, kv_type="q8_0")
     eng.prefill([3, 5, 7])
     eng.decode_one(np.array([9]))
-    assert calls, "q8 decode did not route through flash_decode_q8"
+    assert calls, "q8 decode did not route through flash_decode_stacked"
 
 
 @pytest.mark.parametrize("kinds", [("q8_0", "q8_0"), ("q5_1", "q4_1")],
@@ -247,3 +247,49 @@ def test_engine_kv_kind_close_to_dense(tmp_path, kv):
     e2.prefill(toks)
     ref2 = e2.prefill([23])
     np.testing.assert_allclose(np.asarray(nxt)[0], np.asarray(ref2), atol=5e-3)
+
+
+@pytest.mark.parametrize("kv_cap,S", [(None, 64), (64, 128), (2048, 2048)])
+def test_flash_decode_stacked_matches(kv_cap, S):
+    """Stacked-plane decode (layer picked via BlockSpec index_map) vs the
+    per-layer entry, dense AND quantized, whole-S and tiled shapes."""
+    B, Hkv, Dk, Dv, rep, L = 1, 2, 32, 32, 3, 3
+    H = Hkv * rep
+    rng = np.random.default_rng(5)
+    n_valid = np.array([min(S - 2, 47)], np.int32)
+    q = rng.standard_normal((B, H, Dk)).astype(np.float32)
+    k_cur = rng.standard_normal((B, Hkv, Dk)).astype(np.float32)
+    v_cur = rng.standard_normal((B, Hkv, Dv)).astype(np.float32)
+
+    # dense stacked cache [L, B, S, Hkv, D]
+    kd = rng.standard_normal((L, B, S, Hkv, Dk)).astype(np.float32)
+    vd = rng.standard_normal((L, B, S, Hkv, Dv)).astype(np.float32)
+    for il in range(L):
+        got = flash_q8.flash_decode_stacked(
+            jnp.asarray(q), (jnp.asarray(kd),), (jnp.asarray(vd),), il,
+            jnp.asarray(k_cur), jnp.asarray(v_cur), jnp.asarray(n_valid),
+            0.25, interpret=True, kv_cap=kv_cap, kinds=("bf16", "bf16"),
+            permute=False)
+        ref = _ref_attention(q[:, None], kd[il], vd[il], k_cur[:, None],
+                             v_cur[:, None], n_valid, 0.25, rep)[:, 0]
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-5)
+        # production dense path: the in-kernel flat-GQA variant
+        flat = flash_q8._flash_decode_stacked_dense(
+            jnp.asarray(q), jnp.asarray(kd), jnp.asarray(vd), il,
+            jnp.asarray(k_cur), jnp.asarray(v_cur), jnp.asarray(n_valid),
+            0.25, interpret=True, kv_cap=kv_cap)
+        np.testing.assert_allclose(np.asarray(flat), ref, rtol=2e-5, atol=2e-5)
+
+    # quantized stacked planes: per-layer slice vs stacked must agree exactly
+    kp, vp, _, _ = _rand_cache_and_qkv(B, S, Hkv, Dk, Dv, seed=7)
+    kps = tuple(jnp.stack([p] * L) for p in kp)
+    vps = tuple(jnp.stack([p] * L) for p in vp)
+    qp = jnp.asarray(q)
+    want = flash_q8.flash_decode_q8_auto(
+        qp, kp, vp, jnp.asarray(k_cur), jnp.asarray(v_cur),
+        jnp.asarray(n_valid), 0.25, interpret=True, kv_cap=kv_cap)
+    got = flash_q8.flash_decode_stacked(
+        qp, kps, vps, 1, jnp.asarray(k_cur), jnp.asarray(v_cur),
+        jnp.asarray(n_valid), 0.25, interpret=True, kv_cap=kv_cap)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

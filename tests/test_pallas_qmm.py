@@ -78,3 +78,27 @@ def test_qmm_row_tiled_large_batch():
     ref = x @ np.asarray(decode(qt, jnp.float32)).T
     got = np.asarray(qmm(jnp.asarray(x), qt, interpret=True))
     assert nmse(got, ref) < 2e-4
+
+
+def test_qmm_multi_matches_qmm():
+    """Fused multi-weight call (mixed kinds, one launch) vs per-weight qmm."""
+    import jax
+
+    from llamacog_tpu.ops.pallas.qmm import qmm, qmm_multi
+    from llamacog_tpu.utils.synthetic import _rand_qt
+
+    key = jax.random.PRNGKey(3)
+    K = 256
+    qts = [
+        _rand_qt(jax.random.fold_in(key, 0), "Q4_K", 512, K),
+        _rand_qt(jax.random.fold_in(key, 1), "Q6_K", 128, K),
+        _rand_qt(jax.random.fold_in(key, 2), "Q8_0", 256, K),
+    ]
+    for B in (1, 4):
+        x = jax.random.normal(jax.random.fold_in(key, 9 + B), (B, K),
+                              jnp.bfloat16)
+        outs = qmm_multi(x, qts, interpret=True)
+        for qt, got in zip(qts, outs):
+            want = qmm(x, qt, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)
