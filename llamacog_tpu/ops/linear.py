@@ -90,6 +90,8 @@ def qmatmul_multi(x: jnp.ndarray, ws) -> list | None:
     Returns None when any weight can't ride the fused kernel (caller falls
     back to per-weight qmatmul). The role of one CUDA stream batching the
     q/k/v matvecs: fewer launches + one x round-trip per group."""
+    if os.environ.get("LLAMACOG_QMM_MULTI", "1") != "1":
+        return None  # measurement toggle: per-weight launches (PERF.md r4)
     backend = _BACKEND
     if backend == "auto":
         import jax
