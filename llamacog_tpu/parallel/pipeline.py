@@ -80,13 +80,17 @@ class PipelineEngine:
         max_seq: int = 512,
         dtype=jnp.bfloat16,
         chunk: int = 64,  # prefill micro-batch length (reference n_ubatch)
+        tp: int = 1,  # tensor-parallel width WITHIN each stage: devices are
+        # grouped into n_stages sub-meshes of tp chips and each stage's
+        # weights/KV shard over its own "model" axis — the TPxPP layout a
+        # >1-host model (BASELINE config 5, 70B) deploys with
     ):
         if config.is_recurrent:
             raise ValueError("pipeline engine supports attention models only")
         devices = list(devices if devices is not None else jax.devices())
-        if len(devices) < n_stages:
-            raise ValueError(f"need {n_stages} devices, have {len(devices)}")
-        self.devices = devices[:n_stages]
+        if len(devices) < n_stages * tp:
+            raise ValueError(f"need {n_stages * tp} devices, have {len(devices)}")
+        self.devices = devices[: n_stages * tp]
         self.config = config
         self.dtype = dtype
         self.batch_size = batch_size
@@ -94,6 +98,15 @@ class PipelineEngine:
         self.chunk = chunk
         self.bounds = split_stages(config.n_layer, n_stages)
         self.n_stages = n_stages
+        self.tp = tp
+        self.meshes: list = [None] * n_stages
+        if tp > 1:
+            from .sharding import make_mesh
+
+            self.meshes = [
+                make_mesh(1, tp, devices=self.devices[s * tp:(s + 1) * tp])
+                for s in range(n_stages)
+            ]
 
         self.stage_params: list[dict] = []
         self.caches: list[KVCache] = []
@@ -108,12 +121,19 @@ class PipelineEngine:
                     sp[k] = params[k]
             if "cvec" in params:
                 sp["cvec"] = params["cvec"][lo:hi]
-            self.stage_params.append(jax.device_put(sp, self.devices[s]))
             cache = KVCache.create(
                 hi - lo, batch_size, max_seq, config.n_head_kv,
                 config.head_dim_k, config.head_dim_v, dtype=dtype,
             )
-            self.caches.append(jax.device_put(cache, self.devices[s]))
+            if tp > 1:
+                from .sharding import shard_cache, shard_params
+
+                self.stage_params.append(shard_params(sp, self.meshes[s]))
+                self.caches.append(shard_cache(cache, self.meshes[s]))
+            else:
+                self.stage_params.append(
+                    jax.device_put(sp, self.devices[s]))
+                self.caches.append(jax.device_put(cache, self.devices[s]))
             self._steps.append(self._make_stage_fn(s, lo))
 
         self.seq_len = np.zeros(batch_size, np.int32)
@@ -122,6 +142,7 @@ class PipelineEngine:
         first = s == 0
         last = s == self.n_stages - 1
         cfg, dtype = self.config, self.dtype
+        mesh = self.meshes[s]
 
         @functools.partial(jax.jit, static_argnames=("logits_last_only",),
                            donate_argnames=("cache",))
@@ -138,7 +159,19 @@ class PipelineEngine:
             )
             return out, cache
 
-        return step
+        if mesh is None:
+            return step
+
+        from .sharding import active_mesh
+
+        @functools.wraps(step)
+        def scoped(*a, **k):
+            # each stage dispatches under ITS sub-mesh so the shard_map'd
+            # Pallas kernels pick that stage's axis (runtime/engine.scoped)
+            with active_mesh(mesh):
+                return step(*a, **k)
+
+        return scoped
 
     def _run_chunk(self, tokens: np.ndarray, positions, write_pos,
                    logits_last_only: bool):
@@ -148,7 +181,13 @@ class PipelineEngine:
         toks = jnp.asarray(tokens, jnp.int32)
         out = None
         for s in range(self.n_stages):
-            dev = self.devices[s]
+            if self.meshes[s] is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                dev = NamedSharding(self.meshes[s], P())  # replicate on stage
+            else:
+                dev = self.devices[s]
             t = jax.device_put(toks, dev)
             pos = jax.device_put(jnp.asarray(positions), dev)
             wp = jax.device_put(jnp.asarray(write_pos), dev)

@@ -539,6 +539,13 @@ class Engine:
         if self.recurrent:
             self.clear_row_state(row)
 
+    def set_seq_len(self, row: int, n: int) -> None:
+        """Truncate a row's valid length (prefix-cache reuse). A method —
+        not a bare array store — so multi-host serving can mirror it:
+        seq_len feeds write_pos into every later dispatch, and replicated
+        jit inputs must be identical across processes (parallel/mirror.py)."""
+        self.seq_len[row] = n
+
     def copy_row(self, src: int, dst: int) -> None:
         """llama_memory_seq_cp analog: duplicate one row's state into another
         (prompt shared across parallel continuations without re-prefilling)."""

@@ -248,6 +248,22 @@ class SamplerChain:
         return logits / p.temp
 
     # -- public API ----------------------------------------------------------
+    def is_pure_greedy(self) -> bool:
+        """True when sample() reduces to bare argmax of the raw logits —
+        the condition for on-device speculative decoding to be exact
+        (runtime/speculative.OnDeviceSpeculative accepts by argmax match)."""
+        p = self.p
+        return (
+            p.temp <= 0.0
+            and self.grammar is None
+            and not p.logit_bias
+            and p.penalty_repeat == 1.0
+            and p.penalty_freq == 0.0
+            and p.penalty_present == 0.0
+            and p.dry_multiplier == 0.0
+            and p.mirostat == 0
+        )
+
     def sample(self, logits: np.ndarray) -> int:
         p = self.p
         logits = np.asarray(logits, dtype=np.float32).copy()

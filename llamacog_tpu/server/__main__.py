@@ -27,6 +27,13 @@ def main(argv=None) -> int:
     p.add_argument("--mmproj", default=None, help="vision mmproj GGUF (multimodal)")
     p.add_argument("-md", "--model-draft", default=None,
                    help="draft model GGUF for per-slot speculative decoding")
+    p.add_argument("--spec-ondevice", type=int, default=0, metavar="N",
+                   help="on-device speculative decoding (draft+verify fused "
+                   "in one jit; greedy requests only, requires -np 1). "
+                   "Draft = -md model if given, else the target's first N "
+                   "layers (self-speculative truncated draft)")
+    p.add_argument("--spec-k", type=int, default=4,
+                   help="draft tokens per on-device speculative round")
     p.add_argument("--no-context-shift", action="store_true",
                    help="finish a slot when its context fills instead of shifting")
     _KV_TYPES = ("f16", "bf16", "q8_0", "q4_0", "q4_1", "q5_0", "q5_1")
@@ -90,12 +97,38 @@ def main(argv=None) -> int:
     draft_model = None
     if args.model_draft:
         draft_model = load_model(args.model_draft, mode=args.mode, dtype=dtype)
+    kv_type = (args.cache_type_k if args.cache_type_v in (None, args.cache_type_k)
+               else f"{args.cache_type_k}:{args.cache_type_v}")
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # follower host: build the SAME engines (ServerContext without HTTP
+        # or the inference thread) and replay the controller's engine calls
+        # in lockstep (parallel/mirror.py)
+        from ..parallel.mirror import follower_loop
+        from ..runtime.engine import Engine
+        from .server import ServerContext
+
+        ctx = ServerContext(
+            model, n_slots=args.n_slots, ctx_size=args.ctx_size, dtype=dtype,
+            loras=loras, mesh=mesh, vision=vision, draft_model=draft_model,
+            ctx_shift=not args.no_context_shift, kv_type=kv_type,
+        )
+        engines = {"main": ctx.engine}
+        if draft_model is not None:
+            engines["draft"] = ctx.draft_engine
+        print(f"[distributed] follower {jax.process_index()} replaying "
+              "engine calls", flush=True)
+        follower_loop(
+            engines,
+            lambda **kw: Engine(model.params, model.config, **kw),
+        )
+        return 0
     ctx, httpd = serve(
         model, host=args.host, port=args.port, n_slots=args.n_slots,
         ctx_size=args.ctx_size, dtype=dtype, loras=loras, mesh=mesh, vision=vision,
         draft_model=draft_model, ctx_shift=not args.no_context_shift,
-        kv_type=(args.cache_type_k if args.cache_type_v in (None, args.cache_type_k)
-                 else f"{args.cache_type_k}:{args.cache_type_v}"),
+        kv_type=kv_type, spec_ondevice=args.spec_ondevice, spec_k=args.spec_k,
     )
     print(f"llamacog-server listening on http://{args.host}:{args.port} "
           f"({args.n_slots} slots, ctx {args.ctx_size})", file=sys.stderr)
@@ -105,6 +138,10 @@ def main(argv=None) -> int:
         pass
     finally:
         ctx.stop()
+        if jax.process_count() > 1:
+            from ..parallel.mirror import stop_followers
+
+            stop_followers()
     return 0
 
 

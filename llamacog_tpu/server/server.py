@@ -83,6 +83,7 @@ class ServerContext:
         self, model: Model, n_slots: int = 4, ctx_size: int = 2048, dtype=None,
         loras=None, mesh=None, vision=None, draft_model: Model | None = None,
         ctx_shift: bool = True, kv_type: str = "dense",
+        spec_ondevice: int = 0, spec_k: int = 4,
     ):
         import jax.numpy as jnp
 
@@ -104,11 +105,52 @@ class ServerContext:
             kv_type=kv_type,
         )
         model.params = self.engine.params  # sharded copies when mesh is set
+        # multi-host serving: process 0 runs HTTP + this context; follower
+        # processes replay every engine call (parallel/mirror.py). Followers
+        # construct this same ServerContext (identical engines) but run
+        # follower_loop() instead of start().
+        import jax as _jax
+
+        self._multihost = _jax.process_count() > 1
+        if self._multihost and _jax.process_index() == 0:
+            from ..parallel.mirror import MirroredEngine
+
+            self.engine = MirroredEngine(self.engine, "main")
         self.ctx_shift = ctx_shift
         # per-slot speculative decoding (server.cpp:3559-3584): the draft
         # engine mirrors the target's slot rows and stays in lockstep
         self.draft_model = draft_model
         self.spec: "SpeculativeDecoder | None" = None
+        self.spec_ondevice = None  # OnDeviceSpeculative (greedy, n_slots=1)
+        self.draft_engine: Engine | None = None
+        if spec_ondevice:
+            # --spec-ondevice: draft+verify inside ONE jitted while_loop
+            # (runtime/speculative.OnDeviceSpeculative) — zero per-token
+            # host traffic. Draft = separate GGUF (-md) or the target's
+            # first N layers (self-speculative truncated draft).
+            if n_slots != 1:
+                raise ValueError("--spec-ondevice requires a single slot "
+                                 "(-np 1): the fused loop is batch-1")
+            if self._multihost:
+                raise ValueError("--spec-ondevice is not supported on a "
+                                 "multi-host mesh")
+            from dataclasses import replace
+
+            from ..runtime.speculative import (OnDeviceSpeculative,
+                                               truncated_draft_params)
+
+            if draft_model is not None:
+                d_params, d_cfg = draft_model.params, draft_model.config
+            else:
+                d_params = truncated_draft_params(model.params, spec_ondevice)
+                d_cfg = replace(model.config, n_layer=spec_ondevice)
+            self.draft_engine = Engine(
+                d_params, d_cfg, batch_size=1, max_seq=ctx_size,
+                dtype=dtype or jnp.bfloat16,
+            )
+            self.spec_ondevice = OnDeviceSpeculative(
+                self.engine, self.draft_engine, k=spec_k)
+            draft_model = None  # don't also build the host-side decoder
         if draft_model is not None:
             from ..runtime.speculative import SpeculativeDecoder, SpeculativeParams
 
@@ -116,6 +158,10 @@ class ServerContext:
                 draft_model.params, draft_model.config, batch_size=n_slots,
                 max_seq=ctx_size, dtype=dtype or jnp.bfloat16,
             )
+            if self._multihost and _jax.process_index() == 0:
+                from ..parallel.mirror import MirroredEngine
+
+                self.draft_engine = MirroredEngine(self.draft_engine, "draft")
             self.spec = SpeculativeDecoder(
                 self.engine, self.draft_engine, SpeculativeParams()
             )
@@ -235,10 +281,10 @@ class ServerContext:
                     while n_common < limit and slot.cache_tokens[n_common] == ids[n_common]:
                         n_common += 1
                 if n_common > 0:
-                    self.engine.seq_len[slot.id] = n_common
+                    self.engine.set_seq_len(slot.id, n_common)
                 else:
                     self.engine.clear_row(slot.id)
-                if self.spec is not None:
+                if self.draft_engine is not None:
                     self.draft_engine.clear_row(slot.id)
                 slot.prompt_ids = list(ids)
                 slot.prompt_pos = n_common
@@ -252,7 +298,7 @@ class ServerContext:
             end = min(slot.prompt_pos + PREFILL_CHUNK, len(ids))
             chunk = ids[slot.prompt_pos:end]
             logits = self.engine.prefill(chunk, row=slot.id)
-            if self.spec is not None:
+            if self.draft_engine is not None:
                 self.draft_engine.prefill(chunk, row=slot.id)
             slot.prompt_pos = end
             self.metrics["prompt_tokens_total"] += len(chunk)
@@ -349,12 +395,59 @@ class ServerContext:
         n_keep = min(n_keep, self.ctx_size // 2)
         n_discard = max((cur - n_keep) // 2, headroom)
         self.engine.shift_row(slot.id, n_keep, n_discard)
-        if self.spec is not None:
+        if self.draft_engine is not None:
             self.draft_engine.shift_row(slot.id, n_keep, n_discard)
         del slot.cache_tokens[n_keep:n_keep + n_discard]
         self.metrics["context_shifts_total"] = (
             self.metrics.get("context_shifts_total", 0) + 1
         )
+
+    def _spec_ondevice_round(self, slot: Slot) -> None:
+        """One fused draft+verify chunk (OnDeviceSpeculative): generate up
+        to CHUNK greedy tokens in a single device dispatch, then stream
+        them through the normal emit path. Greedy-exact, so stop strings /
+        EOG / n_predict checks happen on the host afterwards; on an early
+        stop the row lengths are trimmed back to the emitted tokens."""
+        CHUNK = 16
+        k = self.spec_ondevice.k
+        self._maybe_context_shift(slot, headroom=CHUNK + k + 2)
+        room = self.ctx_size - int(self.engine.seq_len[slot.id]) - k - 2
+        if room < 1:
+            # too close to the context edge for a fused round (ctx shift
+            # off, or n_keep leaves no headroom): plain single decode
+            logits = self.engine.decode_one(np.array([slot.next_token]))
+            self.draft_engine.decode_one(np.array([slot.next_token]))
+            slot.next_token = slot.sampler.sample(logits[0])
+            return
+        n = max(1, min(CHUNK, slot.task.n_predict - slot.n_gen + 1, room))
+        pre_t = int(self.engine.seq_len[slot.id])
+        pre_d = int(self.draft_engine.seq_len[slot.id])
+        toks, stats = self.spec_ondevice.generate_greedy(
+            int(slot.next_token), n)
+        # the fused loop may run past n (whole rounds only): rewind both
+        # rows to exactly the n consumed inputs so the next round's input
+        # (toks[-1]) lands at the right slot
+        self.engine.set_seq_len(slot.id, pre_t + n)
+        self.draft_engine.set_seq_len(slot.id, pre_d + n)
+        for key, v in stats.items():
+            if key != "accept_rate":
+                slot.spec_stats[key] = slot.spec_stats.get(key, 0) + v
+        finished = False
+        # emit toks[:-1] (next_token itself was emitted at the top of
+        # _decode_step); the final token becomes the next round's input
+        for t in toks[:-1]:
+            finished = self._emit_token(slot, int(t))
+            if finished:
+                break
+        if finished:
+            # trim to the tokens actually kept: the rows hold K/V for the
+            # full chunk past the stop point
+            keep = len(slot.cache_tokens)
+            self.engine.set_seq_len(slot.id, keep)
+            self.draft_engine.set_seq_len(
+                slot.id, min(keep, int(self.draft_engine.seq_len[slot.id])))
+        else:
+            slot.next_token = int(toks[-1])
 
     def _decode_step(self) -> None:
         gen = [s for s in self.slots if s.state == GENERATING]
@@ -366,6 +459,13 @@ class ServerContext:
         gen = [s for s in self.slots if s.state == GENERATING]
         if not gen:
             return
+        if self.spec_ondevice is not None:
+            slot = gen[0]  # n_slots == 1 enforced at construction
+            if slot.sampler.is_pure_greedy():
+                self._spec_ondevice_round(slot)
+                return
+            # non-greedy request: exactness doesn't hold — fall through to
+            # the plain per-token decode
         if self.spec is not None:
             # per-slot speculative rounds (server.cpp:3559-3584): draft a
             # continuation, verify in one target call, emit all accepted
@@ -454,10 +554,15 @@ class ServerContext:
                 out.append((v / n).tolist())
             return out
         if not hasattr(self, "_embed_engine"):
-            self._embed_engine = Engine(
-                self.model.params, self.model.config, batch_size=1,
-                max_seq=min(self.ctx_size, 512), dtype=self.engine.dtype,
-            )
+            kw = dict(batch_size=1, max_seq=min(self.ctx_size, 512),
+                      dtype=self.engine.dtype)
+            self._embed_engine = Engine(self.model.params, self.model.config, **kw)
+            if self._multihost:
+                # lazily-created engine: announce so followers build it too
+                from ..parallel.mirror import MirroredEngine, announce_engine
+
+                announce_engine("embed", kw)
+                self._embed_engine = MirroredEngine(self._embed_engine, "embed")
         out = []
         with self._embed_lock:
             for text in texts:
@@ -542,6 +647,11 @@ class ServerContext:
 
         if not (0 <= slot_id < len(self.slots)):
             raise ValueError(f"invalid slot id {slot_id}")
+        if self._multihost and action in ("save", "restore"):
+            # save/restore deserializes raw cache rows outside the mirrored
+            # Engine API; followers would desync. Erase (clear_row) mirrors.
+            raise ValueError("slot save/restore is not supported on a "
+                             "multi-host mesh")
         if action == "erase":
             self.engine.clear_row(slot_id)
             self.slots[slot_id].state = IDLE
@@ -850,6 +960,10 @@ def make_handler(ctx: ServerContext):
             elif path == "/lora-adapters":
                 from ..runtime.lora import set_lora_scale
 
+                if ctx._multihost and isinstance(body, list) and body:
+                    self._json({"error": "runtime LoRA scale changes are not "
+                                "supported on a multi-host mesh"}, 501)
+                    return
                 for entry in body if isinstance(body, list) else []:
                     i = int(entry.get("id", -1))
                     if 0 <= i < len(ctx.loras):
@@ -1084,12 +1198,13 @@ def make_handler(ctx: ServerContext):
 def serve(
     model: Model, host="127.0.0.1", port=8080, n_slots=4, ctx_size=2048, dtype=None,
     loras=None, mesh=None, vision=None, draft_model=None, ctx_shift=True,
-    kv_type="dense",
+    kv_type="dense", spec_ondevice=0, spec_k=4,
 ):
     ctx = ServerContext(model, n_slots=n_slots, ctx_size=ctx_size, dtype=dtype,
                         loras=loras, mesh=mesh, vision=vision,
                         draft_model=draft_model, ctx_shift=ctx_shift,
-                        kv_type=kv_type)
+                        kv_type=kv_type, spec_ondevice=spec_ondevice,
+                        spec_k=spec_k)
     ctx.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(ctx))
     return ctx, httpd

@@ -58,6 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=_KV_TYPES, default=None,
                    help="V cache type (defaults to the K type; the reference "
                    "accepts independent K/V types, common/arg.cpp:2093-2130)")
+    p.add_argument("-md", "--model-draft", default=None,
+                   help="draft model GGUF for --spec-ondevice")
+    p.add_argument("--spec-ondevice", type=int, default=0, metavar="N",
+                   help="on-device speculative decoding (draft+verify fused "
+                   "in one jit; greedy only). Draft = -md model if given, "
+                   "else the target's first N layers")
+    p.add_argument("--spec-k", type=int, default=4,
+                   help="draft tokens per on-device speculative round")
     p.add_argument("--no-display-prompt", action="store_true")
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument(
@@ -98,6 +106,29 @@ def main(argv=None) -> int:
     kv_type = _kv_type_arg(args.cache_type_k, args.cache_type_v)
     engine = Engine(model.params, model.config, max_seq=args.ctx_size,
                     dtype=dtype, kv_type=kv_type)
+
+    spec = draft_engine = None
+    if args.spec_ondevice:
+        if not (args.greedy or args.temp <= 0.0):
+            print("warning: --spec-ondevice is greedy-exact only; "
+                  "ignoring it for sampled decoding (set --greedy)",
+                  file=sys.stderr)
+        else:
+            from dataclasses import replace as _replace
+
+            from ..runtime.speculative import (OnDeviceSpeculative,
+                                               truncated_draft_params)
+
+            if args.model_draft:
+                dm = load_model(args.model_draft, mode=args.mode, dtype=dtype)
+                d_params, d_cfg = dm.params, dm.config
+            else:
+                d_params = truncated_draft_params(model.params,
+                                                  args.spec_ondevice)
+                d_cfg = _replace(model.config, n_layer=args.spec_ondevice)
+            draft_engine = Engine(d_params, d_cfg, max_seq=args.ctx_size,
+                                  dtype=dtype)
+            spec = OnDeviceSpeculative(engine, draft_engine, k=args.spec_k)
 
     params = SamplerParams(
         temp=0.0 if args.greedy else args.temp,
@@ -155,15 +186,22 @@ def main(argv=None) -> int:
             n_common += 1
         engine.seq_len[0] = n_common
         logits = engine.prefill(ids[n_common:])
+        if draft_engine is not None:  # draft row stays in lockstep
+            draft_engine.seq_len[0] = n_common
+            draft_engine.prefill(ids[n_common:])
         history = list(ids)
         return logits, len(ids) - n_common
+
+    spec_totals = {"drafted": 0, "accepted": 0, "rounds": 0}
 
     def generate(logits) -> tuple[str, int]:
         """Stream tokens until EOG / limit / reverse prompt; returns (text, n)."""
         nonlocal history
         text, n_gen = "", 0
         tok_id = sampler.sample(logits)
-        for _ in range(args.n_predict if args.n_predict >= 0 else 1 << 30):
+        pending: list[int] = []  # spec mode: device-generated lookahead
+        limit = args.n_predict if args.n_predict >= 0 else 1 << 30
+        for _ in range(limit):
             piece = model.vocab.token_to_piece(tok_id).decode("utf-8", errors="replace")
             sampler.accept(tok_id)
             history.append(tok_id)
@@ -181,9 +219,33 @@ def main(argv=None) -> int:
                 n_keep = args.keep
                 n_discard = (int(engine.seq_len[0]) - n_keep) // 2
                 engine.shift_row(0, n_keep, n_discard)
+                if draft_engine is not None:
+                    draft_engine.shift_row(0, n_keep, n_discard)
+                    pending = []  # positions moved; regenerate
                 history = history[:n_keep] + history[n_keep + n_discard:]
                 if args.verbose:
                     print(f"\n[ctx shift] discarded {n_discard}", file=sys.stderr)
+            if spec is not None:
+                if not pending:
+                    room = args.ctx_size - int(engine.seq_len[0]) - spec.k - 2
+                    if room >= 2:
+                        n = max(1, min(16, limit - n_gen + 1, room))
+                        pre_t = int(engine.seq_len[0])
+                        pre_d = int(draft_engine.seq_len[0])
+                        toks, st = spec.generate_greedy(tok_id, n)
+                        # rewind past-n overshoot (whole rounds only) so the
+                        # next input lands at the right slot
+                        engine.seq_len[0] = pre_t + n
+                        draft_engine.seq_len[0] = pre_d + n
+                        for key in ("drafted", "accepted", "rounds"):
+                            spec_totals[key] += st[key]
+                        pending = [int(t) for t in toks]
+                    else:
+                        logits = engine.decode_one(np.array([tok_id]))[0]
+                        draft_engine.decode_one(np.array([tok_id]))
+                        pending = [int(np.argmax(logits))]
+                tok_id = pending.pop(0)
+                continue
             logits = engine.decode_one(np.array([tok_id]))[0]
             tok_id = sampler.sample(logits)
         return text, n_gen
@@ -251,6 +313,14 @@ def main(argv=None) -> int:
         f"gen: {total_gen} tok, {tg_tps:.2f} t/s | load {t_load:.2f}s",
         file=sys.stderr,
     )
+    if spec is not None and spec_totals["drafted"]:
+        print(
+            f"[spec] drafted {spec_totals['drafted']}, accepted "
+            f"{spec_totals['accepted']} "
+            f"({spec_totals['accepted'] / spec_totals['drafted']:.0%}) over "
+            f"{spec_totals['rounds']} rounds",
+            file=sys.stderr,
+        )
     return 0
 
 

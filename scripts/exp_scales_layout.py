@@ -102,7 +102,40 @@ def _dec_q6k_packed_sb(p):  # packed payload + superblock-compact scales
     return parts, 32.0 * st_g
 
 
+def _dec_q4k_m2(p):
+    # f32 per-group scales (production) + compact MINS only
+    G = p["m"].shape[-1]
+    S = p["dmin"].shape[-1]
+    mn = Q._rep(p["dmin"], G // S) * _f(p["m"])
+    st = Q._rep_to(p["scales"], p["qs"].shape[-1])
+    return [Q._wm(v, st) for v in Q._nib(p["qs"])], mn
+
+
+def _dec_q4k_sc2(p):
+    # compact SCALES only + f32 per-group mins (production)
+    G = p["sc"].shape[-1]
+    S = p["d"].shape[-1]
+    sc = Q._rep(p["d"], G // S) * _f(p["sc"])
+    st = Q._rep_to(sc, p["qs"].shape[-1])
+    return [Q._wm(v, st) for v in Q._nib(p["qs"])], Q._f32(p["mins"])
+
+
+def _dec_q4k_sb2(p):
+    # merged superblock plane: ddm [TN, 2S] holds d | dmin side by side —
+    # ONE operand DMA instead of two 16-lane ones
+    G = p["sc"].shape[-1]
+    S = p["ddm"].shape[-1] // 2
+    ddm = Q._f32(p["ddm"])
+    sc = Q._rep(ddm[:, :S], G // S) * _f(p["sc"])
+    mn = Q._rep(ddm[:, S:], G // S) * _f(p["m"])
+    st = Q._rep_to(sc, p["qs"].shape[-1])
+    return [Q._wm(v, st) for v in Q._nib(p["qs"])], mn
+
+
 Q.TILE_DECODERS["Q4KSB"] = (_dec_q4k_sb, ("qs", "d", "sc", "dmin", "m"), "sc")
+Q.TILE_DECODERS["Q4KSB2"] = (_dec_q4k_sb2, ("qs", "ddm", "sc", "m"), "sc")
+Q.TILE_DECODERS["Q4KM2"] = (_dec_q4k_m2, ("qs", "scales", "dmin", "m"), "scales")
+Q.TILE_DECODERS["Q4KSC2"] = (_dec_q4k_sc2, ("qs", "d", "sc", "mins"), "sc")
 Q.TILE_DECODERS["Q6KSB"] = (_dec_q6k_sb, ("qs", "d", "sc"), "sc")
 Q.TILE_DECODERS["Q6KP"] = (_dec_q6k_packed, ("qs", "qh", "scales"), "scales")
 Q.TILE_DECODERS["Q6KPSB"] = (_dec_q6k_packed_sb, ("qs", "qh", "d", "sc"), "sc")
@@ -123,6 +156,15 @@ def make_qt(key, kind, n, k):
     elif kind == "Q4KSB":
         p = {"qs": u8(0, k // 2), "d": f32s(1, S), "sc": u8(2, G32, 64),
              "dmin": f32s(3, S), "m": u8(4, G32, 64)}
+    elif kind == "Q4KSB2":
+        p = {"qs": u8(0, k // 2), "ddm": f32s(1, 2 * S), "sc": u8(2, G32, 64),
+             "m": u8(4, G32, 64)}
+    elif kind == "Q4KM2":
+        p = {"qs": u8(0, k // 2), "scales": f32s(1, G32),
+             "dmin": f32s(3, S), "m": u8(4, G32, 64)}
+    elif kind == "Q4KSC2":
+        p = {"qs": u8(0, k // 2), "d": f32s(1, S), "sc": u8(2, G32, 64),
+             "mins": f32s(3, G32)}
     elif kind == "Q6_K":
         p = {"qs": u8(0, k, 127, jnp.int8), "scales": f32s(1, G16)}
     elif kind == "Q6KSB":
@@ -146,7 +188,10 @@ def timed_rate(fn, n1=128, n2=1152):
     # difference of per-config MINIMUMS: min(t) is the clean-RTT run for
     # each n, so the subtraction cancels dispatch cost without letting the
     # tunnel's ±10-30 ms jitter leak in (min over noisy DIFFS picks the
-    # most negative outlier — measured that trap in the first version)
+    # most negative outlier — measured that trap in the first version).
+    # fn must return a host float: on the tunneled backend
+    # block_until_ready returns BEFORE the device finishes (measured: a
+    # 1152-iter chain "completed" in 0.1 ms); only a value fetch syncs.
     fn(n1); fn(n2)  # compile both
     t1s, t2s = [], []
     for _ in range(4):
@@ -171,11 +216,12 @@ def bench_kind(kind, n, k, label):
                             mxu_f32=True)
             # dependency: fold a data-dependent scalar back into x so the
             # chained calls can't be CSE'd or folded away
-            return x + jnp.tanh(o[0, :k]) * 1e-20
+            m = min(n, k)
+            return x.at[0, :m].add(jnp.tanh(o[0, :m]) * 1e-20)
 
-        return jax.lax.fori_loop(0, n_iter, body, x)
+        return jax.lax.fori_loop(0, n_iter, body, x).sum()
 
-    rate = timed_rate(lambda m: jax.block_until_ready(loop(x0, planes, m)))
+    rate = timed_rate(lambda m: float(loop(x0, planes, m)))
     by = qt_bytes(qt)
     ideal = by / 819e9
     print(f"{label:14s} {kind:6s} {by/1e6:8.1f} MB  {rate*1e6:8.1f} us "
@@ -258,10 +304,10 @@ def bench_int8mxu(n, k):
             )(xq, xs, qs, sc)
             return x + jnp.tanh(o[0, :k]) * 1e-20
 
-        return jax.lax.fori_loop(0, n_iter, body,
-                                 jax.random.normal(key, (1, k), jnp.float32))
+        return jax.lax.fori_loop(0, n_iter, body, x).sum()
 
-    rate = timed_rate(lambda m: jax.block_until_ready(loop(m)), 4, 20)
+    x0 = jax.random.normal(key, (1, k), jnp.float32)
+    rate = timed_rate(lambda m: float(loop(x0, qs, sc, m)), 32, 160)
     by = qs.size + sc.size * 4
     ideal = by / 819e9
     print(f"{'int8-MXU spike':14s} {'I8MXU':6s} {by/1e6:8.1f} MB  "
@@ -271,16 +317,48 @@ def bench_int8mxu(n, k):
 
 def main():
     assert jax.default_backend() == "tpu", "run on the chip"
-    print("== ffn_gate_up shape [28672, 4096], B=1 matvec ==")
-    bench_kind("Q4_K", 28672, 4096, "production")
-    bench_kind("Q4KSB", 28672, 4096, "sb-compact")
-    print("== LM head shape [128256, 4096], B=1 matvec ==")
-    bench_kind("Q6_K", 128256, 4096, "production")
-    bench_kind("Q6KSB", 128256, 4096, "sb-compact")
-    bench_kind("Q6KP", 128256, 4096, "r2 packed")
-    bench_kind("Q6KPSB", 128256, 4096, "packed+sb")
-    print("== int8-MXU activation-quant spike, head shape ==")
-    bench_int8mxu(128256, 4096)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "r1"):
+        print("== ffn_gate_up shape [28672, 4096], B=1 matvec ==")
+        bench_kind("Q4_K", 28672, 4096, "production")
+        bench_kind("Q4KSB", 28672, 4096, "sb-compact")
+        print("== LM head shape [128256, 4096], B=1 matvec ==")
+        bench_kind("Q6_K", 128256, 4096, "production")
+        bench_kind("Q6KSB", 128256, 4096, "sb-compact")
+        bench_kind("Q6KP", 128256, 4096, "r2 packed")
+        bench_kind("Q6KPSB", 128256, 4096, "packed+sb")
+        print("== int8-MXU activation-quant spike, head shape ==")
+        bench_int8mxu(128256, 4096)
+    if which in ("all", "r2"):
+        print("== round 2: isolate the Q4_K sb-compact cost, ffn shape ==")
+        bench_kind("Q4KM2", 28672, 4096, "mins-only-sb")
+        bench_kind("Q4KSC2", 28672, 4096, "scales-only-sb")
+        print("== round 2: Q6_K sb-compact at the other Q6 shapes ==")
+        bench_kind("Q6_K", 4096, 14336, "prod dn")
+        bench_kind("Q6KSB", 4096, 14336, "sb dn")
+        bench_kind("Q6_K", 1024, 4096, "prod v")
+        bench_kind("Q6KSB", 1024, 4096, "sb v")
+    if which in ("all", "r3"):
+        print("== round 3: merged ddm plane + Q4KSB re-check, ffn shape ==")
+        bench_kind("Q4KSB2", 28672, 4096, "merged-ddm")
+        bench_kind("Q4KSB", 28672, 4096, "sb-compact")
+        bench_kind("Q4_K", 28672, 4096, "production")
+        print("== round 3: Q4_K variants at attn_qk shape [5120, 4096] ==")
+        bench_kind("Q4_K", 5120, 4096, "production")
+        bench_kind("Q4KSB2", 5120, 4096, "merged-ddm")
+        print("== round 3: Q4_K variants at wo shape [4096, 4096] ==")
+        bench_kind("Q4_K", 4096, 4096, "production")
+        bench_kind("Q4KSB2", 4096, 4096, "merged-ddm")
+    if which in ("all", "r4"):
+        print("== round 4: mins-only-sb (the Q4_K winner) at every shape ==")
+        bench_kind("Q4_K", 28672, 4096, "prod gu")
+        bench_kind("Q4KM2", 28672, 4096, "m2 gu")
+        bench_kind("Q4_K", 5120, 4096, "prod qk")
+        bench_kind("Q4KM2", 5120, 4096, "m2 qk")
+        bench_kind("Q4_K", 4096, 4096, "prod wo")
+        bench_kind("Q4KM2", 4096, 4096, "m2 wo")
+        bench_kind("Q4_K", 4096, 14336, "prod dn")
+        bench_kind("Q4KM2", 4096, 14336, "m2 dn")
 
 
 if __name__ == "__main__":

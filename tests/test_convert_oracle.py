@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compiles / reference-oracle runs: core profile skips (-m 'not slow')
+
 sys.path.insert(0, str(pathlib.Path(__file__).parent))
 
 torch = pytest.importorskip("torch")

@@ -18,6 +18,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compiles / reference-oracle runs: core profile skips (-m 'not slow')
+
 REF = pathlib.Path("/root/reference")
 BUILD = pathlib.Path(os.environ.get("LLAMACOG_ORACLE_BUILD", "/tmp/llamacog_oracle"))
 

@@ -9,6 +9,8 @@ accumulation order."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compiles / reference-oracle runs: core profile skips (-m 'not slow')
+
 import jax.numpy as jnp
 
 from llamacog_tpu.ops.pallas import flash_q8

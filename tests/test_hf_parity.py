@@ -9,6 +9,8 @@ must match the HF forward pass.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compiles / reference-oracle runs: core profile skips (-m 'not slow')
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -6,6 +6,8 @@ matches a manually-driven forward with hand-built tables
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compiles / reference-oracle runs: core profile skips (-m 'not slow')
+
 import jax.numpy as jnp
 
 from llamacog_tpu.models.loader import load_model

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compiles / reference-oracle runs: core profile skips (-m 'not slow')
+
 from llamacog_tpu.models.config import ModelConfig, RopeConfig
 from llamacog_tpu.parallel.pipeline import PipelineEngine, split_stages
 from llamacog_tpu.runtime.engine import Engine

@@ -5,6 +5,8 @@ equivalence (recurrence correctness), and engine end-to-end."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compiles / reference-oracle runs: core profile skips (-m 'not slow')
+
 import jax.numpy as jnp
 
 from llamacog_tpu.ops.wkv import wkv6, wkv7

@@ -484,3 +484,52 @@ def test_server_q4_kv_e2e(tmp_path):
         assert type(ctx.engine.cache) is Q4KVCache
     finally:
         ctx.stop()
+
+
+def test_server_spec_ondevice(tmp_path):
+    """--spec-ondevice: on-device fused draft+verify through the server.
+    Greedy output must be byte-identical to plain decoding (exactness is
+    the loop's invariant, tests/test_spec_ondevice.py); a second request
+    exercises prefix-cache reuse after the chunked path, and a sampled
+    (non-greedy) request must fall back cleanly."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.server.server import ServerContext
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / "specod.gguf")
+    make_tiny_llama_gguf(path)
+    model = load_model(path, mode="quantized", dtype=jnp.float32)
+
+    plain = ServerContext(model, n_slots=1, ctx_size=128, dtype=jnp.float32)
+    plain.start()
+    task = plain.make_task({"prompt": "once upon", "n_predict": 24,
+                            "temperature": 0.0}, kind="completion")
+    plain.pending.put(task)
+    ref = task.out.get(timeout=300)
+    plain.stop()
+    assert "error" not in ref, ref
+
+    # self-speculative: draft = the target's first 1 layer (2-layer model)
+    ctx = ServerContext(model, n_slots=1, ctx_size=128, dtype=jnp.float32,
+                        spec_ondevice=1, spec_k=3)
+    ctx.start()
+    try:
+        for _ in range(2):  # second run reuses the cached prefix
+            task = ctx.make_task({"prompt": "once upon", "n_predict": 24,
+                                  "temperature": 0.0}, kind="completion")
+            ctx.pending.put(task)
+            res = task.out.get(timeout=300)
+            assert "error" not in res, res
+            assert res["content"] == ref["content"]
+            assert res["timings"].get("draft_n", 0) > 0
+        # sampled request: exactness doesn't hold -> plain decode fallback
+        task = ctx.make_task({"prompt": "hello there", "n_predict": 4,
+                              "temperature": 0.8, "seed": 7}, kind="completion")
+        ctx.pending.put(task)
+        res = task.out.get(timeout=300)
+        assert "error" not in res, res
+        assert res["tokens_predicted"] >= 1
+    finally:
+        ctx.stop()

@@ -4,6 +4,8 @@ single-device engine bit-for-bit-ish (same math, XLA collectives)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compiles / reference-oracle runs: core profile skips (-m 'not slow')
+
 import jax
 
 if len(jax.devices()) < 8:

@@ -8,6 +8,8 @@ the target's weights, every draft must be accepted (rate 1.0)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compiles / reference-oracle runs: core profile skips (-m 'not slow')
+
 
 @pytest.fixture(scope="module")
 def tiny(tmp_path_factory):
