@@ -140,6 +140,23 @@ def _dec_q2_K(p):
     return [_wm(v, st) for v in _crumbs(p["qs"])], _f32(p["mins"])
 
 
+def _sb_expand(d_sb, G):
+    """[TN, S] superblock plane -> [TN, G] per-group (col j's superblock is
+    j % S under the superblock-strided group order, quant/planar.py)."""
+    return _rep(d_sb, G // d_sb.shape[-1])
+
+
+def _u8f(a):
+    # Mosaic has no direct u8->f32 cast; int8 converts fine
+    return a.astype(jnp.int32).astype(jnp.float32)
+
+
+def _kq_mins(p):
+    """Q4_K/Q5_K compact mins: dmin_sb [TN, S] f32 x m [TN, G] u8 — the
+    correction-dot plane, recombined off the main dot's operand path."""
+    return _sb_expand(p["dmin_sb"], p["m"].shape[-1]) * _u8f(p["m"])
+
+
 def _dec_q3_K(p):
     # 3-bit values stored merged in a 4-bit plane (quant/planar.py)
     st = _rep_to(p["scales"], p["qs"].shape[-1])
@@ -148,19 +165,23 @@ def _dec_q3_K(p):
 
 def _dec_q4_K(p):
     st = _rep_to(p["scales"], p["qs"].shape[-1])
-    return [_wm(v, st) for v in _nib(p["qs"])], _f32(p["mins"])
+    return [_wm(v, st) for v in _nib(p["qs"])], _kq_mins(p)
 
 
 def _dec_q5_K(p):
     st = _rep_to(p["scales"], p["qs"].shape[-1])
     hb = _bits(p["qh"], 2)
     lo, hi = _nib(p["qs"])
-    return [_wm(lo | (hb[0] << 4), st), _wm(hi | (hb[1] << 4), st)], _f32(p["mins"])
+    return [_wm(lo | (hb[0] << 4), st), _wm(hi | (hb[1] << 4), st)], _kq_mins(p)
 
 
-# Q6_K decodes via _dec_i8: planar stores signed int8 levels (q - 32), so
-# the kernel is Q8_0-style int8 x group scale with no qh reassembly and no
-# correction dot (the packed 4+2-bit decode measured VPU-bound at 8B).
+def _dec_q6_K(p):
+    # signed int8 levels (q - 32) x (d_sb[j % S] * sc[j]): the packed
+    # 4+2-bit decode measured VPU-bound at 8B; the premultiplied f32 [N, G]
+    # scale plane measured DMA-bound (head matvec 870 vs 740 us, PERF r4)
+    G = p["sc"].shape[-1]
+    st_g = _sb_expand(p["d_sb"], G) * p["sc"].astype(jnp.float32)
+    return [_wm(p["qs"], _rep_to(st_g, p["qs"].shape[-1]))], None
 
 
 def _dec_i8(scale_name, p):
@@ -191,9 +212,9 @@ TILE_DECODERS = {
     "Q8_0": (_dec_q8_0, ("qs", "d"), "d"),
     "Q2_K": (_dec_q2_K, ("qs", "scales", "mins"), "scales"),
     "Q3_K": (_dec_q3_K, ("qs", "scales"), "scales"),
-    "Q4_K": (_dec_q4_K, ("qs", "scales", "mins"), "scales"),
-    "Q5_K": (_dec_q5_K, ("qs", "qh", "scales", "mins"), "scales"),
-    "Q6_K": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
+    "Q4_K": (_dec_q4_K, ("qs", "scales", "dmin_sb", "m"), "scales"),
+    "Q5_K": (_dec_q5_K, ("qs", "qh", "scales", "dmin_sb", "m"), "scales"),
+    "Q6_K": (_dec_q6_K, ("qs", "d_sb", "sc"), "sc"),
     "IQ4_NL": (functools.partial(_dec_i8, "d"), ("qs", "d"), "d"),
     "IQ4_XS": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
     "IQ2_XXS": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
@@ -349,17 +370,21 @@ def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
 
 _TN_OVERRIDE = int(os.environ.get("LLAMACOG_QMM_TN", "0"))
 
+# streamed bits/weight per kind (tile-size sizing input for pick_tile_n;
+# extendable by measurement scripts that register experimental kinds)
+KIND_BITS = {"Q2_K": 3.0, "Q3_K": 4.0, "Q4_0": 5.0, "Q4_1": 6.0, "IQ4_NL": 5.0,
+             "IQ4_XS": 5.0, "Q4_K": 5.4, "Q5_0": 6.0, "Q5_1": 7.0, "Q5_K": 6.4,
+             "Q6_K": 8.6, "Q8_0": 10.0,
+             "IQ2_XXS": 4.0, "IQ2_XS": 5.0, "IQ2_S": 5.0, "IQ3_XXS": 5.0,
+             "IQ3_S": 5.0, "IQ1_S": 4.0, "IQ1_M": 10.0}
+
 
 def pick_tile_n(N: int, K: int, kind: str) -> int:
     """Rows per grid step, sized so payload (2x double-buffered) + decoded
     bf16 tile + f32 scale tile fit comfortably in VMEM."""
     if _TN_OVERRIDE:
         return _TN_OVERRIDE if N % _TN_OVERRIDE == 0 else 0
-    bits = {"Q2_K": 3.0, "Q3_K": 4.0, "Q4_0": 5.0, "Q4_1": 6.0, "IQ4_NL": 5.0,
-            "IQ4_XS": 5.0, "Q4_K": 6.0, "Q5_0": 6.0, "Q5_1": 7.0, "Q5_K": 7.0,
-            "Q6_K": 10.0, "Q8_0": 10.0,
-            "IQ2_XXS": 4.0, "IQ2_XS": 5.0, "IQ2_S": 5.0, "IQ3_XXS": 5.0,
-            "IQ3_S": 5.0, "IQ1_S": 4.0, "IQ1_M": 10.0}.get(kind, 8.0)
+    bits = KIND_BITS.get(kind, 8.0)
     # bytes per weight row resident: 2x payload + bf16 decoded + f32 scale tile
     row_bytes = K * (2 * bits / 8 + 2.0 + 4.0)
     budget = 16 * 1024 * 1024  # measured on v5e: tn1024 at K=2048 beats tn512 by ~18%

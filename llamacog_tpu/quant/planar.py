@@ -108,6 +108,37 @@ def _strided(vals: np.ndarray, R: int) -> np.ndarray:
     return np.ascontiguousarray(vals.reshape(N, G, R).swapaxes(1, 2).reshape(N, K))
 
 
+# Kinds whose planar form keeps the f16 superblock scale (d / dmin) as its
+# own [N, S] f32 plane instead of pre-multiplying it into every group
+# (measured r4: Q6_K head matvec 870 -> 740 us, ffn_down 101 -> 86 us;
+# Q4_K/Q5_K compact the MINS side only — compacting the st plane slowed the
+# main dot's operand prep, docs/PERF.md round-4). Groups are strided over
+# superblocks so the [N, S] plane tiles to group width with one
+# pltpu.repeat: plane column j holds original group (j % S)*SB + j//S.
+SB_STRIDED_KINDS = ("Q4_K", "Q5_K", "Q6_K")
+
+
+def _sb_strided(vals: np.ndarray, R: int) -> np.ndarray:
+    """[N, K] element order -> superblock-strided decode order: decoded
+    column c = r*G + b*S + s holds original element (s*SB + b)*R + r, where
+    s = superblock, b = group-within-superblock, r = rank-in-group. Group
+    of decoded column c is still c % G (the qmm layout contract), and the
+    superblock of group-plane column j is j % S."""
+    N, K = vals.shape
+    SB = 256 // R  # groups per 256-element superblock
+    S = K // 256
+    return np.ascontiguousarray(
+        vals.reshape(N, S, SB, R).transpose(0, 3, 2, 1).reshape(N, K))
+
+
+def _sb_group_order(arr: np.ndarray) -> np.ndarray:
+    """Per-group plane [N, S, SB] (natural superblock-major order) ->
+    [N, G] in the superblock-strided group order (column j = group
+    (j % S)*SB + j//S)."""
+    N, S, SB = arr.shape
+    return np.ascontiguousarray(arr.transpose(0, 2, 1).reshape(N, S * SB))
+
+
 def _pack4(sv: np.ndarray) -> np.ndarray:
     N, K = sv.shape
     return (sv[:, : K // 2] | (sv[:, K // 2:] << 4)).astype(np.uint8)
@@ -368,23 +399,32 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
     elif t in (GGMLType.Q4_K, GGMLType.Q5_K):
         sc, mn = _k4_scale_min(data[:, :, 4:16].reshape(-1, 12))
         sc = sc.reshape(N, nb, 8).astype(np.float32)
-        mn = mn.reshape(N, nb, 8).astype(np.float32)
         d = _f16(data[:, :, 0:2]).astype(np.float32)
-        dmin = _f16(data[:, :, 2:4]).astype(np.float32)
-        p["scales"] = (d * sc).reshape(N, K // 32)
-        p["mins"] = (dmin * mn).reshape(N, K // 32)
+        # st plane stays pre-multiplied f32 (d*sc, exact — f16 x 6-bit int);
+        # the MINS side is compact: dmin f32 per superblock [N, S] + the
+        # 6-bit m as u8 per group, recombined in-kernel on the correction
+        # plane only (measured r4: gate_up matvec 122 -> 110 us; compacting
+        # the st plane the same way measured SLOWER — it sits on the main
+        # dot's operand-prep path)
+        p["scales"] = _sb_group_order(d * sc)
+        p["dmin_sb"] = _f16(data[:, :, 2:4]).reshape(N, nb)
+        p["m"] = _sb_group_order(mn.reshape(N, nb, 8))
         if t == GGMLType.Q4_K:
             ints = _unpack_k4_elems(data[:, :, 16:144].reshape(-1, 128)).reshape(N, K)
-            p["qs"] = _pack4(_strided(ints, 32))
+            p["qs"] = _pack4(_sb_strided(ints, 32))
         else:
             lo = _unpack_k4_elems(data[:, :, 48:176].reshape(-1, 128)).reshape(N, K)
             hb = _superblock_bits(data[:, :, 16:48].reshape(-1, 32)).reshape(N, K).astype(np.uint8)
-            p["qs"] = _pack4(_strided(lo, 32))
-            p["qh"] = _pack1(_strided(hb, 32))
+            p["qs"] = _pack4(_sb_strided(lo, 32))
+            p["qh"] = _pack1(_sb_strided(hb, 32))
     elif t == GGMLType.Q6_K:
-        d = _f16(data[:, :, 208:210]).astype(np.float32)
-        sc8 = _view(data[:, :, 192:208], np.int8).astype(np.float32).reshape(N, nb, 16)
-        p["scales"] = (d * sc8).reshape(N, K // 16).astype(np.float32)
+        # d stays a per-superblock f32 plane [N, S]; sc is the wire's int8
+        # per-group sub-scale — recombined in-kernel ([TN, G] work, 1/16 of
+        # elements). Measured r4: head matvec 870 -> 740 us vs the
+        # premultiplied f32 [N, G] plane (10 -> 8.6 bits/weight streamed).
+        p["d_sb"] = _f16(data[:, :, 208:210]).reshape(N, nb)
+        sc8 = _view(data[:, :, 192:208], np.int8).reshape(N, nb, 16)
+        p["sc"] = _sb_group_order(sc8).astype(np.int8)
         ql = data[:, :, 0:128].reshape(-1, 2, 64)
         qh = data[:, :, 128:192].reshape(-1, 2, 32)
         lo = np.concatenate(
@@ -393,14 +433,11 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         )  # [-1, 2, 128]
         hi = np.concatenate([(qh >> (2 * s)) & 3 for s in range(4)], axis=2)
         # signed int8 levels (q - 32), like the LUT formats: the packed
-        # 4+2-bit in-kernel reassembly measured VPU-BOUND at 8B decode
-        # (the LM head ran at 815 us vs its 491 us DMA ideal; Q6_K
-        # ffn_down layers ~+33 us each). One byte/level + no qh plane +
-        # no correction dot puts the kernel back under the DMA stream
-        # for +25% streamed bytes — same trade the IQ relayout measured
-        # at 0.126 -> 0.968 of roofline. Values stay bit-exact.
+        # 4+2-bit in-kernel reassembly measured VPU-BOUND at 8B decode.
+        # One byte/level + no qh reassembly keeps the kernel under the DMA
+        # stream. Values stay bit-exact.
         q6 = (lo.reshape(N, K).astype(np.int16) | (hi.reshape(N, K).astype(np.int16) << 4)) - 32
-        p["qs"] = _strided(q6.astype(np.int8).view(np.uint8), 16).view(np.int8)
+        p["qs"] = _sb_strided(q6.astype(np.int8).view(np.uint8), 16).view(np.int8)
     elif t == GGMLType.IQ4_XS:
         d = _f16(data[:, :, 0:2]).astype(np.float32)
         sh = _view(data[:, :, 2:4], "<u2").astype(np.uint16)
@@ -502,9 +539,13 @@ def _tile_scale_j(s, R):  # [N, G] -> [N, K]: column c gets s[c mod G]
     return jnp.tile(s.astype(jnp.float32), (1, R))
 
 
-def _unstride_j(vals, R):  # strided decode order -> element order
+def _unstride_j(vals, R, sb=False):  # strided decode order -> element order
     N, K = vals.shape
     G = K // R
+    if sb:  # superblock-strided: col c = r*G + b*S + s -> e = (s*SB+b)*R + r
+        S = K // 256
+        SB = 256 // R
+        return vals.reshape(N, R, SB, S).transpose(0, 3, 2, 1).reshape(N, K)
     return vals.reshape(N, R, G).swapaxes(1, 2).reshape(N, K)
 
 
@@ -532,15 +573,23 @@ def decode_strided(qt: QuantTensor) -> jnp.ndarray:
     if kind == "Q3_K":
         v = _unpack4_j(p["qs"]).astype(jnp.float32) - 4.0
         return v * _tile_scale_j(p["scales"], 16)
-    if kind == "Q4_K":
-        v = _unpack4_j(p["qs"]).astype(jnp.float32)
-        return v * _tile_scale_j(p["scales"], 32) - _tile_scale_j(p["mins"], 32)
-    if kind == "Q5_K":
-        v = (_unpack4_j(p["qs"]) | (_unpack1_j(p["qh"]) << 4)).astype(jnp.float32)
-        return v * _tile_scale_j(p["scales"], 32) - _tile_scale_j(p["mins"], 32)
+    if kind in ("Q4_K", "Q5_K"):
+        # mins recombined from the compact planes: group-plane col j's
+        # superblock is j % S (see _sb_strided)
+        if kind == "Q4_K":
+            v = _unpack4_j(p["qs"]).astype(jnp.float32)
+        else:
+            v = (_unpack4_j(p["qs"]) | (_unpack1_j(p["qh"]) << 4)).astype(jnp.float32)
+        G = p["m"].shape[-1]
+        S = p["dmin_sb"].shape[-1]
+        mins = jnp.tile(p["dmin_sb"].astype(jnp.float32), (1, G // S)) * p["m"].astype(jnp.float32)
+        return v * _tile_scale_j(p["scales"], 32) - _tile_scale_j(mins, 32)
     if kind == "Q6_K":
-        # int8 levels (q - 32), see from_gguf
-        return p["qs"].astype(jnp.float32) * _tile_scale_j(p["scales"], 16)
+        # int8 levels (q - 32), see from_gguf; scale = d_sb[j % S] * sc[j]
+        G = p["sc"].shape[-1]
+        S = p["d_sb"].shape[-1]
+        st = jnp.tile(p["d_sb"].astype(jnp.float32), (1, G // S)) * p["sc"].astype(jnp.float32)
+        return p["qs"].astype(jnp.float32) * _tile_scale_j(st, 16)
     R = GROUP_SIZE.get(kind, 32)
     if kind in ("IQ4_NL", "IQ4_XS", "IQ2_XXS", "IQ2_XS", "IQ2_S",
                 "IQ3_XXS", "IQ3_S"):
@@ -564,7 +613,7 @@ def decode(qt: QuantTensor, dtype=jnp.float32) -> jnp.ndarray:
         w = jax.lax.bitcast_convert_type(jnp.asarray(qt.planes["w"]), jnp.bfloat16)
         return w.astype(dtype).reshape(qt.shape)
     w = decode_strided(qt)
-    w = _unstride_j(w, qt.group_size)
+    w = _unstride_j(w, qt.group_size, sb=qt.kind in SB_STRIDED_KINDS)
     return w.reshape(qt.shape).astype(dtype)
 
 
@@ -594,4 +643,10 @@ def permute_activation(x: jnp.ndarray, qt: QuantTensor) -> jnp.ndarray:
     K = x.shape[-1]
     G = K // R
     lead = x.shape[:-1]
+    if qt.kind in SB_STRIDED_KINDS:
+        S = K // 256
+        SB = 256 // R
+        nd = len(lead)
+        return x.reshape(*lead, S, SB, R).transpose(
+            *range(nd), nd + 2, nd + 1, nd).reshape(*lead, K)
     return x.reshape(*lead, G, R).swapaxes(-1, -2).reshape(*lead, K)

@@ -25,9 +25,12 @@ from ..quant.planar import QuantTensor
 
 # plane shapes per kind for a logical [N, K] tensor (quant/planar.from_gguf)
 _PLANES = {
-    "Q4_K": (("qs", 2, jnp.uint8), ("scales", 32, jnp.float32), ("mins", 32, jnp.float32)),
-    "Q5_K": (("qs", 2, jnp.uint8), ("qh", 8, jnp.uint8), ("scales", 32, jnp.float32), ("mins", 32, jnp.float32)),
-    "Q6_K": (("qs", 1, jnp.int8), ("scales", 16, jnp.float32)),
+    "Q4_K": (("qs", 2, jnp.uint8), ("scales", 32, jnp.float32),
+             ("dmin_sb", 256, jnp.float32), ("m", 32, jnp.uint8)),
+    "Q5_K": (("qs", 2, jnp.uint8), ("qh", 8, jnp.uint8),
+             ("scales", 32, jnp.float32),
+             ("dmin_sb", 256, jnp.float32), ("m", 32, jnp.uint8)),
+    "Q6_K": (("qs", 1, jnp.int8), ("d_sb", 256, jnp.float32), ("sc", 16, jnp.int8)),
     "Q2_K": (("qs", 4, jnp.uint8), ("scales", 16, jnp.float32), ("mins", 16, jnp.float32)),
     "Q3_K": (("qs", 2, jnp.uint8), ("scales", 16, jnp.float32)),
     "Q4_0": (("qs", 2, jnp.uint8), ("d", 32, jnp.float32)),

@@ -151,8 +151,21 @@ def make_qt(key, kind, n, k):
         return jax.random.uniform(ks[i], (n, cols), jnp.float32, 1e-4, 1e-3)
 
     G32, G16, S = k // 32, k // 16, k // 256
-    if kind == "Q4_K":
+    if kind == "Q4_K":  # NOTE: production Q4_K switched to the Q4KM2 layout
+        # (dmin_sb + m) after round 4; this spike entry keeps the OLD f32
+        # mins plane to preserve the A/B against the historical layout
         p = {"qs": u8(0, k // 2), "scales": f32s(1, G32), "mins": f32s(2, G32)}
+        from llamacog_tpu.ops.pallas import qmm as _Q
+
+        def _dec_q4k_old(pp):
+            st = _Q._rep_to(pp["scales"], pp["qs"].shape[-1])
+            return ([_Q._wm(v, st) for v in _Q._nib(pp["qs"])],
+                    _Q._f32(pp["mins"]))
+
+        _Q.TILE_DECODERS.setdefault(
+            "Q4KOLD", (_dec_q4k_old, ("qs", "scales", "mins"), "scales"))
+        _Q.KIND_BITS.setdefault("Q4KOLD", 6.0)
+        return QuantTensor("Q4KOLD", (n, k), p)
     elif kind == "Q4KSB":
         p = {"qs": u8(0, k // 2), "d": f32s(1, S), "sc": u8(2, G32, 64),
              "dmin": f32s(3, S), "m": u8(4, G32, 64)}
@@ -165,8 +178,17 @@ def make_qt(key, kind, n, k):
     elif kind == "Q4KSC2":
         p = {"qs": u8(0, k // 2), "d": f32s(1, S), "sc": u8(2, G32, 64),
              "mins": f32s(3, G32)}
-    elif kind == "Q6_K":
+    elif kind == "Q6_K":  # historical layout (premultiplied f32 plane);
+        # production Q6_K switched to the Q6KSB layout after round 4
         p = {"qs": u8(0, k, 127, jnp.int8), "scales": f32s(1, G16)}
+        from llamacog_tpu.ops.pallas import qmm as _Q
+
+        _Q.TILE_DECODERS.setdefault(
+            "Q6KOLD",
+            (functools.partial(_Q._dec_i8, "scales"), ("qs", "scales"),
+             "scales"))
+        _Q.KIND_BITS.setdefault("Q6KOLD", 10.0)
+        return QuantTensor("Q6KOLD", (n, k), p)
     elif kind == "Q6KSB":
         p = {"qs": u8(0, k, 127, jnp.int8), "d": f32s(1, S),
              "sc": u8(2, G16, 127, jnp.int8)}
