@@ -156,7 +156,10 @@ def _fuse_rows(tensors: list) -> "QuantTensor | jnp.ndarray | None":
         n_total = sum(int(np.prod(t.shape[:-1])) for t in tensors)
         planes = {}
         for name in tensors[0].planes:
-            planes[name] = jnp.concatenate([t.planes[name] for t in tensors], axis=0)
+            # transposed superblock planes ([S, N]) stack rows on axis 1
+            ax = 1 if name.endswith("T") else 0
+            planes[name] = jnp.concatenate(
+                [t.planes[name] for t in tensors], axis=ax)
         return QuantTensor(tensors[0].kind, (n_total, tensors[0].shape[-1]), planes)
     if all(not isinstance(t, QuantTensor) for t in tensors):
         if len({t.shape[-1] for t in tensors}) != 1:

@@ -140,6 +140,31 @@ def _dec_q2_K(p):
     return [_wm(v, st) for v in _crumbs(p["qs"])], _f32(p["mins"])
 
 
+# Superblock scale planes come in two orientations (quant/planar.py):
+#   name  [N, S]  — 3-D stacked-expert tensors (expert row-slicing needs
+#                   rows = n_exp*N)
+#   nameT [S, N]  — 2-D tensors, stored transposed so the minor dim is a
+#                   multiple of 128. A [N, S<128] f32 plane gets a {0,1}
+#                   entry layout from XLA, which then re-stages the whole
+#                   plane into VMEM EVERY decode step (slice-start x4 +
+#                   ConcatBitcast inside the while body — measured 107.1 ->
+#                   100.7 t/s at 8B, scripts/dump_decode_hlo.py). [S, N] is
+#                   natively {1,0} with zero padding; the kernel pays one
+#                   tiny [S, TN] -> [TN, S] VREG transpose instead.
+TRANSPOSED_SB_PLANES = ("dmin_sb", "d_sb")
+
+
+def resolve_plane_names(planes, names):
+    """Map canonical plane names to the transposed variant when the tensor
+    stores one (2-D tensors store dmin_sbT/d_sbT; experts keep [N, S])."""
+    return tuple(n + "T" if n + "T" in planes else n for n in names)
+
+
+def _sb_plane(p, name):
+    """[TN, S] superblock tile from either orientation."""
+    return p[name + "T"].T if name + "T" in p else p[name]
+
+
 def _sb_expand(d_sb, G):
     """[TN, S] superblock plane -> [TN, G] per-group (col j's superblock is
     j % S under the superblock-strided group order, quant/planar.py)."""
@@ -154,7 +179,7 @@ def _u8f(a):
 def _kq_mins(p):
     """Q4_K/Q5_K compact mins: dmin_sb [TN, S] f32 x m [TN, G] u8 — the
     correction-dot plane, recombined off the main dot's operand path."""
-    return _sb_expand(p["dmin_sb"], p["m"].shape[-1]) * _u8f(p["m"])
+    return _sb_expand(_sb_plane(p, "dmin_sb"), p["m"].shape[-1]) * _u8f(p["m"])
 
 
 def _dec_q3_K(p):
@@ -180,7 +205,7 @@ def _dec_q6_K(p):
     # 4+2-bit decode measured VPU-bound at 8B; the premultiplied f32 [N, G]
     # scale plane measured DMA-bound (head matvec 870 vs 740 us, PERF r4)
     G = p["sc"].shape[-1]
-    st_g = _sb_expand(p["d_sb"], G) * p["sc"].astype(jnp.float32)
+    st_g = _sb_expand(_sb_plane(p, "d_sb"), G) * p["sc"].astype(jnp.float32)
     return [_wm(p["qs"], _rep_to(st_g, p["qs"].shape[-1]))], None
 
 
@@ -262,9 +287,9 @@ def _tile_matvec(kind, G, planes, xf):
     return acc
 
 
-def _qmm_kernel(kind, n_planes, G, permute, x_ref, *refs):
-    names = TILE_DECODERS[kind][1]
-    planes = {name: refs[i][...] for i, name in enumerate(names)}
+def _qmm_kernel(kind, plane_names, G, permute, x_ref, *refs):
+    n_planes = len(plane_names)
+    planes = {name: refs[i][...] for i, name in enumerate(plane_names)}
     out_ref = refs[n_planes]
     # x is [B, K] strided cols (permuted outside: Mosaic has no in-kernel
     # shape-cast for the reorder; XLA CSE dedupes the repeated permutes of
@@ -273,7 +298,7 @@ def _qmm_kernel(kind, n_planes, G, permute, x_ref, *refs):
     out_ref[...] = _tile_matvec(kind, G, planes, x_ref[...])
 
 
-def _qmm_multi_kernel(kinds, n_planes, Gs, bounds, *refs):
+def _qmm_multi_kernel(kinds, all_names, Gs, bounds, *refs):
     """Phase-partitioned multi-weight kernel: grid steps [bounds[t],
     bounds[t+1]) decode tensor t's tiles and write its output block."""
     nt = len(kinds)
@@ -281,15 +306,15 @@ def _qmm_multi_kernel(kinds, n_planes, Gs, bounds, *refs):
     plane_refs = []
     off = nt
     for t in range(nt):
-        plane_refs.append(refs[off:off + n_planes[t]])
-        off += n_planes[t]
+        plane_refs.append(refs[off:off + len(all_names[t])])
+        off += len(all_names[t])
     out_refs = refs[off:off + nt]
     i = pl.program_id(0)
     for t in range(nt):
         @pl.when((i >= bounds[t]) & (i < bounds[t + 1]))
         def _(t=t):
-            names = TILE_DECODERS[kinds[t]][1]
-            planes = {nm: plane_refs[t][j][...] for j, nm in enumerate(names)}
+            planes = {nm: plane_refs[t][j][...]
+                      for j, nm in enumerate(all_names[t])}
             out_refs[t][...] = _tile_matvec(kinds[t], Gs[t], planes,
                                             x_refs[t][...])
 
@@ -318,13 +343,21 @@ def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
                 if B % cand == 0:
                     tb = cand
                     break
+    def plane_spec(name, idx_t, idx_n):
+        # transposed [S, N] planes tile as (S, tn) with the row grid index
+        # in the minor dim (see TRANSPOSED_SB_PLANES)
+        pv = planes[name]
+        if name.endswith("T"):
+            return pl.BlockSpec((pv.shape[0], tn), idx_t,
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((tn, pv.shape[1]), idx_n, memory_space=pltpu.VMEM)
+
     if tb:
         grid = (N // tn, B // tb)
         in_specs = [
             pl.BlockSpec((tb, K), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((tn, planes[name].shape[1]), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM)
+            plane_spec(name, lambda j, i: (0, j), lambda j, i: (j, 0))
             for name in plane_names
         ]
         out_spec = pl.BlockSpec((tb, tn), lambda j, i: (i, j),
@@ -335,12 +368,12 @@ def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
         in_specs = [
             pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((tn, planes[name].shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            plane_spec(name, lambda i: (0, i), lambda i: (i, 0))
             for name in plane_names
         ]
         out_spec = pl.BlockSpec((B, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
         dims = ("arbitrary",)
-    kernel = functools.partial(_qmm_kernel, kind, len(plane_names), G, permute)
+    kernel = functools.partial(_qmm_kernel, kind, plane_names, G, permute)
     _MXU_F32 = mxu_f32  # trace-time; jit caches on the static arg
     kwargs = {}
     if not interpret:
@@ -412,7 +445,6 @@ def _qmm_multi_call(xs, all_plane_vals, kinds, shapes, names, tns, Gs,
     B = xs[0].shape[0]
     steps = [shapes[t][0] // tns[t] for t in range(nt)]
     bounds = tuple(int(np.sum(steps[:t])) for t in range(nt + 1))
-    n_planes = tuple(len(n) for n in names)
     in_specs = [
         pl.BlockSpec((B, xs[t].shape[1]), lambda i: (0, 0),
                      memory_space=pltpu.VMEM)
@@ -421,11 +453,20 @@ def _qmm_multi_call(xs, all_plane_vals, kinds, shapes, names, tns, Gs,
     flat_planes = []
     for t in range(nt):
         lo, hi = bounds[t], bounds[t + 1]
-        for pv in all_plane_vals[t]:
-            in_specs.append(pl.BlockSpec(
-                (tns[t], pv.shape[1]),
-                (lambda i, _lo=lo, _hi=hi: (jnp.clip(i - _lo, 0, _hi - _lo - 1), 0)),
-                memory_space=pltpu.VMEM))
+        for nm, pv in zip(names[t], all_plane_vals[t]):
+            if nm.endswith("T"):  # [S, N]: row tile rides the minor dim
+                spec = pl.BlockSpec(
+                    (pv.shape[0], tns[t]),
+                    (lambda i, _lo=lo, _hi=hi:
+                     (0, jnp.clip(i - _lo, 0, _hi - _lo - 1))),
+                    memory_space=pltpu.VMEM)
+            else:
+                spec = pl.BlockSpec(
+                    (tns[t], pv.shape[1]),
+                    (lambda i, _lo=lo, _hi=hi:
+                     (jnp.clip(i - _lo, 0, _hi - _lo - 1), 0)),
+                    memory_space=pltpu.VMEM)
+            in_specs.append(spec)
             flat_planes.append(pv)
     out_shapes = [jax.ShapeDtypeStruct((B, shapes[t][0]), jnp.float32)
                   for t in range(nt)]
@@ -436,7 +477,7 @@ def _qmm_multi_call(xs, all_plane_vals, kinds, shapes, names, tns, Gs,
                      memory_space=pltpu.VMEM)
         for t in range(nt)
     ]
-    kernel = functools.partial(_qmm_multi_kernel, kinds, n_planes, Gs, bounds)
+    kernel = functools.partial(_qmm_multi_kernel, kinds, names, Gs, bounds)
     _MXU_F32 = mxu_f32
     kwargs = {}
     if not interpret:
@@ -484,6 +525,7 @@ def qmm_multi(x: jnp.ndarray, qts, interpret: bool = False):
         if tn == 0:
             raise ValueError(f"N={N} not tileable")
         dec, names, gplane = TILE_DECODERS[qt.kind]
+        names = resolve_plane_names(qt.planes, names)
         xs.append(permute_activation(x, qt).reshape(B, K))
         shapes.append((N, K))
         names_all.append(names)
@@ -508,6 +550,7 @@ def qmm(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False) -> jnp.ndarray
     if tn == 0:
         raise ValueError(f"N={N} not tileable")
     dec, names, gplane = TILE_DECODERS[qt.kind]
+    names = resolve_plane_names(qt.planes, names)
     G = qt.planes[gplane].shape[1]
     plane_vals = tuple(qt.planes[n] for n in names)
     out = _qmm_call(xp, plane_vals, qt.kind, (N, K), names, tn, G, interpret,

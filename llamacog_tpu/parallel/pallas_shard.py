@@ -47,7 +47,8 @@ def supports(qt) -> bool:
 def sharded_qmm(x: jnp.ndarray, qt, mesh) -> jnp.ndarray | None:
     """x [..., K] @ dequant(qt)^T under the recorded TP layout; None when
     the layout/kind cannot run the kernel locally (caller falls back)."""
-    from ..ops.pallas.qmm import TILE_DECODERS, _qmm_call, pick_tile_n
+    from ..ops.pallas.qmm import (TILE_DECODERS, _qmm_call, pick_tile_n,
+                                  resolve_plane_names)
     from ..quant.planar import permute_activation
 
     if not supports(qt):
@@ -58,6 +59,7 @@ def sharded_qmm(x: jnp.ndarray, qt, mesh) -> jnp.ndarray | None:
     B = int(np.prod(lead)) if lead else 1
     m = mesh.shape["model"]
     dec, names, gplane = TILE_DECODERS[qt.kind]
+    names = resolve_plane_names(qt.planes, names)
     plane_vals = tuple(qt.planes[n] for n in names)
     xp = permute_activation(x, qt).reshape(B, K)
     # ride the data axis when the flattened batch divides it (decode B=1
@@ -79,7 +81,10 @@ def sharded_qmm(x: jnp.ndarray, qt, mesh) -> jnp.ndarray | None:
 
         out = shard_map(
             local, mesh=mesh,
-            in_specs=(P(bspec, None),) + tuple(P("model", None) for _ in names),
+            # transposed [S, N] planes carry the row dim in dim 1
+            in_specs=(P(bspec, None),) + tuple(
+                P(None, "model") if n.endswith("T") else P("model", None)
+                for n in names),
             out_specs=P(bspec, "model"),
             check_rep=False,
         )(xp, *plane_vals)

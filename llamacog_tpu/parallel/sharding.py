@@ -101,7 +101,8 @@ def _put_quant(x: QuantTensor, mesh: Mesh, spec: P) -> QuantTensor:
     N = int(np.prod(x.shape[:-1]))
     G = 0
     for name, plane in x.planes.items():
-        if name not in _PAYLOAD_PLANES:
+        # transposed superblock planes ([S, N]) have N minor, not a group dim
+        if name not in _PAYLOAD_PLANES and not name.endswith("T"):
             G = max(G, plane.shape[-1])
 
     def rep(q):
@@ -121,7 +122,10 @@ def _put_quant(x: QuantTensor, mesh: Mesh, spec: P) -> QuantTensor:
         return QuantTensor(x.kind, x.shape, rep(x), None)
     if sharded_dim0:
         if N % m == 0:
-            planes = {n: jax.device_put(p, NamedSharding(mesh, P("model", None)))
+            # transposed superblock planes ([S, N], quant/planar.
+            # _sb_scale_plane) carry the output-row dim in dim 1
+            planes = {n: jax.device_put(p, NamedSharding(
+                mesh, P(None, "model") if n.endswith("T") else P("model", None)))
                       for n, p in x.planes.items()}
             return QuantTensor(x.kind, x.shape, planes, "row")
         return QuantTensor(x.kind, x.shape, rep(x), None)

@@ -131,6 +131,21 @@ def _sb_strided(vals: np.ndarray, R: int) -> np.ndarray:
         vals.reshape(N, S, SB, R).transpose(0, 3, 2, 1).reshape(N, K))
 
 
+def _sb_scale_plane(name: str, arr: np.ndarray, shape) -> dict:
+    """Orient a per-superblock scale plane [N, S].
+
+    2-D tensors store it TRANSPOSED as `nameT` [S, N]: a [N, S<128] f32
+    plane draws a {0,1} (dim-0-minor) entry layout from XLA, which then
+    re-stages the whole plane into VMEM every decode-loop step (measured
+    107.1 -> 100.7 t/s at 8B, scripts/dump_decode_hlo.py); [S, N] is
+    natively {1,0} with no padding. Stacked-expert (3-D) tensors keep
+    [n_exp*N, S] so expert row-slicing stays contiguous
+    (ops/pallas/qmm_id._planes3)."""
+    if len(shape) <= 2:
+        return {name + "T": np.ascontiguousarray(arr.T)}
+    return {name: arr}
+
+
 def _sb_group_order(arr: np.ndarray) -> np.ndarray:
     """Per-group plane [N, S, SB] (natural superblock-major order) ->
     [N, G] in the superblock-strided group order (column j = group
@@ -407,7 +422,7 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         # the st plane the same way measured SLOWER — it sits on the main
         # dot's operand-prep path)
         p["scales"] = _sb_group_order(d * sc)
-        p["dmin_sb"] = _f16(data[:, :, 2:4]).reshape(N, nb)
+        p.update(_sb_scale_plane("dmin_sb", _f16(data[:, :, 2:4]).reshape(N, nb), shape))
         p["m"] = _sb_group_order(mn.reshape(N, nb, 8))
         if t == GGMLType.Q4_K:
             ints = _unpack_k4_elems(data[:, :, 16:144].reshape(-1, 128)).reshape(N, K)
@@ -422,7 +437,7 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         # per-group sub-scale — recombined in-kernel ([TN, G] work, 1/16 of
         # elements). Measured r4: head matvec 870 -> 740 us vs the
         # premultiplied f32 [N, G] plane (10 -> 8.6 bits/weight streamed).
-        p["d_sb"] = _f16(data[:, :, 208:210]).reshape(N, nb)
+        p.update(_sb_scale_plane("d_sb", _f16(data[:, :, 208:210]).reshape(N, nb), shape))
         sc8 = _view(data[:, :, 192:208], np.int8).reshape(N, nb, 16)
         p["sc"] = _sb_group_order(sc8).astype(np.int8)
         ql = data[:, :, 0:128].reshape(-1, 2, 64)
@@ -535,6 +550,14 @@ def _unpack1_j(qb):
     return jnp.concatenate([(q >> b) & 1 for b in range(8)], axis=-1)
 
 
+def _sb_plane_j(p, name):
+    """Superblock scale plane as f32 [N, S] from either orientation
+    (see _sb_scale_plane)."""
+    if name + "T" in p:
+        return p[name + "T"].astype(jnp.float32).T
+    return p[name].astype(jnp.float32)
+
+
 def _tile_scale_j(s, R):  # [N, G] -> [N, K]: column c gets s[c mod G]
     return jnp.tile(s.astype(jnp.float32), (1, R))
 
@@ -581,14 +604,14 @@ def decode_strided(qt: QuantTensor) -> jnp.ndarray:
         else:
             v = (_unpack4_j(p["qs"]) | (_unpack1_j(p["qh"]) << 4)).astype(jnp.float32)
         G = p["m"].shape[-1]
-        S = p["dmin_sb"].shape[-1]
-        mins = jnp.tile(p["dmin_sb"].astype(jnp.float32), (1, G // S)) * p["m"].astype(jnp.float32)
+        dmin = _sb_plane_j(p, "dmin_sb")
+        mins = jnp.tile(dmin, (1, G // dmin.shape[-1])) * p["m"].astype(jnp.float32)
         return v * _tile_scale_j(p["scales"], 32) - _tile_scale_j(mins, 32)
     if kind == "Q6_K":
         # int8 levels (q - 32), see from_gguf; scale = d_sb[j % S] * sc[j]
         G = p["sc"].shape[-1]
-        S = p["d_sb"].shape[-1]
-        st = jnp.tile(p["d_sb"].astype(jnp.float32), (1, G // S)) * p["sc"].astype(jnp.float32)
+        d_sb = _sb_plane_j(p, "d_sb")
+        st = jnp.tile(d_sb, (1, G // d_sb.shape[-1])) * p["sc"].astype(jnp.float32)
         return p["qs"].astype(jnp.float32) * _tile_scale_j(st, 16)
     R = GROUP_SIZE.get(kind, 32)
     if kind in ("IQ4_NL", "IQ4_XS", "IQ2_XXS", "IQ2_XS", "IQ2_S",
@@ -625,7 +648,9 @@ def gather_rows(qt: QuantTensor, idx: jnp.ndarray) -> QuantTensor:
     if len(qt.shape) != 2:
         raise ValueError("gather_rows expects a 2-D QuantTensor")
     flat_idx = idx.reshape(-1)
-    planes = {k: jnp.take(v, flat_idx, axis=0) for k, v in qt.planes.items()}
+    # transposed superblock planes ([S, N]) carry the row dim in axis 1
+    planes = {k: jnp.take(v, flat_idx, axis=1 if k.endswith("T") else 0)
+              for k, v in qt.planes.items()}
     return QuantTensor(qt.kind, (int(flat_idx.shape[0]), qt.shape[-1]), planes)
 
 

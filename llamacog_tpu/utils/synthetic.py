@@ -50,11 +50,16 @@ _PLANES = {
 }
 
 
-def _rand_qt(key, kind: str, n: int, k: int) -> QuantTensor:
+def _rand_qt(key, kind: str, n: int, k: int, expert: bool = False) -> QuantTensor:
     planes = {}
     for i, (name, div, dt) in enumerate(_PLANES[kind]):
         sub = jax.random.fold_in(key, i)
         shape = (n, k // div)
+        if name in ("dmin_sb", "d_sb") and not expert:
+            # 2-D tensors store superblock planes transposed [S, N]
+            # (quant/planar._sb_scale_plane: keeps the minor dim a
+            # multiple of 128 so XLA assigns the default {1,0} layout)
+            name, shape = name + "T", (k // div, n)
         if dt in (jnp.uint8, jnp.int8):
             hi = 127 if dt == jnp.int8 else 255
             planes[name] = jax.random.randint(sub, shape, 0, hi, dtype=jnp.int32).astype(dt)
@@ -135,8 +140,10 @@ def _make_synthetic_params(cfg: ModelConfig, seed, quant_mix="q4_k_m") -> dict:
             layer["ffn_gate_inp"] = (
                 jax.random.normal(jax.random.fold_in(lk, 6), (n_exp, E)) * 0.02
             ).astype(jnp.float32)
-            gu = _rand_qt(jax.random.fold_in(lk, 7), body, n_exp * 2 * F, E)
-            de = _rand_qt(jax.random.fold_in(lk, 9), down_kind, n_exp * E, F)
+            gu = _rand_qt(jax.random.fold_in(lk, 7), body, n_exp * 2 * F, E,
+                          expert=True)
+            de = _rand_qt(jax.random.fold_in(lk, 9), down_kind, n_exp * E, F,
+                          expert=True)
             gu.shape = (n_exp, 2 * F, E)
             de.shape = (n_exp, E, F)
             layer["ffn_gate_up_exps"] = gu
