@@ -955,14 +955,23 @@ HF_CONVERTED_CASES2 = {
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
         head_dim=16, max_position_embeddings=256,
         tie_word_embeddings=False)),
+    # norm_topk_prob=True like every real Qwen3-MoE checkpoint: the
+    # reference HARDCODES norm_w=true for qwen3moe (llama-model.cpp
+    # llm_build_qwen3moe -> build_moe_ffn(..., LLM_FFN_SILU, true, ...))
+    # and ignores the metadata; our runtime follows the converted flag
+    # (verified == HF logits at 3e-6 either way), so only the True corner
+    # is comparable against llama-cli.
     "qwen3moe": ("Qwen3MoeConfig", "Qwen3MoeForCausalLM", dict(
         vocab_size=128, hidden_size=64, num_hidden_layers=2,
         num_attention_heads=4, num_key_value_heads=2, head_dim=16,
         num_experts=4, num_experts_per_tok=2, moe_intermediate_size=48,
         decoder_sparse_step=1, max_position_embeddings=256,
-        tie_word_embeddings=False)),
-    # fused qkv_proj/gate_up_proj splits (llm_build_phi3)
-    "phi3": ("Phi3Config", "Phi3ForCausalLM", dict(
+        norm_topk_prob=True, tie_word_embeddings=False)),
+    # fused qkv_proj/gate_up_proj splits (llm_build_phi3). Case name must
+    # not contain "phi3": llama-vocab.cpp keys RSTRIP attrs off the model
+    # NAME ("phi-3"/"phi3") and .at()-asserts "</s>" exists, which the
+    # byte-world test vocab doesn't have.
+    "p3mini": ("Phi3Config", "Phi3ForCausalLM", dict(
         vocab_size=128, hidden_size=64, intermediate_size=96,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
         max_position_embeddings=256, tie_word_embeddings=False)),
@@ -1000,10 +1009,13 @@ HF_CONVERTED_CASES2 = {
     # ALiBi + embedding layernorm (llm_build_bloom)
     "bloom": ("BloomConfig", "BloomForCausalLM", dict(
         vocab_size=128, hidden_size=64, n_layer=2, n_head=4)),
-    # ALiBi, no biases, expansion-ratio FFN (llm_build_mpt)
+    # ALiBi, no biases, expansion-ratio FFN (llm_build_mpt).
+    # expansion_ratio must be 4: transformers' MptMLP hardcodes
+    # 4*hidden_size regardless of the config field, so any other value
+    # makes config.json disagree with the tensors.
     "mpt": ("MptConfig", "MptForCausalLM", dict(
         vocab_size=128, d_model=64, n_heads=4, n_layers=2,
-        expansion_ratio=2, max_seq_len=256)),
+        expansion_ratio=4, max_seq_len=256)),
     # falcon-40B style: new_decoder_architecture (parallel attn+mlp, GQA)
     "falcon": ("FalconConfig", "FalconForCausalLM", dict(
         vocab_size=128, hidden_size=64, num_hidden_layers=2,
@@ -1014,10 +1026,11 @@ HF_CONVERTED_CASES2 = {
         vocab_size=128, hidden_size=64, intermediate_size=96,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
         head_dim=16, max_position_embeddings=256)),
-    # gptj: interleaved partial rope, parallel residual, one LN
-    "gptj": ("GPTJConfig", "GPTJForCausalLM", dict(
-        vocab_size=128, n_embd=64, n_inner=96, n_layer=2, n_head=4,
-        rotary_dim=16, n_positions=256)),
+    # NOTE gptj is converter-supported here but has NO runtime oracle: the
+    # reference's LLM_ARCH_GPTJ is vestigial — llama-model.cpp's
+    # load_hparams switch has no GPTJ case and aborts with "unsupported
+    # model architecture", so llama-cli cannot load ANY gptj GGUF. Our
+    # gptj runtime is covered by the HF-logit parity suite instead.
     # gpt2: learned positions, fused c_attn, LN biases
     "gpt2": ("GPT2Config", "GPT2LMHeadModel", dict(
         vocab_size=128, n_embd=64, n_inner=96, n_layer=2, n_head=4,
