@@ -224,10 +224,12 @@ def timed_rate(fn, n1=128, n2=1152):
 
 def bench_kind(kind, n, k, label):
     qt = make_qt(jax.random.PRNGKey(hash(kind) % 9973), kind, n, k)
+    kind = qt.kind  # make_qt may remap (e.g. Q4_K -> Q4KOLD historical A/B)
     jax.block_until_ready(qt.planes["qs"])
     x0 = jax.random.normal(jax.random.PRNGKey(7), (1, k), jnp.float32)
     tn = Q.pick_tile_n(n, k, kind)
     dec, names, gplane = Q.TILE_DECODERS[kind]
+    names = Q.resolve_plane_names(qt.planes, names)
     G = qt.planes[gplane].shape[1]
     planes = tuple(qt.planes[nm] for nm in names)
 
