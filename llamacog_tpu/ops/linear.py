@@ -104,6 +104,14 @@ def qmatmul_multi(x: jnp.ndarray, ws) -> list | None:
                and supports(w.kind) and w.shape[-1] == x.shape[-1]
                for w in ws):
         return None
+    import numpy as _np
+    B = int(_np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    if B * x.shape[-1] * 2 > 12 * 1024 * 1024:
+        # the fused launch keeps each tensor's FULL [B, K] activation block
+        # resident (no row-tiling path); long-prefill chunks blow VMEM
+        # (measured: 4096-token chunk = 2x32MB single-buffered x windows).
+        # Per-weight qmm row-tiles instead.
+        return None
     if _HOOK is not None:  # after the checks: the fallback path re-fires it
         for w in ws:
             _HOOK(w, x)

@@ -129,6 +129,10 @@ def main():
             toks = eng.decode_greedy_tokens(np.array([5]), 16)
             print(f"first step (compile incl): {time.time()-t0:.1f}s, "
                   f"tokens {np.asarray(toks)[0, :4]}")
+            # free the engine's 5.7 GB of HBM BEFORE the warm load: keeping
+            # it alive makes the second upload thrash HBM (measured 390s
+            # "warm" vs 92s first with the leak)
+            del eng
         del model
 
 

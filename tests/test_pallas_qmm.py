@@ -102,3 +102,28 @@ def test_qmm_multi_matches_qmm():
             want = qmm(x, qt, interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_qmm_multi_falls_back_at_long_prefill_batch():
+    """The fused multi-weight launch keeps full [B, K] activation blocks
+    resident; at long-prefill chunk sizes that blows VMEM (measured on
+    chip: B=4096, K=4096 -> 2x32MB single-buffered x windows). The caller
+    contract is to return None so qmatmul row-tiles per weight."""
+    import jax.numpy as jnp
+
+    from llamacog_tpu.ops import linear
+    from llamacog_tpu.utils.synthetic import _rand_qt
+    import jax
+
+    w = _rand_qt(jax.random.PRNGKey(0), "Q4_K", 256, 4096)
+    old = linear._BACKEND
+    linear.set_backend("pallas")
+    try:
+        x_small = jnp.ones((8, 4096), jnp.bfloat16)
+        x_big = jnp.ones((4096, 4096), jnp.bfloat16)
+        assert linear.qmatmul_multi(x_big, [w, w]) is None
+        # small B still rides the fused kernel (interpret on CPU)
+        outs = linear.qmatmul_multi(x_small, [w, w])
+        assert outs is not None and outs[0].shape == (8, 256)
+    finally:
+        linear.set_backend(old)
