@@ -21,6 +21,9 @@ from ..models.llama import forward
 from ..parallel.sharding import to_host
 
 PREFILL_BUCKETS = (32, 128, 512, 2048)
+# longest single prefill step; longer prompts loop chunks of this size
+# (reference n_ubatch role — bounds activation temps AND compile count)
+PREFILL_MAX_CHUNK = 2048
 
 
 def _bucket(n: int) -> int:
@@ -441,12 +444,19 @@ class Engine:
         return logits[row]
 
     def prefill(self, token_ids: list[int], row: int = 0) -> np.ndarray:
-        """Feed a prompt into one row; returns logits of the last real token."""
+        """Feed a prompt into one row; returns logits of the last real token.
+
+        Prompts longer than PREFILL_MAX_CHUNK run as a chunk loop (the
+        reference's n_ubatch role, llama-context n_ubatch split): one
+        8k-token step's f32 activation temps ([t, 2*n_ff] per layer) blow
+        HBM at 8B, and uniform chunks reuse ONE compiled step."""
         if not len(token_ids):
             raise ValueError("empty prompt: nothing to prefill")
         if self.recurrent:
             return self._recurrent_prefill(token_ids, row)
-        logits = self._prefill_row_logits(token_ids, row, last_only=True)
+        for off in range(0, len(token_ids), PREFILL_MAX_CHUNK):
+            chunk = token_ids[off : off + PREFILL_MAX_CHUNK]
+            logits = self._prefill_row_logits(chunk, row, last_only=True)
         return to_host(logits[-1])
 
     def prefill_embd(self, embd: np.ndarray, row: int = 0,
@@ -497,8 +507,12 @@ class Engine:
         batch.logits)."""
         if self.recurrent:
             return self._recurrent_prefill(token_ids, row, all_logits=True)
-        logits = self._prefill_row_logits(token_ids, row)
-        return to_host(logits[: len(token_ids)])
+        outs = []
+        for off in range(0, len(token_ids), PREFILL_MAX_CHUNK):
+            chunk = token_ids[off : off + PREFILL_MAX_CHUNK]
+            logits = self._prefill_row_logits(chunk, row)
+            outs.append(to_host(logits[: len(chunk)]))
+        return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
 
     def decode_one(self, token_ids: np.ndarray, active=None) -> np.ndarray:
         """One decode step for all rows. token_ids: [B] -> logits [B, V].

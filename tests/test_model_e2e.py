@@ -295,3 +295,41 @@ def test_mixed_kind_qk_fusion_runs_attention(tmp_path):
                      dtype=jnp.float32)
     ref = np.asarray(ref_eng.prefill([3, 17, 9, 41]))
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_long_prompt_chunked_prefill_matches_single_step(tmp_path):
+    """Prompts > PREFILL_MAX_CHUNK run as a chunk loop (reference n_ubatch
+    role): last-token logits, all-position logits, and the decode
+    continuation must match the single-step path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llamacog_tpu.models.loader import load_model
+    from llamacog_tpu.runtime import engine as eng_mod
+    from llamacog_tpu.runtime.engine import Engine
+    from llamacog_tpu.utils.testing import make_tiny_llama_gguf
+
+    p = make_tiny_llama_gguf(str(tmp_path / "chunk.gguf"))
+    m = load_model(p, dtype=jnp.float32)
+    ids = list(np.arange(2, 202) % 250)
+
+    def run():
+        e = Engine(m.params, m.config, batch_size=1, max_seq=256,
+                   dtype=jnp.float32)
+        last = e.prefill(ids)
+        toks = e.decode_greedy_tokens(np.array([int(np.argmax(last))]), 8)
+        alls = Engine(m.params, m.config, batch_size=1, max_seq=256,
+                      dtype=jnp.float32).prefill_logits(ids)
+        return last, np.asarray(toks), alls
+
+    ref_last, ref_toks, ref_all = run()
+    old = eng_mod.PREFILL_MAX_CHUNK
+    eng_mod.PREFILL_MAX_CHUNK = 64
+    try:
+        got_last, got_toks, got_all = run()
+    finally:
+        eng_mod.PREFILL_MAX_CHUNK = old
+    np.testing.assert_allclose(got_last, ref_last, atol=2e-5)
+    assert got_all.shape == ref_all.shape
+    np.testing.assert_allclose(got_all, ref_all, atol=2e-5)
+    np.testing.assert_array_equal(got_toks, ref_toks)
