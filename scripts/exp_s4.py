@@ -39,16 +39,22 @@ def probe():
     K, TN = 512, 256
     rng = np.random.default_rng(0)
     w_i = rng.integers(-8, 8, size=(TN, K))
-    w = jnp.asarray(w_i, jnp.int4)
+    # direct numpy->int4 asarray recurses in this jax version; go via i8
+    w = jnp.asarray(w_i, jnp.int8).astype(jnp.int4)
     x = jnp.asarray(rng.standard_normal((1, K)), jnp.float32)
     try:
-        o = pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((1, TN), jnp.float32),
-            in_specs=[pl.BlockSpec((1, K), lambda: (0, 0), memory_space=pltpu.VMEM),
-                      pl.BlockSpec((TN, K), lambda: (0, 0), memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, TN), lambda: (0, 0), memory_space=pltpu.VMEM),
-        )(x, w)
+        # eager dispatch on S4 operands recurses in this jax version; the
+        # production path is always jitted anyway
+        @jax.jit
+        def run(x, w):
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((1, TN), jnp.float32),
+                in_specs=[pl.BlockSpec((1, K), lambda: (0, 0), memory_space=pltpu.VMEM),
+                          pl.BlockSpec((TN, K), lambda: (0, 0), memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, TN), lambda: (0, 0), memory_space=pltpu.VMEM),
+            )(x, w)
+        o = run(x, w)
         ref = np.asarray(x) @ w_i.T.astype(np.float32)
         ok = np.allclose(np.asarray(o), ref, atol=1e-3)
         print(f"s4 pallas load+cast+dot: ok={ok}")
@@ -89,7 +95,7 @@ def bench(n=28672, k=4096):
     G = k // 32
     tn = 512
     key = jax.random.PRNGKey(0)
-    qs = jax.random.randint(key, (n, k), -8, 8, jnp.int32).astype(jnp.int4)
+    qs = jax.random.randint(key, (n, k), -8, 8, jnp.int32).astype(jnp.int8).astype(jnp.int4)
     sc = jax.random.uniform(jax.random.fold_in(key, 1), (n, G), jnp.float32,
                             1e-4, 1e-3)
     corr = jax.random.uniform(jax.random.fold_in(key, 2), (n, G), jnp.float32,
