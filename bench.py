@@ -65,7 +65,8 @@ def wire_bytes(params) -> int:
             n = 1
             for s in t.shape:
                 n *= s
-            return row_nbytes(getattr(GGMLType, t.kind), n)
+            kind = {"Q4_KS4": "Q4_K"}.get(t.kind, t.kind)  # runtime alias
+            return row_nbytes(getattr(GGMLType, kind), n)
         return t.size * t.dtype.itemsize
 
     wb = 0
@@ -131,7 +132,7 @@ def main() -> None:
         config = llama3_8b_config()
         mix = "iq4_xs" if preset == "8b-iq" else "q4_k_m"
         params = make_synthetic_params(config, quant_mix=mix)
-        jax.block_until_ready(params["layers"][0]["attn_qk"].planes["qs"])
+        jax.block_until_ready(params["layers"][0]["attn_qk"].planes[next(iter(params["layers"][0]["attn_qk"].planes))])
         metric = f"decode_tokens_per_s_{mix}_8b_single_stream"
     else:
         from llamacog_tpu.models.loader import load_model

@@ -193,6 +193,18 @@ def _dec_q4_K(p):
     return [_wm(v, st) for v in _nib(p["qs"])], _kq_mins(p)
 
 
+def _dec_q4_ks4(p):
+    """Q4_KS4: native s4 levels (q-8), converted from the adjacent-packed
+    qs4p u8 plane ONCE per jit call at dispatch (_s4_convert — S4 arrays
+    cannot cross a jit boundary in this jax version). ONE full-width
+    load+cast+mul and ONE dot replace the mask/shift unpack and dual
+    half-dots; measured at the DMA roofline (scripts/exp_s4.py).
+    true = x.((q-8) st) - xg @ (mins - 8*st_g)^T."""
+    st_g = _f32(p["scales"])
+    st = _rep_to(st_g, p["qs_s4"].shape[-1])
+    return [_wm(p["qs_s4"], st)], _kq_mins(p) - 8.0 * st_g
+
+
 def _dec_q5_K(p):
     st = _rep_to(p["scales"], p["qs"].shape[-1])
     hb = _bits(p["qh"], 2)
@@ -238,6 +250,7 @@ TILE_DECODERS = {
     "Q2_K": (_dec_q2_K, ("qs", "scales", "mins"), "scales"),
     "Q3_K": (_dec_q3_K, ("qs", "scales"), "scales"),
     "Q4_K": (_dec_q4_K, ("qs", "scales", "dmin_sb", "m"), "scales"),
+    "Q4_KS4": (_dec_q4_ks4, ("qs4p", "scales", "dmin_sb", "m"), "scales"),
     "Q5_K": (_dec_q5_K, ("qs", "qh", "scales", "dmin_sb", "m"), "scales"),
     "Q6_K": (_dec_q6_K, ("qs", "d_sb", "sc"), "sc"),
     "IQ4_NL": (functools.partial(_dec_i8, "d"), ("qs", "d"), "d"),
@@ -319,6 +332,25 @@ def _qmm_multi_kernel(kinds, all_names, Gs, bounds, *refs):
                                             x_refs[t][...])
 
 
+def _s4_expand(plane_names, plane_vals):
+    """qs4p (adjacent-packed (q-8) nibbles, u8 [N, K/2]) -> qs_s4 (native
+    s4 [N, K]) at jit-trace level: the bitcast+reshape is loop-invariant,
+    so inside a decode loop XLA hoists ONE conversion per call and the
+    steps stream the packed s4 buffer. S4 arrays cannot be jit ARGUMENTS
+    in this jax version (dispatch recursion), which is why the conversion
+    lives here and not at load time."""
+    if "qs4p" not in plane_names:
+        return plane_names, plane_vals
+    names, vals = [], []
+    for nm, v in zip(plane_names, plane_vals):
+        if nm == "qs4p":
+            s4 = jax.lax.bitcast_convert_type(v, jnp.int4)  # [N, K/2, 2]
+            nm, v = "qs_s4", s4.reshape(v.shape[0], v.shape[1] * 2)
+        names.append(nm)
+        vals.append(v)
+    return tuple(names), tuple(vals)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "kind", "shape", "plane_names", "tn", "G", "interpret", "permute", "mxu_f32"))
 def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
@@ -326,6 +358,7 @@ def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
     global _MXU_F32
     N, K = shape
     B = x.shape[0]
+    plane_names, plane_vals = _s4_expand(plane_names, plane_vals)
     planes = dict(zip(plane_names, plane_vals))
     # large-B (prefill) row tiling: a [B, K] activation block stops fitting
     # VMEM around B*K = 8M elements; split rows with N OUTER in the grid so
@@ -406,7 +439,8 @@ _TN_OVERRIDE = int(os.environ.get("LLAMACOG_QMM_TN", "0"))
 # streamed bits/weight per kind (tile-size sizing input for pick_tile_n;
 # extendable by measurement scripts that register experimental kinds)
 KIND_BITS = {"Q2_K": 3.0, "Q3_K": 4.0, "Q4_0": 5.0, "Q4_1": 6.0, "IQ4_NL": 5.0,
-             "IQ4_XS": 5.0, "Q4_K": 5.4, "Q5_0": 6.0, "Q5_1": 7.0, "Q5_K": 6.4,
+             "IQ4_XS": 5.0, "Q4_K": 5.4, "Q4_KS4": 5.4,
+             "Q5_0": 6.0, "Q5_1": 7.0, "Q5_K": 6.4,
              "Q6_K": 8.6, "Q8_0": 10.0,
              "IQ2_XXS": 4.0, "IQ2_XS": 5.0, "IQ2_S": 5.0, "IQ3_XXS": 5.0,
              "IQ3_S": 5.0, "IQ1_S": 4.0, "IQ1_M": 10.0}
@@ -443,6 +477,10 @@ def _qmm_multi_call(xs, all_plane_vals, kinds, shapes, names, tns, Gs,
     global _MXU_F32
     nt = len(kinds)
     B = xs[0].shape[0]
+    if any("qs4p" in n for n in names):
+        conv = [_s4_expand(n, v) for n, v in zip(names, all_plane_vals)]
+        names = tuple(c[0] for c in conv)
+        all_plane_vals = tuple(c[1] for c in conv)
     steps = [shapes[t][0] // tns[t] for t in range(nt)]
     bounds = tuple(int(np.sum(steps[:t])) for t in range(nt + 1))
     in_specs = [

@@ -38,7 +38,7 @@ from .decode_np import KVALUES_IQ4NL
 # scale-group size per type (elements per scale)
 GROUP_SIZE = {
     "Q4_0": 32, "Q4_1": 32, "Q5_0": 32, "Q5_1": 32, "Q8_0": 32,
-    "IQ4_NL": 32, "IQ4_XS": 32, "Q4_K": 32, "Q5_K": 32,
+    "IQ4_NL": 32, "IQ4_XS": 32, "Q4_K": 32, "Q4_KS4": 32, "Q5_K": 32,
     "Q2_K": 16, "Q3_K": 16, "Q6_K": 16,
     "IQ2_XXS": 32, "IQ2_XS": 16, "IQ2_S": 16,
     "IQ3_XXS": 32, "IQ3_S": 32, "IQ1_S": 32, "IQ1_M": 8,
@@ -115,7 +115,7 @@ def _strided(vals: np.ndarray, R: int) -> np.ndarray:
 # main dot's operand prep, docs/PERF.md round-4). Groups are strided over
 # superblocks so the [N, S] plane tiles to group width with one
 # pltpu.repeat: plane column j holds original group (j % S)*SB + j//S.
-SB_STRIDED_KINDS = ("Q4_K", "Q5_K", "Q6_K")
+SB_STRIDED_KINDS = ("Q4_K", "Q4_KS4", "Q5_K", "Q6_K")
 
 
 def _sb_strided(vals: np.ndarray, R: int) -> np.ndarray:
@@ -426,6 +426,24 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         p["m"] = _sb_group_order(mn.reshape(N, nb, 8))
         if t == GGMLType.Q4_K:
             ints = _unpack_k4_elems(data[:, :, 16:144].reshape(-1, 128)).reshape(N, K)
+            import os as _os
+            if len(shape) <= 2 and _os.environ.get("LLAMACOG_Q4_S4") == "1":
+                # Q4_KS4: (q-8) two's-complement nibbles, ADJACENT strided
+                # cols per byte (byte j = cols 2j | 2j+1 << 4) — a bitcast
+                # to int4 at qmm dispatch yields the strided order directly,
+                # so the kernel is ONE s4 load+cast+mul full-width dot at
+                # the same streamed bytes (no mask/shift unpack, no dual
+                # half-dots). Measured 102.7 us vs 114.8 at the gate_up
+                # matvec shape = the DMA roofline (scripts/exp_s4.py).
+                # The +8 moves into the correction dot:
+                # corr = mins - 8*scales (ops/pallas/qmm._dec_q4_ks4).
+                # 3-D (stacked-expert) tensors keep classic Q4_K: the
+                # expert-gather kernels take planes directly with no XLA
+                # conversion point.
+                v = (_sb_strided(ints, 32).astype(np.int16) - 8) & 0xF
+                v = v.astype(np.uint8)
+                p["qs4p"] = (v[:, 0::2] | (v[:, 1::2] << 4)).astype(np.uint8)
+                return QuantTensor("Q4_KS4", tuple(shape), p)
             p["qs"] = _pack4(_sb_strided(ints, 32))
         else:
             lo = _unpack_k4_elems(data[:, :, 48:176].reshape(-1, 128)).reshape(N, K)
@@ -596,10 +614,17 @@ def decode_strided(qt: QuantTensor) -> jnp.ndarray:
     if kind == "Q3_K":
         v = _unpack4_j(p["qs"]).astype(jnp.float32) - 4.0
         return v * _tile_scale_j(p["scales"], 16)
-    if kind in ("Q4_K", "Q5_K"):
+    if kind in ("Q4_K", "Q4_KS4", "Q5_K"):
         # mins recombined from the compact planes: group-plane col j's
         # superblock is j % S (see _sb_strided)
-        if kind == "Q4_K":
+        if kind == "Q4_KS4":
+            # adjacent-pair (q-8) nibbles: interleave back then re-offset
+            q = p["qs4p"].astype(jnp.int32)
+            lo, hi = q & 0xF, q >> 4
+            v = jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1],
+                                                     2 * q.shape[-1])
+            v = ((v + 8) & 0xF).astype(jnp.float32)  # q = sext4(n) + 8
+        elif kind == "Q4_K":
             v = _unpack4_j(p["qs"]).astype(jnp.float32)
         else:
             v = (_unpack4_j(p["qs"]) | (_unpack1_j(p["qh"]) << 4)).astype(jnp.float32)

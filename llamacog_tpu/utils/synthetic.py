@@ -27,6 +27,9 @@ from ..quant.planar import QuantTensor
 _PLANES = {
     "Q4_K": (("qs", 2, jnp.uint8), ("scales", 32, jnp.float32),
              ("dmin_sb", 256, jnp.float32), ("m", 32, jnp.uint8)),
+    # 2-D Q4_K tensors use the native-s4 layout (quant/planar.from_gguf)
+    "Q4_KS4": (("qs4p", 2, jnp.uint8), ("scales", 32, jnp.float32),
+               ("dmin_sb", 256, jnp.float32), ("m", 32, jnp.uint8)),
     "Q5_K": (("qs", 2, jnp.uint8), ("qh", 8, jnp.uint8),
              ("scales", 32, jnp.float32),
              ("dmin_sb", 256, jnp.float32), ("m", 32, jnp.uint8)),
@@ -51,6 +54,13 @@ _PLANES = {
 
 
 def _rand_qt(key, kind: str, n: int, k: int, expert: bool = False) -> QuantTensor:
+    import os as _os
+    if kind == "Q4_K" and not expert and _os.environ.get("LLAMACOG_Q4_S4") == "1":
+        # opt-in native-s4 layout: the standalone kernel measures AT the
+        # DMA roofline (scripts/exp_s4.py, 102.7 vs 114.8 us at gate_up)
+        # but the full 8B decode graph faults the TPU worker (Mosaic s4
+        # at some production shape) — default off until root-caused.
+        kind = "Q4_KS4"
     planes = {}
     for i, (name, div, dt) in enumerate(_PLANES[kind]):
         sub = jax.random.fold_in(key, i)

@@ -30,7 +30,7 @@ def main():
     config = llama3_8b_config()
     t0 = time.time()
     params = make_synthetic_params(config)
-    jax.block_until_ready(params["layers"][0]["attn_qk"].planes["qs"])
+    jax.block_until_ready(params["layers"][0]["attn_qk"].planes[next(iter(params["layers"][0]["attn_qk"].planes))])
     print(f"[build] {time.time()-t0:.1f}s", file=sys.stderr)
 
     n = 256

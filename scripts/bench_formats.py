@@ -43,7 +43,7 @@ def main():
     for kind in kinds:
         t0 = time.time()
         params = make_synthetic_params(cfg, quant_mix=kind)
-        jax.block_until_ready(params["layers"][0]["attn_qk"].planes["qs"])
+        jax.block_until_ready(params["layers"][0]["attn_qk"].planes[next(iter(params["layers"][0]["attn_qk"].planes))])
         wbytes = streamed_bytes(params)
         engine = Engine(params, cfg, batch_size=1, max_seq=256)
         engine.prefill([2, 3, 5])

@@ -39,14 +39,13 @@ def probe():
     K, TN = 512, 256
     rng = np.random.default_rng(0)
     w_i = rng.integers(-8, 8, size=(TN, K))
-    # direct numpy->int4 asarray recurses in this jax version; go via i8
-    w = jnp.asarray(w_i, jnp.int8).astype(jnp.int4)
     x = jnp.asarray(rng.standard_normal((1, K)), jnp.float32)
     try:
-        # eager dispatch on S4 operands recurses in this jax version; the
-        # production path is always jitted anyway
+        # S4 arrays cannot cross a jit boundary in this jax version
+        # (dispatch recursion): pass int8 and convert INSIDE the jit
         @jax.jit
-        def run(x, w):
+        def run(x, w8):
+            w = w8.astype(jnp.int4)
             return pl.pallas_call(
                 kern,
                 out_shape=jax.ShapeDtypeStruct((1, TN), jnp.float32),
@@ -54,11 +53,14 @@ def probe():
                           pl.BlockSpec((TN, K), lambda: (0, 0), memory_space=pltpu.VMEM)],
                 out_specs=pl.BlockSpec((1, TN), lambda: (0, 0), memory_space=pltpu.VMEM),
             )(x, w)
-        o = run(x, w)
+        o = np.asarray(run(x, jnp.asarray(w_i, jnp.int8)))
         ref = np.asarray(x) @ w_i.T.astype(np.float32)
-        ok = np.allclose(np.asarray(o), ref, atol=1e-3)
-        print(f"s4 pallas load+cast+dot: ok={ok}")
-        return ok
+        # default MXU precision is bf16 (same as the production kernels):
+        # report the relative error, gate only on gross mismatch
+        rel = np.abs(o - ref).max() / max(np.abs(ref).max(), 1.0)
+        print(f"s4 pallas load+cast+dot: max rel err {rel:.2e} "
+              f"(bf16 MXU expected ~1e-3)")
+        return rel < 0.02
     except Exception as e:
         print(f"s4 pallas FAIL: {type(e).__name__}: {str(e)[:300]}")
         return False
@@ -95,7 +97,11 @@ def bench(n=28672, k=4096):
     G = k // 32
     tn = 512
     key = jax.random.PRNGKey(0)
-    qs = jax.random.randint(key, (n, k), -8, 8, jnp.int32).astype(jnp.int8).astype(jnp.int4)
+    # S4 arrays cannot cross a jit boundary in this jax version (dispatch
+    # recursion): pass int8 and convert INSIDE the jit, where the astype
+    # is loop-invariant and hoists to one conversion per call — the fori
+    # chain then streams the packed s4 buffer.
+    qs = jax.random.randint(key, (n, k), -8, 8, jnp.int32).astype(jnp.int8)
     sc = jax.random.uniform(jax.random.fold_in(key, 1), (n, G), jnp.float32,
                             1e-4, 1e-3)
     corr = jax.random.uniform(jax.random.fold_in(key, 2), (n, G), jnp.float32,
@@ -103,7 +109,9 @@ def bench(n=28672, k=4096):
     jax.block_until_ready(qs)
 
     @functools.partial(jax.jit, static_argnames=("n_iter",))
-    def loop(x, qs, sc, corr, n_iter):
+    def loop(x, qs8, sc, corr, n_iter):
+        qs = qs8.astype(jnp.int4)  # hoisted: converted once per call
+
         def body(i, x):
             o = pl.pallas_call(
                 functools.partial(_dec_s4_kernel, G),

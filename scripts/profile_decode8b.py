@@ -30,7 +30,7 @@ def capture(n):
     cfg = llama3_8b_config()
     t0 = time.time()
     params = make_synthetic_params(cfg)
-    jax.block_until_ready(params["layers"][0]["attn_qk"].planes["qs"])
+    jax.block_until_ready(params["layers"][0]["attn_qk"].planes[next(iter(params["layers"][0]["attn_qk"].planes))])
     print(f"[build] {time.time()-t0:.0f}s", file=sys.stderr)
     eng = Engine(params, cfg, batch_size=1, max_seq=1024)
     eng.prefill(list(range(2, 130)))
