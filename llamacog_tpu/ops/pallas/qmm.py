@@ -86,6 +86,10 @@ def _rep_to(s, w):
 # no MXU time and skip one bf16-cast VPU pass per weight element
 _MXU_F32 = False
 
+# trace-time flag: interpret-mode (CPU) kernels emulate Mosaic-only ops
+# (pltpu.bitcast sublane expansion) with plain jnp
+_INTERPRET = False
+
 
 def _to_mxu(w):
     return w if _MXU_F32 else w.astype(jnp.bfloat16)
@@ -194,15 +198,24 @@ def _dec_q4_K(p):
 
 
 def _dec_q4_ks4(p):
-    """Q4_KS4: native s4 levels (q-8), converted from the adjacent-packed
-    qs4p u8 plane ONCE per jit call at dispatch (_s4_convert — S4 arrays
-    cannot cross a jit boundary in this jax version). ONE full-width
+    """Q4_KS4: native s4 levels (q-8) from the row-pair-packed qsv u8
+    plane [TN/2, K] — pltpu.bitcast(u8, int4) expands sublanes so int4
+    row 2r+n = nibble n of u8 row r, i.e. the [TN, K] weight tile comes
+    out rows-in-order as a free register reinterpret. ONE full-width
     load+cast+mul and ONE dot replace the mask/shift unpack and dual
     half-dots; measured at the DMA roofline (scripts/exp_s4.py).
     true = x.((q-8) st) - xg @ (mins - 8*st_g)^T."""
+    qp = p["qsv"]
+    if _INTERPRET:
+        q = qp.astype(jnp.int32)
+        lo, hi = q & 0xF, q >> 4
+        v = jnp.stack([lo, hi], axis=1).reshape(2 * qp.shape[0], qp.shape[1])
+        w4 = jnp.where(v >= 8, v - 16, v)
+    else:
+        w4 = pltpu.bitcast(qp, jnp.int4)  # [TN, K]
     st_g = _f32(p["scales"])
-    st = _rep_to(st_g, p["qs_s4"].shape[-1])
-    return [_wm(p["qs_s4"], st)], _kq_mins(p) - 8.0 * st_g
+    st = _rep_to(st_g, w4.shape[-1])
+    return [_wm(w4, st)], _kq_mins(p) - 8.0 * st_g
 
 
 def _dec_q5_K(p):
@@ -250,7 +263,7 @@ TILE_DECODERS = {
     "Q2_K": (_dec_q2_K, ("qs", "scales", "mins"), "scales"),
     "Q3_K": (_dec_q3_K, ("qs", "scales"), "scales"),
     "Q4_K": (_dec_q4_K, ("qs", "scales", "dmin_sb", "m"), "scales"),
-    "Q4_KS4": (_dec_q4_ks4, ("qs4p", "scales", "dmin_sb", "m"), "scales"),
+    "Q4_KS4": (_dec_q4_ks4, ("qsv", "scales", "dmin_sb", "m"), "scales"),
     "Q5_K": (_dec_q5_K, ("qs", "qh", "scales", "dmin_sb", "m"), "scales"),
     "Q6_K": (_dec_q6_K, ("qs", "d_sb", "sc"), "sc"),
     "IQ4_NL": (functools.partial(_dec_i8, "d"), ("qs", "d"), "d"),
@@ -332,33 +345,13 @@ def _qmm_multi_kernel(kinds, all_names, Gs, bounds, *refs):
                                             x_refs[t][...])
 
 
-def _s4_expand(plane_names, plane_vals):
-    """qs4p (adjacent-packed (q-8) nibbles, u8 [N, K/2]) -> qs_s4 (native
-    s4 [N, K]) at jit-trace level: the bitcast+reshape is loop-invariant,
-    so inside a decode loop XLA hoists ONE conversion per call and the
-    steps stream the packed s4 buffer. S4 arrays cannot be jit ARGUMENTS
-    in this jax version (dispatch recursion), which is why the conversion
-    lives here and not at load time."""
-    if "qs4p" not in plane_names:
-        return plane_names, plane_vals
-    names, vals = [], []
-    for nm, v in zip(plane_names, plane_vals):
-        if nm == "qs4p":
-            s4 = jax.lax.bitcast_convert_type(v, jnp.int4)  # [N, K/2, 2]
-            nm, v = "qs_s4", s4.reshape(v.shape[0], v.shape[1] * 2)
-        names.append(nm)
-        vals.append(v)
-    return tuple(names), tuple(vals)
-
-
 @functools.partial(jax.jit, static_argnames=(
     "kind", "shape", "plane_names", "tn", "G", "interpret", "permute", "mxu_f32"))
 def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
               permute=False, mxu_f32=False):
-    global _MXU_F32
+    global _MXU_F32, _INTERPRET
     N, K = shape
     B = x.shape[0]
-    plane_names, plane_vals = _s4_expand(plane_names, plane_vals)
     planes = dict(zip(plane_names, plane_vals))
     # large-B (prefill) row tiling: a [B, K] activation block stops fitting
     # VMEM around B*K = 8M elements; split rows with N OUTER in the grid so
@@ -378,12 +371,15 @@ def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
                     break
     def plane_spec(name, idx_t, idx_n):
         # transposed [S, N] planes tile as (S, tn) with the row grid index
-        # in the minor dim (see TRANSPOSED_SB_PLANES)
+        # in the minor dim (see TRANSPOSED_SB_PLANES); the row-pair-packed
+        # qsv plane carries 2 weight rows per stored row, so its block is
+        # (tn/2, K) with the same block index
         pv = planes[name]
         if name.endswith("T"):
             return pl.BlockSpec((pv.shape[0], tn), idx_t,
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((tn, pv.shape[1]), idx_n, memory_space=pltpu.VMEM)
+        rows = tn // 2 if name == "qsv" else tn
+        return pl.BlockSpec((rows, pv.shape[1]), idx_n, memory_space=pltpu.VMEM)
 
     if tb:
         grid = (N // tn, B // tb)
@@ -408,6 +404,7 @@ def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
         dims = ("arbitrary",)
     kernel = functools.partial(_qmm_kernel, kind, plane_names, G, permute)
     _MXU_F32 = mxu_f32  # trace-time; jit caches on the static arg
+    _INTERPRET = interpret
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -432,6 +429,7 @@ def _qmm_call(x, plane_vals, kind, shape, plane_names, tn, G, interpret=False,
         )(x, *(planes[n] for n in plane_names))
     finally:
         _MXU_F32 = False
+        _INTERPRET = False
 
 
 _TN_OVERRIDE = int(os.environ.get("LLAMACOG_QMM_TN", "0"))
@@ -446,11 +444,25 @@ KIND_BITS = {"Q2_K": 3.0, "Q3_K": 4.0, "Q4_0": 5.0, "Q4_1": 6.0, "IQ4_NL": 5.0,
              "IQ3_S": 5.0, "IQ1_S": 4.0, "IQ1_M": 10.0}
 
 
-def pick_tile_n(N: int, K: int, kind: str) -> int:
+# measured decode (matvec-B) tile sizes on v5e (scripts/exp_tn_sweep.py,
+# e2e-confirmed by bench.py): the heuristic below picks 512/128 for these,
+# which leaves 20-30% of the DMA roofline on the table at the ffn shapes
+_DECODE_TN_V5E = {
+    ("Q4_K", 28672, 4096): 1024,   # gate_up fused: 120 -> 94 us
+    ("Q4_K", 4096, 14336): 512,    # ffn_down:       64 -> 45 us
+}
+
+
+def pick_tile_n(N: int, K: int, kind: str, b: int = 1) -> int:
     """Rows per grid step, sized so payload (2x double-buffered) + decoded
-    bf16 tile + f32 scale tile fit comfortably in VMEM."""
+    bf16 tile + f32 scale tile fit comfortably in VMEM. At matvec batch
+    sizes a measured per-shape table overrides the heuristic."""
     if _TN_OVERRIDE:
         return _TN_OVERRIDE if N % _TN_OVERRIDE == 0 else 0
+    if b <= 8:
+        tn = _DECODE_TN_V5E.get((kind, N, K))
+        if tn and N % tn == 0:
+            return tn
     bits = KIND_BITS.get(kind, 8.0)
     # bytes per weight row resident: 2x payload + bf16 decoded + f32 scale tile
     row_bytes = K * (2 * bits / 8 + 2.0 + 4.0)
@@ -474,13 +486,9 @@ def pick_tile_n(N: int, K: int, kind: str) -> int:
                               "interpret", "mxu_f32"))
 def _qmm_multi_call(xs, all_plane_vals, kinds, shapes, names, tns, Gs,
                     interpret=False, mxu_f32=False):
-    global _MXU_F32
+    global _MXU_F32, _INTERPRET
     nt = len(kinds)
     B = xs[0].shape[0]
-    if any("qs4p" in n for n in names):
-        conv = [_s4_expand(n, v) for n, v in zip(names, all_plane_vals)]
-        names = tuple(c[0] for c in conv)
-        all_plane_vals = tuple(c[1] for c in conv)
     steps = [shapes[t][0] // tns[t] for t in range(nt)]
     bounds = tuple(int(np.sum(steps[:t])) for t in range(nt + 1))
     in_specs = [
@@ -499,8 +507,9 @@ def _qmm_multi_call(xs, all_plane_vals, kinds, shapes, names, tns, Gs,
                      (0, jnp.clip(i - _lo, 0, _hi - _lo - 1))),
                     memory_space=pltpu.VMEM)
             else:
+                rows = tns[t] // 2 if nm == "qsv" else tns[t]
                 spec = pl.BlockSpec(
-                    (tns[t], pv.shape[1]),
+                    (rows, pv.shape[1]),
                     (lambda i, _lo=lo, _hi=hi:
                      (jnp.clip(i - _lo, 0, _hi - _lo - 1), 0)),
                     memory_space=pltpu.VMEM)
@@ -517,6 +526,7 @@ def _qmm_multi_call(xs, all_plane_vals, kinds, shapes, names, tns, Gs,
     ]
     kernel = functools.partial(_qmm_multi_kernel, kinds, names, Gs, bounds)
     _MXU_F32 = mxu_f32
+    _INTERPRET = interpret
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -543,6 +553,7 @@ def _qmm_multi_call(xs, all_plane_vals, kinds, shapes, names, tns, Gs,
         )(*xs, *flat_planes)
     finally:
         _MXU_F32 = False
+        _INTERPRET = False
 
 
 def qmm_multi(x: jnp.ndarray, qts, interpret: bool = False):
@@ -559,7 +570,7 @@ def qmm_multi(x: jnp.ndarray, qts, interpret: bool = False):
     xs, shapes, names_all, tns, Gs, kinds, planes_all = [], [], [], [], [], [], []
     for qt in qts:
         N, K = int(np.prod(qt.shape[:-1])), qt.shape[-1]
-        tn = pick_tile_n(N, K, qt.kind)
+        tn = pick_tile_n(N, K, qt.kind, b=B)
         if tn == 0:
             raise ValueError(f"N={N} not tileable")
         dec, names, gplane = TILE_DECODERS[qt.kind]
@@ -584,7 +595,7 @@ def qmm(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False) -> jnp.ndarray
     lead = x.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
     xp = permute_activation(x, qt).reshape(B, K)
-    tn = pick_tile_n(N, K, qt.kind)
+    tn = pick_tile_n(N, K, qt.kind, b=B)
     if tn == 0:
         raise ValueError(f"N={N} not tileable")
     dec, names, gplane = TILE_DECODERS[qt.kind]

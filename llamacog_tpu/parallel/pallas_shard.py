@@ -70,7 +70,7 @@ def sharded_qmm(x: jnp.ndarray, qt, mesh) -> jnp.ndarray | None:
 
     if qt.pspec == "row":
         n_local = N // m
-        tn = pick_tile_n(n_local, K, qt.kind)
+        tn = pick_tile_n(n_local, K, qt.kind, b=B)
         if tn == 0:
             return None
 
@@ -92,7 +92,7 @@ def sharded_qmm(x: jnp.ndarray, qt, mesh) -> jnp.ndarray | None:
 
     # col
     k_local = K // m
-    tn = pick_tile_n(N, k_local, qt.kind)
+    tn = pick_tile_n(N, k_local, qt.kind, b=B)
     if tn == 0:
         return None
     n_slices = _COL_SLICES[qt.kind]
@@ -105,8 +105,11 @@ def sharded_qmm(x: jnp.ndarray, qt, mesh) -> jnp.ndarray | None:
                          interp, mxu_f32=mxu_f32)
         return jax.lax.psum(part, "model")
 
+    # payload planes (qs, or the row-pair-packed qsv) carry K in dim 1 and
+    # shard with the activation; scale/min planes stay replicated
     specs = tuple(
-        P(None, "model") if n == "qs" else P(None, None) for n in names
+        P(None, "model") if n in ("qs", "qsv") else P(None, None)
+        for n in names
     )
     out = shard_map(
         local_col, mesh=mesh,

@@ -50,7 +50,7 @@ def _fit_spec(shape, spec: P, mesh: Mesh) -> P:
 
 # payload planes carry packed codes/signs along K; everything else is a
 # per-group scale/min plane (quant/planar.py layout)
-_PAYLOAD_PLANES = ("qs", "qs4p", "qh", "sg", "hb", "w")
+_PAYLOAD_PLANES = ("qs", "qsv", "qh", "sg", "hb", "w")
 
 _ACTIVE_MESH: Mesh | None = None
 
@@ -135,7 +135,7 @@ def _put_quant(x: QuantTensor, mesh: Mesh, spec: P) -> QuantTensor:
     # width must stay a multiple of the group count G so `c mod G` still
     # indexes the group within the shard
     payload = [n for n in x.planes if n in _PAYLOAD_PLANES]
-    ok = K % m == 0 and G > 0 and payload in (["qs"], ["qs4p"])
+    ok = K % m == 0 and G > 0 and payload in (["qs"], ["qsv"])
     if ok:
         w = x.planes[payload[0]].shape[-1]
         if w % m != 0 or (w // m) % G != 0:
@@ -144,7 +144,7 @@ def _put_quant(x: QuantTensor, mesh: Mesh, spec: P) -> QuantTensor:
         return QuantTensor(x.kind, x.shape, rep(x), None)
     planes = {}
     for name, plane in x.planes.items():
-        ps = (P(None, "model") if name in ("qs", "qs4p")
+        ps = (P(None, "model") if name in ("qs", "qsv")
               else P(*([None] * plane.ndim)))
         planes[name] = jax.device_put(plane, NamedSharding(mesh, ps))
     return QuantTensor(x.kind, x.shape, planes, "col")

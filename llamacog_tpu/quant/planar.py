@@ -427,22 +427,28 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         if t == GGMLType.Q4_K:
             ints = _unpack_k4_elems(data[:, :, 16:144].reshape(-1, 128)).reshape(N, K)
             import os as _os
-            if len(shape) <= 2 and _os.environ.get("LLAMACOG_Q4_S4") == "1":
-                # Q4_KS4: (q-8) two's-complement nibbles, ADJACENT strided
-                # cols per byte (byte j = cols 2j | 2j+1 << 4) — a bitcast
-                # to int4 at qmm dispatch yields the strided order directly,
-                # so the kernel is ONE s4 load+cast+mul full-width dot at
-                # the same streamed bytes (no mask/shift unpack, no dual
+            if (len(shape) <= 2 and N % 2 == 0
+                    and _os.environ.get("LLAMACOG_Q4_S4") == "1"):
+                # Q4_KS4: (q-8) two's-complement nibbles, ROW-PAIR packed
+                # (qsv u8 [N/2, K]: byte (r, c) = row 2r's nibble | row
+                # 2r+1's << 4). Mosaic's pltpu.bitcast(u8, int4) expands
+                # the sublane dim with exactly this pairing — int4 row
+                # 2r+n = nibble n of u8 row r — so the kernel gets the
+                # [TN, K] s4 weight tile rows-in-order as a free register
+                # reinterpret: ONE load+cast+mul full-width dot at the
+                # same streamed bytes (no mask/shift unpack, no dual
                 # half-dots). Measured 102.7 us vs 114.8 at the gate_up
-                # matvec shape = the DMA roofline (scripts/exp_s4.py).
+                # matvec shape = the DMA roofline (scripts/exp_s4.py);
+                # in-kernel bitcast keeps planes u8 across jit boundaries
+                # (int4 jit args recurse in jax 0.9.0, and a trace-level
+                # conversion re-materializes GBs inside decode loops).
                 # The +8 moves into the correction dot:
                 # corr = mins - 8*scales (ops/pallas/qmm._dec_q4_ks4).
                 # 3-D (stacked-expert) tensors keep classic Q4_K: the
-                # expert-gather kernels take planes directly with no XLA
-                # conversion point.
+                # expert-gather kernels index rows dynamically.
                 v = (_sb_strided(ints, 32).astype(np.int16) - 8) & 0xF
                 v = v.astype(np.uint8)
-                p["qs4p"] = (v[:, 0::2] | (v[:, 1::2] << 4)).astype(np.uint8)
+                p["qsv"] = (v[0::2] | (v[1::2] << 4)).astype(np.uint8)
                 return QuantTensor("Q4_KS4", tuple(shape), p)
             p["qs"] = _pack4(_sb_strided(ints, 32))
         else:
@@ -618,11 +624,11 @@ def decode_strided(qt: QuantTensor) -> jnp.ndarray:
         # mins recombined from the compact planes: group-plane col j's
         # superblock is j % S (see _sb_strided)
         if kind == "Q4_KS4":
-            # adjacent-pair (q-8) nibbles: interleave back then re-offset
-            q = p["qs4p"].astype(jnp.int32)
+            # row-pair (q-8) nibbles: interleave rows back then re-offset
+            q = p["qsv"].astype(jnp.int32)
             lo, hi = q & 0xF, q >> 4
-            v = jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1],
-                                                     2 * q.shape[-1])
+            v = jnp.stack([lo, hi], axis=1).reshape(2 * q.shape[0],
+                                                    q.shape[-1])
             v = ((v + 8) & 0xF).astype(jnp.float32)  # q = sext4(n) + 8
         elif kind == "Q4_K":
             v = _unpack4_j(p["qs"]).astype(jnp.float32)
@@ -673,6 +679,19 @@ def gather_rows(qt: QuantTensor, idx: jnp.ndarray) -> QuantTensor:
     if len(qt.shape) != 2:
         raise ValueError("gather_rows expects a 2-D QuantTensor")
     flat_idx = idx.reshape(-1)
+    if qt.kind == "Q4_KS4":
+        # row-pair-packed qsv: weight row r lives in plane row r//2,
+        # nibble r%2. Gather the pair rows, select the nibble, and repack
+        # as a classic Q4_K sub-tensor (split _pack4 layout) — the other
+        # planes are identical between the two kinds.
+        K = qt.shape[-1]
+        q = jnp.take(qt.planes["qsv"], flat_idx // 2, axis=0).astype(jnp.int32)
+        nib = jnp.where((flat_idx % 2 == 0)[:, None], q & 0xF, q >> 4)
+        v = (nib + 8) & 0xF  # wire codes 0..15, strided order
+        planes = {k: jnp.take(p, flat_idx, axis=1 if k.endswith("T") else 0)
+                  for k, p in qt.planes.items() if k != "qsv"}
+        planes["qs"] = (v[:, : K // 2] | (v[:, K // 2:] << 4)).astype(jnp.uint8)
+        return QuantTensor("Q4_K", (int(flat_idx.shape[0]), K), planes)
     # transposed superblock planes ([S, N]) carry the row dim in axis 1
     planes = {k: jnp.take(v, flat_idx, axis=1 if k.endswith("T") else 0)
               for k, v in qt.planes.items()}

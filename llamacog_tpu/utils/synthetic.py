@@ -28,7 +28,7 @@ _PLANES = {
     "Q4_K": (("qs", 2, jnp.uint8), ("scales", 32, jnp.float32),
              ("dmin_sb", 256, jnp.float32), ("m", 32, jnp.uint8)),
     # 2-D Q4_K tensors use the native-s4 layout (quant/planar.from_gguf)
-    "Q4_KS4": (("qs4p", 2, jnp.uint8), ("scales", 32, jnp.float32),
+    "Q4_KS4": (("qsv", 2, jnp.uint8), ("scales", 32, jnp.float32),
                ("dmin_sb", 256, jnp.float32), ("m", 32, jnp.uint8)),
     "Q5_K": (("qs", 2, jnp.uint8), ("qh", 8, jnp.uint8),
              ("scales", 32, jnp.float32),
@@ -55,16 +55,20 @@ _PLANES = {
 
 def _rand_qt(key, kind: str, n: int, k: int, expert: bool = False) -> QuantTensor:
     import os as _os
-    if kind == "Q4_K" and not expert and _os.environ.get("LLAMACOG_Q4_S4") == "1":
-        # opt-in native-s4 layout: the standalone kernel measures AT the
-        # DMA roofline (scripts/exp_s4.py, 102.7 vs 114.8 us at gate_up)
-        # but the full 8B decode graph faults the TPU worker (Mosaic s4
-        # at some production shape) — default off until root-caused.
+    if (kind == "Q4_K" and not expert and n % 2 == 0
+            and _os.environ.get("LLAMACOG_Q4_S4") == "1"):
+        # opt-in native-s4 layout (in-kernel pltpu.bitcast of the
+        # row-pair-packed qsv plane, quant/planar.from_gguf). Measured
+        # r5: correct at every shape, but the re-tiled CLASSIC kernel
+        # beats it (gate_up tn1024: 94 us classic vs 108 us s4 best —
+        # scripts/exp_s4_ab.py, exp_tn_sweep.py), so classic stays the
+        # default and s4 remains available for experimentation.
         kind = "Q4_KS4"
     planes = {}
     for i, (name, div, dt) in enumerate(_PLANES[kind]):
         sub = jax.random.fold_in(key, i)
-        shape = (n, k // div)
+        # qsv row-pair packs two weight rows per stored row: [N/2, K]
+        shape = (n // 2, k) if name == "qsv" else (n, k // div)
         if name in ("dmin_sb", "d_sb") and not expert:
             # 2-D tensors store superblock planes transposed [S, N]
             # (quant/planar._sb_scale_plane: keeps the minor dim a
