@@ -65,7 +65,8 @@ def wire_bytes(params) -> int:
             n = 1
             for s in t.shape:
                 n *= s
-            kind = {"Q4_KS4": "Q4_K"}.get(t.kind, t.kind)  # runtime alias
+            kind = {"Q4_KS4": "Q4_K", "Q4_KC": "Q4_K",
+                "Q6_KP": "Q6_K"}.get(t.kind, t.kind)  # runtime alias
             return row_nbytes(getattr(GGMLType, kind), n)
         return t.size * t.dtype.itemsize
 

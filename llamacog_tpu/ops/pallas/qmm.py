@@ -218,6 +218,27 @@ def _dec_q4_ks4(p):
     return [_wm(w4, st)], _kq_mins(p) - 8.0 * st_g
 
 
+def _dec_q4_kc(p):
+    """Q4_KC: compact st side — st = d_sb[j % S] * sc[j] recombined on the
+    [TN, G] plane (1/32 of elements), streaming 0.375 b/w for scales
+    instead of the premultiplied f32 plane's 1.0 (quant/planar.from_gguf).
+    d and dmin ride ONE merged transposed plane ddm_sbT [2S, N] (a kernel
+    with two minor-indexed [S, N] planes measured 120 -> 197 us at
+    gate_up, scripts/exp_csc_variants.py). Identical f32 products, so
+    bit-exact vs the Q4_K path."""
+    G = p["scq"].shape[-1]
+    dd = p["ddm_sbT"]  # [2S, TN]: rows 0..S-1 = d, S..2S-1 = dmin
+    S = dd.shape[0] // 2
+    # ONE [2S, TN] -> [TN, 2S] transpose per tile (the classic kernel's
+    # dmin budget — a second per-tile transpose measured +2-3 us/grid
+    # step); d and dmin come off it as cheap lane slices
+    ddT = dd.T
+    st_g = _rep(ddT[:, :S], G // S) * _u8f(p["scq"])
+    mins = _rep(ddT[:, S:], G // S) * _u8f(p["m"])
+    st = _rep_to(st_g, p["qs"].shape[-1])
+    return [_wm(v, st) for v in _nib(p["qs"])], mins
+
+
 def _dec_q5_K(p):
     st = _rep_to(p["scales"], p["qs"].shape[-1])
     hb = _bits(p["qh"], 2)
@@ -232,6 +253,21 @@ def _dec_q6_K(p):
     G = p["sc"].shape[-1]
     st_g = _sb_expand(_sb_plane(p, "d_sb"), G) * p["sc"].astype(jnp.float32)
     return [_wm(p["qs"], _rep_to(st_g, p["qs"].shape[-1]))], None
+
+
+def _dec_q6_kp(p):
+    """Q6_KP: packed 6-bit payload (4-bit split-packed qs + 2-bit qh,
+    quant/planar.from_gguf) — 6.625 b/w streamed vs the int8 predecode's
+    8.625. Raw levels q in [0, 64); the -32 folds into the correction dot
+    (corr = 32 * st). st recombined like Q6_K."""
+    G = p["sc"].shape[-1]
+    st_g = _sb_expand(_sb_plane(p, "d_sb"), G) * p["sc"].astype(jnp.float32)
+    st = _rep_to(st_g, p["qs"].shape[-1])
+    lo = _nib(p["qs"])
+    cr = _crumbs(p["qh"])
+    hi = [jnp.concatenate([cr[0], cr[1]], axis=-1),
+          jnp.concatenate([cr[2], cr[3]], axis=-1)]
+    return ([_wm(lo[i] | (hi[i] << 4), st) for i in range(2)], 32.0 * st_g)
 
 
 def _dec_i8(scale_name, p):
@@ -264,8 +300,10 @@ TILE_DECODERS = {
     "Q3_K": (_dec_q3_K, ("qs", "scales"), "scales"),
     "Q4_K": (_dec_q4_K, ("qs", "scales", "dmin_sb", "m"), "scales"),
     "Q4_KS4": (_dec_q4_ks4, ("qsv", "scales", "dmin_sb", "m"), "scales"),
+    "Q4_KC": (_dec_q4_kc, ("qs", "scq", "ddm_sbT", "m"), "scq"),
     "Q5_K": (_dec_q5_K, ("qs", "qh", "scales", "dmin_sb", "m"), "scales"),
     "Q6_K": (_dec_q6_K, ("qs", "d_sb", "sc"), "sc"),
+    "Q6_KP": (_dec_q6_kp, ("qs", "qh", "d_sb", "sc"), "sc"),
     "IQ4_NL": (functools.partial(_dec_i8, "d"), ("qs", "d"), "d"),
     "IQ4_XS": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
     "IQ2_XXS": (functools.partial(_dec_i8, "scales"), ("qs", "scales"), "scales"),
@@ -437,7 +475,8 @@ _TN_OVERRIDE = int(os.environ.get("LLAMACOG_QMM_TN", "0"))
 # streamed bits/weight per kind (tile-size sizing input for pick_tile_n;
 # extendable by measurement scripts that register experimental kinds)
 KIND_BITS = {"Q2_K": 3.0, "Q3_K": 4.0, "Q4_0": 5.0, "Q4_1": 6.0, "IQ4_NL": 5.0,
-             "IQ4_XS": 5.0, "Q4_K": 5.4, "Q4_KS4": 5.4,
+             "IQ4_XS": 5.0, "Q4_K": 5.4, "Q4_KS4": 5.4, "Q4_KC": 4.8,
+             "Q6_KP": 6.7,
              "Q5_0": 6.0, "Q5_1": 7.0, "Q5_K": 6.4,
              "Q6_K": 8.6, "Q8_0": 10.0,
              "IQ2_XXS": 4.0, "IQ2_XS": 5.0, "IQ2_S": 5.0, "IQ3_XXS": 5.0,
@@ -450,6 +489,8 @@ KIND_BITS = {"Q2_K": 3.0, "Q3_K": 4.0, "Q4_0": 5.0, "Q4_1": 6.0, "IQ4_NL": 5.0,
 _DECODE_TN_V5E = {
     ("Q4_K", 28672, 4096): 1024,   # gate_up fused: 120 -> 94 us
     ("Q4_K", 4096, 14336): 512,    # ffn_down:       64 -> 45 us
+    ("Q4_KC", 28672, 4096): 1024,  # compact-scales variants of the same
+    ("Q4_KC", 4096, 14336): 512,
 }
 
 

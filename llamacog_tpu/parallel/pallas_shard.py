@@ -31,6 +31,7 @@ except ImportError:  # pragma: no cover
 
 # decoded slices per payload byte-plane for the col-shardable formats
 _COL_SLICES = {"Q8_0": 1, "Q4_KS4": 1, "Q4_0": 2, "Q4_1": 2, "Q4_K": 2,
+               "Q4_KC": 2,
                "IQ4_NL": 2, "IQ4_XS": 2, "Q2_K": 4}
 
 

@@ -38,8 +38,9 @@ from .decode_np import KVALUES_IQ4NL
 # scale-group size per type (elements per scale)
 GROUP_SIZE = {
     "Q4_0": 32, "Q4_1": 32, "Q5_0": 32, "Q5_1": 32, "Q8_0": 32,
-    "IQ4_NL": 32, "IQ4_XS": 32, "Q4_K": 32, "Q4_KS4": 32, "Q5_K": 32,
-    "Q2_K": 16, "Q3_K": 16, "Q6_K": 16,
+    "IQ4_NL": 32, "IQ4_XS": 32, "Q4_K": 32, "Q4_KS4": 32, "Q4_KC": 32,
+    "Q5_K": 32,
+    "Q2_K": 16, "Q3_K": 16, "Q6_K": 16, "Q6_KP": 16,
     "IQ2_XXS": 32, "IQ2_XS": 16, "IQ2_S": 16,
     "IQ3_XXS": 32, "IQ3_S": 32, "IQ1_S": 32, "IQ1_M": 8,
     "TQ1_0": 256, "TQ2_0": 256,
@@ -115,7 +116,7 @@ def _strided(vals: np.ndarray, R: int) -> np.ndarray:
 # main dot's operand prep, docs/PERF.md round-4). Groups are strided over
 # superblocks so the [N, S] plane tiles to group width with one
 # pltpu.repeat: plane column j holds original group (j % S)*SB + j//S.
-SB_STRIDED_KINDS = ("Q4_K", "Q4_KS4", "Q5_K", "Q6_K")
+SB_STRIDED_KINDS = ("Q4_K", "Q4_KS4", "Q4_KC", "Q5_K", "Q6_K", "Q6_KP")
 
 
 def _sb_strided(vals: np.ndarray, R: int) -> np.ndarray:
@@ -412,17 +413,32 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         # bytes/el buys ~3x fewer decode ops; q3_k measured VPU-bound)
         p["qs"] = _pack4(_strided(q2 | (hb << 2), 16))
     elif t in (GGMLType.Q4_K, GGMLType.Q5_K):
-        sc, mn = _k4_scale_min(data[:, :, 4:16].reshape(-1, 12))
-        sc = sc.reshape(N, nb, 8).astype(np.float32)
+        import os as _os
+        sc_u8, mn = _k4_scale_min(data[:, :, 4:16].reshape(-1, 12))
+        sc = sc_u8.reshape(N, nb, 8).astype(np.float32)
         d = _f16(data[:, :, 0:2]).astype(np.float32)
-        # st plane stays pre-multiplied f32 (d*sc, exact — f16 x 6-bit int);
-        # the MINS side is compact: dmin f32 per superblock [N, S] + the
-        # 6-bit m as u8 per group, recombined in-kernel on the correction
-        # plane only (measured r4: gate_up matvec 122 -> 110 us; compacting
-        # the st plane the same way measured SLOWER — it sits on the main
-        # dot's operand-prep path)
-        p["scales"] = _sb_group_order(d * sc)
-        p.update(_sb_scale_plane("dmin_sb", _f16(data[:, :, 2:4]).reshape(N, nb), shape))
+        compact_sc = (t == GGMLType.Q4_K and len(shape) <= 2
+                      and _os.environ.get("LLAMACOG_Q4K_CSC") == "1"
+                      and _os.environ.get("LLAMACOG_Q4_S4") != "1")
+        if compact_sc:
+            # Q4_KC: COMPACT st side — 6-bit sc as u8 per group + the f16
+            # superblock d/dmin as ONE merged transposed f32 plane
+            # ddm_sbT [2S, N] (rows 0..S-1 = d, S..2S-1 = dmin; merged
+            # because a kernel with TWO minor-indexed [S, N] planes
+            # measured 120 -> 197 us at gate_up — scripts/
+            # exp_csc_variants.py — while one is free). st and mins are
+            # recombined in-kernel (st = d_sb[j % S] * sc[j], exact f32
+            # product, same value as the premultiplied plane). Streams
+            # 0.375 b/w of scale data instead of the f32 plane's 1.0.
+            dmin = _f16(data[:, :, 2:4]).reshape(N, nb)
+            p["ddm_sbT"] = np.ascontiguousarray(
+                np.concatenate([d.reshape(N, nb), dmin], axis=1).T)
+            p["scq"] = _sb_group_order(sc_u8.reshape(N, nb, 8))
+        else:
+            # premultiplied f32 st plane (d*sc, exact — f16 x 6-bit int)
+            p["scales"] = _sb_group_order(d * sc)
+            p.update(_sb_scale_plane(
+                "dmin_sb", _f16(data[:, :, 2:4]).reshape(N, nb), shape))
         p["m"] = _sb_group_order(mn.reshape(N, nb, 8))
         if t == GGMLType.Q4_K:
             ints = _unpack_k4_elems(data[:, :, 16:144].reshape(-1, 128)).reshape(N, K)
@@ -451,6 +467,10 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
                 p["qsv"] = (v[0::2] | (v[1::2] << 4)).astype(np.uint8)
                 return QuantTensor("Q4_KS4", tuple(shape), p)
             p["qs"] = _pack4(_sb_strided(ints, 32))
+            if compact_sc:
+                return QuantTensor(
+                    "Q4_KC", tuple(shape),
+                    {k: np.ascontiguousarray(v) for k, v in p.items()})
         else:
             lo = _unpack_k4_elems(data[:, :, 48:176].reshape(-1, 128)).reshape(N, K)
             hb = _superblock_bits(data[:, :, 16:48].reshape(-1, 32)).reshape(N, K).astype(np.uint8)
@@ -471,10 +491,27 @@ def from_gguf(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
             axis=2,
         )  # [-1, 2, 128]
         hi = np.concatenate([(qh >> (2 * s)) & 3 for s in range(4)], axis=2)
-        # signed int8 levels (q - 32), like the LUT formats: the packed
-        # 4+2-bit in-kernel reassembly measured VPU-BOUND at 8B decode.
-        # One byte/level + no qh reassembly keeps the kernel under the DMA
-        # stream. Values stay bit-exact.
+        import os as _os
+        if (len(shape) <= 2
+                and _os.environ.get("LLAMACOG_Q6K_PACK") == "1"):
+            # Q6_KP: packed 6-bit payload — raw levels q in [0, 64) as a
+            # 4-bit plane (split _pack4) + a 2-bit plane (_pack2), both in
+            # superblock-strided order. 6.625 b/w streamed instead of the
+            # int8 predecode's 8.625; in-kernel reassembly is one extra
+            # shift+or per slice (Q5_K-class work). The r2-era "VPU-bound"
+            # measurement predates the tn table; re-measured r5, the 8B
+            # decode kernels sit AT the DMA roofline so the 2 b/w win
+            # dominates. Value path unchanged: (q - 32) folds into the
+            # correction dot (corr = 32 * st).
+            q6 = (lo.reshape(N, K) | (hi.reshape(N, K) << 4)).astype(np.uint8)
+            sv = _sb_strided(q6, 16)
+            p["qs"] = _pack4(sv & 0xF)
+            p["qh"] = _pack2(sv >> 4)
+            return QuantTensor(
+                "Q6_KP", tuple(shape),
+                {k: np.ascontiguousarray(v) for k, v in p.items()})
+        # 3-D (stacked-expert) tensors: signed int8 levels (q - 32), like
+        # the LUT formats — one byte/level, no qh reassembly
         q6 = (lo.reshape(N, K).astype(np.int16) | (hi.reshape(N, K).astype(np.int16) << 4)) - 32
         p["qs"] = _sb_strided(q6.astype(np.int8).view(np.uint8), 16).view(np.int8)
     elif t == GGMLType.IQ4_XS:
@@ -620,7 +657,7 @@ def decode_strided(qt: QuantTensor) -> jnp.ndarray:
     if kind == "Q3_K":
         v = _unpack4_j(p["qs"]).astype(jnp.float32) - 4.0
         return v * _tile_scale_j(p["scales"], 16)
-    if kind in ("Q4_K", "Q4_KS4", "Q5_K"):
+    if kind in ("Q4_K", "Q4_KS4", "Q4_KC", "Q5_K"):
         # mins recombined from the compact planes: group-plane col j's
         # superblock is j % S (see _sb_strided)
         if kind == "Q4_KS4":
@@ -630,20 +667,33 @@ def decode_strided(qt: QuantTensor) -> jnp.ndarray:
             v = jnp.stack([lo, hi], axis=1).reshape(2 * q.shape[0],
                                                     q.shape[-1])
             v = ((v + 8) & 0xF).astype(jnp.float32)  # q = sext4(n) + 8
-        elif kind == "Q4_K":
+        elif kind in ("Q4_K", "Q4_KC"):
             v = _unpack4_j(p["qs"]).astype(jnp.float32)
         else:
             v = (_unpack4_j(p["qs"]) | (_unpack1_j(p["qh"]) << 4)).astype(jnp.float32)
         G = p["m"].shape[-1]
-        dmin = _sb_plane_j(p, "dmin_sb")
+        if kind == "Q4_KC":
+            dmin = p["ddm_sbT"][p["ddm_sbT"].shape[0] // 2:].T
+        else:
+            dmin = _sb_plane_j(p, "dmin_sb")
         mins = jnp.tile(dmin, (1, G // dmin.shape[-1])) * p["m"].astype(jnp.float32)
-        return v * _tile_scale_j(p["scales"], 32) - _tile_scale_j(mins, 32)
-    if kind == "Q6_K":
-        # int8 levels (q - 32), see from_gguf; scale = d_sb[j % S] * sc[j]
+        if kind == "Q4_KC":
+            d_sb = p["ddm_sbT"][: p["ddm_sbT"].shape[0] // 2].T
+            st = jnp.tile(d_sb, (1, G // d_sb.shape[-1])) * p["scq"].astype(jnp.float32)
+        else:
+            st = p["scales"]
+        return v * _tile_scale_j(st, 32) - _tile_scale_j(mins, 32)
+    if kind in ("Q6_K", "Q6_KP"):
+        # scale = d_sb[j % S] * sc[j]; levels are signed int8 (q - 32) for
+        # Q6_K, packed raw 4+2-bit codes (q, minus 32 here) for Q6_KP
         G = p["sc"].shape[-1]
         d_sb = _sb_plane_j(p, "d_sb")
         st = jnp.tile(d_sb, (1, G // d_sb.shape[-1])) * p["sc"].astype(jnp.float32)
-        return p["qs"].astype(jnp.float32) * _tile_scale_j(st, 16)
+        if kind == "Q6_KP":
+            v = (_unpack4_j(p["qs"]) | (_unpack2_j(p["qh"]) << 4)).astype(jnp.float32) - 32.0
+        else:
+            v = p["qs"].astype(jnp.float32)
+        return v * _tile_scale_j(st, 16)
     R = GROUP_SIZE.get(kind, 32)
     if kind in ("IQ4_NL", "IQ4_XS", "IQ2_XXS", "IQ2_XS", "IQ2_S",
                 "IQ3_XXS", "IQ3_S"):

@@ -33,7 +33,8 @@ def _write_param(w: GGUFWriter, name: str, value, ftype: str) -> None:
     if isinstance(value, QuantTensor):
         # runtime-only kinds alias their wire format (Q4_KS4 re-encodes as
         # Q4_K; decode() handles the planar variant)
-        t = GGMLType[{"Q4_KS4": "Q4_K"}.get(value.kind, value.kind)]
+        t = GGMLType[{"Q4_KS4": "Q4_K", "Q4_KC": "Q4_K",
+                      "Q6_KP": "Q6_K"}.get(value.kind, value.kind)]
         dense = np.asarray(decode(value), np.float32)
         w.add_tensor(name, quantize_tensor(dense, t).tobytes(),
                      shape=value.shape, ggml_type=t)

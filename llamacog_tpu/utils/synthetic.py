@@ -30,10 +30,17 @@ _PLANES = {
     # 2-D Q4_K tensors use the native-s4 layout (quant/planar.from_gguf)
     "Q4_KS4": (("qsv", 2, jnp.uint8), ("scales", 32, jnp.float32),
                ("dmin_sb", 256, jnp.float32), ("m", 32, jnp.uint8)),
+    # compact-scales Q4_K (2-D default): 6-bit sc u8 + ONE merged
+    # transposed d/dmin superblock plane ddm_sbT [2S, N]
+    "Q4_KC": (("qs", 2, jnp.uint8), ("scq", 32, jnp.uint8),
+              ("ddm_sbT", 128, jnp.float32), ("m", 32, jnp.uint8)),
     "Q5_K": (("qs", 2, jnp.uint8), ("qh", 8, jnp.uint8),
              ("scales", 32, jnp.float32),
              ("dmin_sb", 256, jnp.float32), ("m", 32, jnp.uint8)),
     "Q6_K": (("qs", 1, jnp.int8), ("d_sb", 256, jnp.float32), ("sc", 16, jnp.int8)),
+    # packed 6-bit Q6_K (2-D default): 4-bit qs + 2-bit qh payload planes
+    "Q6_KP": (("qs", 2, jnp.uint8), ("qh", 4, jnp.uint8),
+              ("d_sb", 256, jnp.float32), ("sc", 16, jnp.int8)),
     "Q2_K": (("qs", 4, jnp.uint8), ("scales", 16, jnp.float32), ("mins", 16, jnp.float32)),
     "Q3_K": (("qs", 2, jnp.uint8), ("scales", 16, jnp.float32)),
     "Q4_0": (("qs", 2, jnp.uint8), ("d", 32, jnp.float32)),
@@ -55,6 +62,22 @@ _PLANES = {
 
 def _rand_qt(key, kind: str, n: int, k: int, expert: bool = False) -> QuantTensor:
     import os as _os
+    if (kind == "Q4_K" and not expert
+            and _os.environ.get("LLAMACOG_Q4K_CSC") == "1"
+            and _os.environ.get("LLAMACOG_Q4_S4") != "1"):
+        # opt-in compact-scales layout (quant/planar.from_gguf Q4_KC):
+        # streams 0.375 b/w of scale data instead of the f32 plane's 1.0,
+        # but measured r5 the 8B decode kernels sit at the VPU/DMA
+        # crossover and the [TN, G] recombine costs more than the bytes
+        # save (gate_up in-model 108 -> 129 us; e2e 104.1 -> 101.9 t/s)
+        kind = "Q4_KC"
+    if (kind == "Q6_K" and not expert
+            and _os.environ.get("LLAMACOG_Q6K_PACK") == "1"):
+        # opt-in packed 6-bit payload (quant/planar.from_gguf Q6_KP):
+        # 6.625 b/w streamed vs the int8 predecode's 8.625, but the 4+2
+        # reassembly is VPU-bound (head 753 -> 909 us standalone; e2e
+        # 104.1 -> 97.0 t/s) — int8 predecode stays the default
+        kind = "Q6_KP"
     if (kind == "Q4_K" and not expert and n % 2 == 0
             and _os.environ.get("LLAMACOG_Q4_S4") == "1"):
         # opt-in native-s4 layout (in-kernel pltpu.bitcast of the
@@ -67,8 +90,14 @@ def _rand_qt(key, kind: str, n: int, k: int, expert: bool = False) -> QuantTenso
     planes = {}
     for i, (name, div, dt) in enumerate(_PLANES[kind]):
         sub = jax.random.fold_in(key, i)
-        # qsv row-pair packs two weight rows per stored row: [N/2, K]
-        shape = (n // 2, k) if name == "qsv" else (n, k // div)
+        # qsv row-pair packs two weight rows per stored row: [N/2, K];
+        # ddm_sbT is the merged transposed d/dmin plane [2S, N]
+        if name == "qsv":
+            shape = (n // 2, k)
+        elif name == "ddm_sbT":
+            shape = (2 * (k // 256), n)
+        else:
+            shape = (n, k // div)
         if name in ("dmin_sb", "d_sb") and not expert:
             # 2-D tensors store superblock planes transposed [S, N]
             # (quant/planar._sb_scale_plane: keeps the minor dim a

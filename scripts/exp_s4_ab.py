@@ -27,14 +27,17 @@ def timed_rate(fn, n1=32, n2=160):
     return (min(t2s) - min(t1s)) / (n2 - n1)
 
 
-def bench(kind_env, n, k, label):
-    os.environ["LLAMACOG_Q4_S4"] = kind_env
+def bench(kind_env, n, k, label, base="Q4_K"):
+    # kind_env now selects layout flags: "0" classic, "1" s4, "csc" compact
+    os.environ["LLAMACOG_Q4_S4"] = "1" if kind_env == "1" else "0"
+    os.environ["LLAMACOG_Q4K_CSC"] = "1" if kind_env == "csc" else "0"
+    os.environ["LLAMACOG_Q6K_PACK"] = "1" if kind_env == "q6p" else "0"
     # fresh import state is per-process; _rand_qt reads the env at call time
     from llamacog_tpu.utils.synthetic import _rand_qt
     from llamacog_tpu.ops.pallas.qmm import qmm
 
     key = jax.random.PRNGKey(0)
-    qt = _rand_qt(key, "Q4_K", n, k)
+    qt = _rand_qt(key, base, n, k)
 
     @functools.partial(jax.jit, static_argnames=("n_iter",))
     def loop(x, qt, n_iter):
@@ -64,6 +67,15 @@ if __name__ == "__main__":
             for n, k, nm in [(28672, 4096, "gate_up"), (4096, 14336, "down")]:
                 bench("0", n, k, f"{nm} cls tn{tn}")
                 bench("1", n, k, f"{nm} s4 tn{tn}")
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "compact":
+        for n, k, nm in [(28672, 4096, "gate_up"), (5120, 4096, "qk"),
+                         (4096, 14336, "down")]:
+            bench("0", n, k, f"{nm} q4k-classic")
+            bench("csc", n, k, f"{nm} q4kc")
+        for n, k, nm in [(128256, 4096, "head"), (4096, 14336, "down6"),
+                         (1024, 4096, "v")]:
+            bench("0", n, k, f"{nm} q6k-classic", base="Q6_K")
+            bench("q6p", n, k, f"{nm} q6kp", base="Q6_K")
     else:
         for n, k, nm in [(28672, 4096, "gate_up"), (5120, 4096, "qk"),
                          (4096, 14336, "down")]:

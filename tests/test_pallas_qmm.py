@@ -25,11 +25,17 @@ def nmse(a, b):
 @pytest.mark.parametrize("kind", KINDS)
 @pytest.mark.parametrize("batch", [1, 8])
 def test_qmm_matches_reference(kind, batch, monkeypatch):
-    # runtime-only kinds alias a wire format (2-D Q4_K loads as Q4_KS4
-    # under the opt-in flag; see utils/synthetic._rand_qt)
+    # runtime-only kinds alias a wire format; from_gguf picks the layout
+    # from env flags (2-D Q4_K -> Q4_KC and Q6_K -> Q6_KP by default,
+    # Q4_KS4 opt-in; see quant/planar.from_gguf)
     if kind == "Q4_KS4":
         monkeypatch.setenv("LLAMACOG_Q4_S4", "1")
-    ttype = getattr(GGMLType, {"Q4_KS4": "Q4_K"}.get(kind, kind))
+    if kind == "Q4_KC":
+        monkeypatch.setenv("LLAMACOG_Q4K_CSC", "1")
+    if kind == "Q6_KP":
+        monkeypatch.setenv("LLAMACOG_Q6K_PACK", "1")
+    ttype = getattr(GGMLType, {"Q4_KS4": "Q4_K", "Q4_KC": "Q4_K",
+                               "Q6_KP": "Q6_K"}.get(kind, kind))
     N, K = 256, 512
     rng = np.random.default_rng(hash(kind) % 2**31)
     w = rng.standard_normal((N, K)).astype(np.float32)
