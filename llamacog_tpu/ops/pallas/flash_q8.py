@@ -14,6 +14,11 @@ with one pltpu.repeat tile (group = c mod G, in-group index r = c // G —
 the 5-bit kinds extract bit r of the int32 high-bit pack the same way).
 Q and the current-step K/V are permuted to match and the output is
 unpermuted back — O(B*H*D) work outside the kernel.
+
+Cache planes arrive with the trailing (head, width) dims FLATTENED to
+[.., S, Hkv*W] (kv_cache.QuantKVCache docstring: the 5-D form drew 8-32x
+TPU tile padding and OOM'd at 32k). Kernels slice head h's [S, W] strip
+off the lane dim statically.
 """
 
 from __future__ import annotations
@@ -69,11 +74,29 @@ def _deq(kind, gs, tiles):
     return out
 
 
-def _gs(kind, d, planes):
+def _gs(kind, d, planes, hkv):
     """In-kernel repeat factor for per-group planes (unused for dense)."""
     if kind in ("f16", "bf16"):
         return 1
-    return d // planes[1].shape[-1]
+    return d // (planes[1].shape[-1] // hkv)
+
+
+def _flat_planes(planes, ndim):
+    """Accept either the cache's flat [.., S, Hkv*W] planes (ndim dims) or
+    unflattened [.., S, Hkv, W] (dense KVCache stacks, tests): merge the
+    trailing two dims. The merge is layout-free (contiguous minor)."""
+    return tuple(
+        p.reshape(*p.shape[:-2], p.shape[-2] * p.shape[-1])
+        if p.ndim == ndim + 1 else p
+        for p in planes
+    )
+
+
+def _hslice(tile, h, hkv):
+    """Head h's [S, W] strip of a flat [S, Hkv*W] plane tile (static lane
+    slice)."""
+    W = tile.shape[-1] // hkv
+    return tile[..., h * W:(h + 1) * W]
 
 
 def _decode_kernel(hkv, rep, scale, softcap, window, gsk, gsv,
@@ -92,7 +115,8 @@ def _decode_kernel(hkv, rep, scale, softcap, window, gsk, gsv,
 
     for h in range(hkv):
         q_h = q_ref[0, h * rep:(h + 1) * rep, :].astype(jnp.float32)  # [rep, Dk]
-        k_h = _deq(kind_k, gsk, tuple(r[0, :, h, :] for r in k_refs))  # [S, Dk]
+        k_h = _deq(kind_k, gsk,
+                   tuple(_hslice(r[0, :, :], h, hkv) for r in k_refs))  # [S, Dk]
         s_old = jax.lax.dot_general(
             q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -107,7 +131,8 @@ def _decode_kernel(hkv, rep, scale, softcap, window, gsk, gsv,
         e_old = jnp.exp(s_old - m)
         e_cur = jnp.exp(s_cur - m)
         denom = jnp.sum(e_old, axis=-1, keepdims=True) + e_cur
-        v_h = _deq(kind_v, gsv, tuple(r[0, :, h, :] for r in v_refs))  # [S, Dv]
+        v_h = _deq(kind_v, gsv,
+                   tuple(_hslice(r[0, :, :], h, hkv) for r in v_refs))  # [S, Dv]
         out = jax.lax.dot_general(
             e_old, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -136,14 +161,16 @@ def flash_decode_q8(
     from ...runtime.kv_cache import QuantKVCache
 
     B, H, Dk = q.shape
-    S, Hkv = k_planes[0].shape[1], k_planes[0].shape[2]
+    k_planes = _flat_planes(k_planes, 3)
+    v_planes = _flat_planes(v_planes, 3)
+    S, Hkv = k_planes[0].shape[1], k_cur.shape[1]
     if kv_cap is not None and kv_cap < S:
         S = kv_cap
     Dv = v_cur.shape[-1]  # logical (the value plane may be nibble-packed)
     rep = H // Hkv
     kind_k, kind_v = kinds
-    gsk = _gs(kind_k, Dk, k_planes)
-    gsv = _gs(kind_v, Dv, v_planes)
+    gsk = _gs(kind_k, Dk, k_planes, Hkv)
+    gsv = _gs(kind_v, Dv, v_planes, Hkv)
     qp = QuantKVCache.kv_permute(q)
     kcp = QuantKVCache.kv_permute(k_cur)
     vcp = QuantKVCache.kv_permute(v_cur)
@@ -151,8 +178,9 @@ def flash_decode_q8(
                              gsk, gsv, kind_k, kind_v,
                              len(k_planes), len(v_planes))
     cache_specs = [
-        # block S may be a PREFIX of the stored cache (kv_cap)
-        pl.BlockSpec((1, S, Hkv, p.shape[-1]), lambda b: (b, 0, 0, 0),
+        # block S may be a PREFIX of the stored cache (kv_cap); planes are
+        # flat [B, S, Hkv*W]
+        pl.BlockSpec((1, S, p.shape[-1]), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM)
         for p in (*k_planes, *v_planes)
     ]
@@ -266,7 +294,9 @@ def flash_prefill_q8(
     from ...runtime.kv_cache import QuantKVCache
 
     B, T, H, Dk = q.shape
-    S, Hkv = k_planes[0].shape[1], k_planes[0].shape[2]
+    k_planes = _flat_planes(k_planes, 3)
+    v_planes = _flat_planes(v_planes, 3)
+    S, Hkv = k_planes[0].shape[1], k_cur.shape[2]
     if kv_cap is not None and kv_cap < S:
         S = kv_cap
     Dv = v_cur.shape[-1]  # logical (the value plane may be nibble-packed)
@@ -275,13 +305,19 @@ def flash_prefill_q8(
     s_tiles = S // TS
     TR = 512 if R % 512 == 0 else R
     kind_k, kind_v = kinds
-    gsk = _gs(kind_k, Dk, k_planes)
-    gsv = _gs(kind_v, Dv, v_planes)
+    gsk = _gs(kind_k, Dk, k_planes, Hkv)
+    gsv = _gs(kind_v, Dv, v_planes, Hkv)
     qp = QuantKVCache.kv_permute(q)
     kcp = QuantKVCache.kv_permute(k_cur)
     vcp = QuantKVCache.kv_permute(v_cur)
     qh = qp.reshape(B, T, Hkv, rep, Dk).transpose(0, 2, 1, 3, 4).reshape(B, Hkv, R, Dk)
-    kvh = [p[:, :S].transpose(0, 2, 1, 3) for p in (*k_planes, *v_planes)]
+    # planes arrive flat [B, S, Hkv*W]; the per-(b,h) grid wants [B, Hkv,
+    # S, W], so unflatten + transpose at XLA level. This temp is TRANSIENT
+    # (per prefill call, not the persistent cache) — the narrow-minor
+    # padding the flat cache layout exists to avoid applies to it, which
+    # is acceptable for a chunked-prefill working buffer
+    kvh = [p[:, :S].reshape(B, S, Hkv, p.shape[-1] // Hkv)
+           .transpose(0, 2, 1, 3) for p in (*k_planes, *v_planes)]
     kch = kcp.transpose(0, 2, 1, 3)
     vch = vcp.transpose(0, 2, 1, 3)
     kern = functools.partial(_prefill_kernel, rep, T, Dv, scale, softcap,
@@ -404,7 +440,8 @@ def _decode_tiled_kernel(hkv, rep, n_tiles, Dv, scale, softcap, window,
     for h in range(hkv):
         sl = slice(h * rep, (h + 1) * rep)
         q_h = q_ref[0, sl, :].astype(jnp.float32)  # [rep, Dk]
-        k_h = _deq(kind_k, gsk, tuple(r[0, :, h, :] for r in k_refs))  # [TSs, Dk]
+        k_h = _deq(kind_k, gsk,
+                   tuple(_hslice(r[0, :, :], h, hkv) for r in k_refs))  # [TSs, Dk]
         s = jax.lax.dot_general(
             q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -417,7 +454,8 @@ def _decode_tiled_kernel(hkv, rep, n_tiles, Dv, scale, softcap, window,
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
-        v_h = _deq(kind_v, gsv, tuple(r[0, :, h, :] for r in v_refs))  # [TSs, Dv]
+        v_h = _deq(kind_v, gsv,
+                   tuple(_hslice(r[0, :, :], h, hkv) for r in v_refs))  # [TSs, Dv]
         pv = jax.lax.dot_general(
             p, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -457,14 +495,16 @@ def flash_decode_q8_tiled(
     from ...runtime.kv_cache import QuantKVCache
 
     B, H, Dk = q.shape
-    S, Hkv = k_planes[0].shape[1], k_planes[0].shape[2]
+    k_planes = _flat_planes(k_planes, 3)
+    v_planes = _flat_planes(v_planes, 3)
+    S, Hkv = k_planes[0].shape[1], k_cur.shape[1]
     if kv_cap is not None and kv_cap < S:
         S = kv_cap  # grid covers only the attended prefix
     Dv = v_cur.shape[-1]  # logical (the value plane may be nibble-packed)
     rep = H // Hkv
     kind_k, kind_v = kinds
-    gsk = _gs(kind_k, Dk, k_planes)
-    gsv = _gs(kind_v, Dv, v_planes)
+    gsk = _gs(kind_k, Dk, k_planes, Hkv)
+    gsv = _gs(kind_v, Dv, v_planes, Hkv)
     n_tiles = S // DTS
     qp = QuantKVCache.kv_permute(q)
     kcp = QuantKVCache.kv_permute(k_cur)
@@ -473,7 +513,7 @@ def flash_decode_q8_tiled(
                              scale, softcap, window, gsk, gsv, kind_k, kind_v,
                              len(k_planes), len(v_planes))
     cache_specs = [
-        pl.BlockSpec((1, DTS, Hkv, p.shape[-1]), lambda b, i: (b, i, 0, 0),
+        pl.BlockSpec((1, DTS, p.shape[-1]), lambda b, i: (b, i, 0),
                      memory_space=pltpu.VMEM)
         for p in (*k_planes, *v_planes)
     ]
@@ -516,7 +556,7 @@ def flash_decode_q8_auto(q, k_planes, v_planes, k_cur, v_cur, seq_len, scale,
     S = k_planes[0].shape[1]
     if kv_cap is not None:
         S = min(S, kv_cap)
-    Hkv = k_planes[0].shape[2]
+    Hkv = k_cur.shape[1]
     dk, dv = k_cur.shape[-1], v_cur.shape[-1]
     est = Hkv * S * (dk + dv) * 4
     if (S > _WHOLE_S_MAX or est > _WHOLE_VMEM_MAX) and S % DTS == 0:
@@ -566,14 +606,16 @@ def flash_decode_stacked(
     from ...runtime.kv_cache import QuantKVCache
 
     B, H, Dk = q.shape
-    S, Hkv = k_planes[0].shape[2], k_planes[0].shape[3]
+    k_planes = _flat_planes(k_planes, 4)
+    v_planes = _flat_planes(v_planes, 4)
+    S, Hkv = k_planes[0].shape[2], k_cur.shape[1]
     if kv_cap is not None and kv_cap < S:
         S = kv_cap
     Dv = v_cur.shape[-1]
     rep = H // Hkv
     kind_k, kind_v = kinds
-    gsk = _gs(kind_k, Dk, k_planes)
-    gsv = _gs(kind_v, Dv, v_planes)
+    gsk = _gs(kind_k, Dk, k_planes, Hkv)
+    gsv = _gs(kind_v, Dv, v_planes, Hkv)
     if permute:
         qp = QuantKVCache.kv_permute(q)
         kcp = QuantKVCache.kv_permute(k_cur)
@@ -591,8 +633,8 @@ def flash_decode_stacked(
                                  scale, softcap, window, gsk, gsv,
                                  kind_k, kind_v, len(k_planes), len(v_planes))
         cache_specs = [
-            pl.BlockSpec((None, 1, DTS, Hkv, p.shape[-1]),
-                         (lambda b, i, _il=il: (_il, b, i, 0, 0)),
+            pl.BlockSpec((None, 1, DTS, p.shape[-1]),
+                         (lambda b, i, _il=il: (_il, b, i, 0)),
                          memory_space=pltpu.VMEM)
             for p in (*k_planes, *v_planes)
         ]
@@ -626,8 +668,8 @@ def flash_decode_stacked(
                                  window, gsk, gsv, kind_k, kind_v,
                                  len(k_planes), len(v_planes))
         cache_specs = [
-            pl.BlockSpec((None, 1, S, Hkv, p.shape[-1]),
-                         (lambda b, _il=il: (_il, b, 0, 0, 0)),
+            pl.BlockSpec((None, 1, S, p.shape[-1]),
+                         (lambda b, _il=il: (_il, b, 0, 0)),
                          memory_space=pltpu.VMEM)
             for p in (*k_planes, *v_planes)
         ]

@@ -634,7 +634,7 @@ class Engine:
                           for c, p in zip(cache.k_planes, kp)),
                     tuple(c.at[:, row].set(p)
                           for c, p in zip(cache.v_planes, vp)),
-                    cache.kinds,
+                    cache.kinds, cache.hkv,
                 )
             return type(cache)(
                 cache.k.at[:, row].set(k.astype(cache.k.dtype)),

@@ -13,6 +13,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @jax.tree_util.register_pytree_node_class
@@ -228,14 +229,23 @@ class QuantKVCache:
 
     Stores a tuple of planes per tensor (see codec comment above). Q8_0
     is 9 bits/elem (half of bf16), q4_0 is 5 bits (a quarter), q4_1/q5_0
-    ~6, q5_1 ~7 — with the kernels reading the packed planes directly."""
+    ~6, q5_1 ~7 — with the kernels reading the packed planes directly.
+
+    Planes are stored with the trailing (head, width) dims FLATTENED:
+    [L, B, S, Hkv*W]. The 5-D [.., Hkv, W] form drew catastrophic TPU
+    tile padding — the (8,128)/(32,128) tiles pad W=G=4 f32 scale minors
+    32x and nibble payload minors 2-8x, which at 32k context turned
+    128 MB of q4_0 scales into a 4 GB allocation and OOM'd the decode
+    step (the r4 depth cliff). Flat planes have a wide minor and pad at
+    most 4x on the G planes; kernels take static per-head lane slices."""
 
     DEFAULT_KINDS = ("q8_0", "q8_0")
 
-    def __init__(self, k_planes, v_planes, kinds=None):
+    def __init__(self, k_planes, v_planes, kinds=None, hkv=None):
         self.k_planes = tuple(k_planes)
         self.v_planes = tuple(v_planes)
         self.kinds = tuple(kinds) if kinds is not None else self.DEFAULT_KINDS
+        self.hkv = int(hkv) if hkv is not None else None
 
     # back-compat accessors (q8/q4 two-plane layout)
     @property
@@ -255,11 +265,12 @@ class QuantKVCache:
         return self.v_planes[1]
 
     def tree_flatten(self):
-        return (self.k_planes, self.v_planes), self.kinds
+        return (self.k_planes, self.v_planes), (self.kinds, self.hkv)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux)
+        kinds, hkv = aux if isinstance(aux[0], tuple) else (aux, None)
+        return cls(children[0], children[1], kinds, hkv)
 
     @property
     def max_seq(self) -> int:
@@ -275,12 +286,15 @@ class QuantKVCache:
         kinds = tuple(kinds) if kinds is not None else cls.DEFAULT_KINDS
 
         def z(kind, d):
+            # trailing (H, W) flattened: see class docstring
             return tuple(
-                jnp.zeros((n_layers, batch, max_seq, n_head_kv) + shp, dtype=dt)
+                jnp.zeros((n_layers, batch, max_seq,
+                           n_head_kv * int(np.prod(shp))), dtype=dt)
                 for shp, dt in kv_plane_shapes(kind, d)
             )
 
-        return cls(z(kinds[0], head_dim_k), z(kinds[1], head_dim_v), kinds)
+        return cls(z(kinds[0], head_dim_k), z(kinds[1], head_dim_v), kinds,
+                   hkv=n_head_kv)
 
     @staticmethod
     def kv_permute(x: jnp.ndarray) -> jnp.ndarray:
@@ -307,17 +321,29 @@ class QuantKVCache:
     def _dequant(q: jnp.ndarray, s: jnp.ndarray, dtype):
         return kv_dequant_planes("q8_0", (q, s), dtype)
 
+    @staticmethod
+    def _flat(planes: tuple) -> tuple:
+        """[.., H, W] per-head planes -> stored [.., H*W] form."""
+        return tuple(p.reshape(*p.shape[:-2], p.shape[-2] * p.shape[-1])
+                     for p in planes)
+
+    def _unflat(self, planes: tuple) -> tuple:
+        """Stored [.., H*W] planes -> [.., H, W] for the XLA codecs."""
+        h = self.hkv
+        return tuple(p.reshape(*p.shape[:-1], h, p.shape[-1] // h)
+                     for p in planes)
+
     def quant_k(self, x: jnp.ndarray) -> tuple:
-        return kv_quant_planes(self.kinds[0], x)
+        return self._flat(kv_quant_planes(self.kinds[0], x))
 
     def quant_v(self, x: jnp.ndarray) -> tuple:
-        return kv_quant_planes(self.kinds[1], x)
+        return self._flat(kv_quant_planes(self.kinds[1], x))
 
     def dequant_k(self, planes: tuple, dtype=jnp.bfloat16) -> jnp.ndarray:
-        return kv_dequant_planes(self.kinds[0], planes, dtype)
+        return kv_dequant_planes(self.kinds[0], self._unflat(planes), dtype)
 
     def dequant_v(self, planes: tuple, dtype=jnp.bfloat16) -> jnp.ndarray:
-        return kv_dequant_planes(self.kinds[1], planes, dtype)
+        return kv_dequant_planes(self.kinds[1], self._unflat(planes), dtype)
 
     def update(self, layer: int, k_new: jnp.ndarray, v_new: jnp.ndarray, write_pos: jnp.ndarray):
         kp_new = self.quant_k(k_new)
@@ -335,7 +361,7 @@ class QuantKVCache:
         new_cache = type(self)(
             tuple(c.at[layer].set(p) for c, p in zip(self.k_planes, kp)),
             tuple(c.at[layer].set(p) for c, p in zip(self.v_planes, vp)),
-            self.kinds,
+            self.kinds, self.hkv,
         )
         k_all = self.dequant_k(kp, k_new.dtype)
         v_all = self.dequant_v(vp, v_new.dtype)
@@ -364,7 +390,7 @@ class QuantKVCache:
                    for c, n in zip(self.k_planes, kp_new))
         vp = tuple(wr(c, n, write_pos, active)
                    for c, n in zip(self.v_planes, vp_new))
-        return type(self)(kp, vp, self.kinds)
+        return type(self)(kp, vp, self.kinds, self.hkv)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -108,7 +108,8 @@ def load_row_state(engine: Engine, path: str, row: int = 0) -> list[int]:
             return tuple(out)
 
         engine.cache = type(c)(
-            restore(c.k_planes, "k"), restore(c.v_planes, "v"), kinds)
+            restore(c.k_planes, "k"), restore(c.v_planes, "v"), kinds,
+            c.hkv)
     elif kind == "iswa":
         if not isinstance(c, SwaKVCache):
             raise ValueError("state is iswa but engine cache is not")

@@ -125,6 +125,18 @@ def llama3_8b_config() -> ModelConfig:
     )
 
 
+def llama3_70b_config() -> ModelConfig:
+    """Llama-3-70B geometry (BASELINE config 5) — for the static memory
+    planner and depth-scaled layout tests; full weights don't fit one
+    chip."""
+    return ModelConfig(
+        arch="llama", n_vocab=128256, n_ctx_train=8192, n_embd=8192,
+        n_layer=80, n_head=64, n_head_kv=8, n_ff=28672,
+        head_dim_k=128, head_dim_v=128,
+        rope=RopeConfig(dim=128, freq_base=500000.0),
+    )
+
+
 def mixtral_shaped_config(n_layer: int = 8) -> ModelConfig:
     """Mixtral-8x7B layer geometry (BASELINE config 4), depth-scaled so the
     experts fit one v5e's HBM (8x7B full is ~26 GB quantized)."""

@@ -58,3 +58,43 @@ def test_70b_shaped_tp_pp_dryrun():
 
     np.testing.assert_allclose(got_logits, ref_logits, atol=3e-4, rtol=1e-4)
     np.testing.assert_allclose(got_dec, ref_dec, atol=3e-4, rtol=1e-4)
+
+
+def test_70b_memory_plan():
+    """Static bytes-vs-HBM plan for REAL 80-layer 70B Q4_K_M on v5e
+    layouts (VERDICT r4 next #6): the 2-stage x TP4 and 4-stage x TP2
+    8-chip layouts must fit 16 GB/chip with the runtime planar layout's
+    relayout overhead priced in, at 8k context; required_mesh picks a
+    fitting layout and a 1-chip "layout" must be rejected."""
+    from llamacog_tpu.parallel.plan import fits, plan_stages, required_mesh
+    from llamacog_tpu.utils.synthetic import llama3_70b_config
+
+    cfg = llama3_70b_config()
+    for pp, tp in ((2, 4), (4, 2)):
+        plans = plan_stages(cfg, pp, tp, max_seq=8192)
+        assert sum(p.layers for p in plans) == 80
+        for p in plans:
+            assert p.total <= 16 * 2**30 * 0.9, (
+                f"pp{pp}xtp{tp} stage {p.stage}: "
+                f"{p.total/2**30:.2f} GB > 14.4 GB")
+        assert fits(cfg, pp, tp, 8192)
+    # whole-model-on-one-chip must NOT fit (that's why the layout exists)
+    assert not fits(cfg, 1, 1, 8192)
+    assert required_mesh(cfg, 8192) == (2, 4)
+    # quantized KV at depth shrinks the KV term (flat planes, no 32x pad)
+    dense = plan_stages(cfg, 2, 4, 32768, kv_kind="bf16")
+    q8 = plan_stages(cfg, 2, 4, 32768, kv_kind="q8_0")
+    assert q8[0].kv_bytes < dense[0].kv_bytes
+
+
+def test_70b_plan_gb_table(capsys):
+    """Emit the GB-per-stage table for PERF.md (run with -s to see it)."""
+    from llamacog_tpu.parallel.plan import plan_stages
+    from llamacog_tpu.utils.synthetic import llama3_70b_config
+
+    cfg = llama3_70b_config()
+    for pp, tp in ((2, 4), (4, 2)):
+        for p in plan_stages(cfg, pp, tp, max_seq=8192):
+            print(f"pp{pp}xtp{tp} stage{p.stage}: {p.layers}L "
+                  f"w={p.weight_bytes/2**30:.2f} kv={p.kv_bytes/2**30:.2f} "
+                  f"act={p.act_bytes/2**30:.2f} total={p.total/2**30:.2f} GB")

@@ -33,6 +33,9 @@ def _rand_cache_and_qkv(B, S, Hkv, Dk, Dv, kinds=("q8_0", "q8_0"), seed=0):
     # cache contents (quantization error is part of the contract)
     k_ref = np.asarray(kv_dequant_planes(kinds[0], kp, jnp.float32))
     v_ref = np.asarray(kv_dequant_planes(kinds[1], vp, jnp.float32))
+    # the kernels take the cache's FLAT storage form [B, S, Hkv*W]
+    kp = tuple(p.reshape(*p.shape[:-2], -1) for p in kp)
+    vp = tuple(p.reshape(*p.shape[:-2], -1) for p in vp)
     return kp, vp, k_ref, v_ref
 
 
