@@ -1,7 +1,9 @@
 """Long-context retrieval shape (reference examples/passkey): plant a passkey
-import os, sys
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 deep in filler context and check the model still decodes past it."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _common import get_model_path
 
 import numpy as np

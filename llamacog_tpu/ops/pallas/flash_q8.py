@@ -584,6 +584,100 @@ def flash_decode_q8_auto(q, k_planes, v_planes, k_cur, v_cur, seq_len, scale,
 # ---------------------------------------------------------------------------
 
 
+
+def _decode_onedot_kernel(hkv, rep, n_tiles, Dk, Dv, scale, softcap, window,
+                          gsk, gsv, kind_k, kind_v, nk, nv, *refs):
+    """Quantized-KV decode with ONE score dot and ONE pv dot per tile.
+
+    The per-head loop kernel above issues 2*Hkv tiny MXU dots per tile
+    ([rep, Dk] x [S, Dk]) plus per-head scale machinery — measured 150
+    us/call vs 7.8 for the dense flat kernel at d=1024 (PERF r5). Here
+    the per-head dequantized tiles are concatenated to [ts, Hkv*D] and
+    the q operand arrives BLOCK-DIAGONAL (qb[i] holds q_i at lane block
+    h(i)*Dk, zeros elsewhere), so
+
+        s[i, pos] = qb[i] . k_cat[pos]  =  q_i . k_{h(i), pos}
+
+    is one [H, Hkv*Dk] x [ts, Hkv*Dk]^T MXU dot, and the pv product
+    keeps the block structure ([H, Hkv*Dv], head h(i)'s slice extracted
+    once at the end). The MXU does the head fan-out; the VPU only pays
+    the dequant it already paid."""
+    len_ref = refs[0]  # scalar-prefetched [B] (also drives the index maps)
+    qb_ref = refs[1]
+    k_refs = refs[2:2 + nk]
+    v_refs = refs[2 + nk:2 + nk + nv]
+    kc_ref, vc_ref, o_ref, m_ref, l_ref, acc_ref = refs[2 + nk + nv:]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n = len_ref[b]
+    H = hkv * rep
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    TSs = k_refs[0].shape[1]
+
+    @pl.when(i * TSs < n)
+    def _():
+        # rows whose depth ends before this tile skip it entirely; the
+        # index maps also clamp their block index so no new DMA is issued
+        k_cat = jnp.concatenate(
+            [_deq(kind_k, gsk,
+                  tuple(_hslice(r[0, :, :], h, hkv) for r in k_refs))
+             for h in range(hkv)], axis=1)  # [TSs, Hkv*Dk]
+        v_cat = jnp.concatenate(
+            [_deq(kind_v, gsv,
+                  tuple(_hslice(r[0, :, :], h, hkv) for r in v_refs))
+             for h in range(hkv)], axis=1)  # [TSs, Hkv*Dv]
+        qb = qb_ref[0, :, :].astype(jnp.float32)  # [H, Hkv*Dk] block-diag
+        s = jax.lax.dot_general(
+            qb, k_cat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [H, TSs]
+        if softcap > 0.0:
+            s = softcap * jnp.tanh(s / softcap)
+        pos = i * TSs + jax.lax.broadcasted_iota(jnp.int32, (1, TSs), 1)
+        valid = pos < n
+        if window > 0:
+            valid = valid & (pos > n - window)
+        s = jnp.where(valid, s, -1e30)
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        pv = jax.lax.dot_general(
+            p, v_cat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, Hkv*Dv] — row i's result in lane block h(i)*Dv
+        m_ref[:, :1] = m_new
+        l_ref[:, :1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        # current-step K/V + per-head block extraction, once per call
+        for h in range(hkv):
+            sl = slice(h * rep, (h + 1) * rep)
+            q_h = qb_ref[0, sl, h * Dk:(h + 1) * Dk].astype(jnp.float32)
+            kc_h = kc_ref[0, h, :].astype(jnp.float32)
+            s_cur = jnp.sum(q_h * kc_h[None, :], axis=-1, keepdims=True) * scale
+            if softcap > 0.0:
+                s_cur = softcap * jnp.tanh(s_cur / softcap)
+            m_prev = m_ref[sl, :1]
+            l_prev = l_ref[sl, :1]
+            m_new = jnp.maximum(m_prev, s_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            e_cur = jnp.exp(s_cur - m_new)
+            acc = (acc_ref[sl, h * Dv:(h + 1) * Dv] * alpha
+                   + e_cur * vc_ref[0, h, :].astype(jnp.float32)[None, :])
+            denom = l_prev * alpha + e_cur
+            o_ref[0, sl, :] = (acc / denom).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "il", "scale", "softcap", "window", "interpret", "kv_cap", "kinds",
     "permute"))
@@ -622,76 +716,60 @@ def flash_decode_stacked(
         vcp = QuantKVCache.kv_permute(v_cur)
     else:
         qp, kcp, vcp = q, k_cur, v_cur
-    est = Hkv * S * (Dk + Dv) * 4
-    tiled = (S > _WHOLE_S_MAX or est > _WHOLE_VMEM_MAX) and S % DTS == 0
+    # one-dot kernel: ts = DTS when it divides, else whole-S in one tile
+    ts = DTS if (S > DTS and S % DTS == 0) else S
+    n_tiles = S // ts
     params = {} if interpret else {"compiler_params": pltpu.CompilerParams(
-        dimension_semantics=("arbitrary",) * (2 if tiled else 1),
+        dimension_semantics=("arbitrary", "arbitrary"),
         vmem_limit_bytes=100 * 1024 * 1024)}
-    if tiled:
-        n_tiles = S // DTS
-        kern = functools.partial(_decode_tiled_kernel, Hkv, rep, n_tiles, Dv,
-                                 scale, softcap, window, gsk, gsv,
-                                 kind_k, kind_v, len(k_planes), len(v_planes))
-        cache_specs = [
-            pl.BlockSpec((None, 1, DTS, p.shape[-1]),
-                         (lambda b, i, _il=il: (_il, b, i, 0)),
-                         memory_space=pltpu.VMEM)
-            for p in (*k_planes, *v_planes)
-        ]
-        out = pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((B, H, Dv), q.dtype),
+    # block-diagonal q: row i carries q_i at lane block h(i)*Dk
+    onehot = (jnp.arange(H)[:, None] // rep ==
+              jnp.arange(Hkv)[None, :]).astype(qp.dtype)
+    qb = (onehot[None, :, :, None] * qp[:, :, None, :]).reshape(
+        B, H, Hkv * Dk)
+    kern = functools.partial(_decode_onedot_kernel, Hkv, rep, n_tiles, Dk,
+                             Dv, scale, softcap, window, gsk, gsv,
+                             kind_k, kind_v, len(k_planes), len(v_planes))
+
+    def _clamp(i, lens, b, _ts=ts):
+        # rows stop DMAing past their own depth: tiles beyond
+        # ceil(len/ts) re-map to the last needed block (pallas skips the
+        # re-DMA when the block index repeats)
+        need = jnp.maximum((lens[b] + _ts - 1) // _ts - 1, 0)
+        return jnp.minimum(i, need)
+
+    cache_specs = [
+        pl.BlockSpec((None, 1, ts, p.shape[-1]),
+                     (lambda b, i, lens, _il=il: (_il, b, _clamp(i, lens, b), 0)),
+                     memory_space=pltpu.VMEM)
+        for p in (*k_planes, *v_planes)
+    ]
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, H, Dv), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(B, n_tiles),
             in_specs=[
-                pl.BlockSpec((1, H, Dk), lambda b, i: (b, 0, 0),
+                pl.BlockSpec((1, H, Hkv * Dk), lambda b, i, lens: (b, 0, 0),
                              memory_space=pltpu.VMEM),
                 *cache_specs,
-                pl.BlockSpec((1, Hkv, Dk), lambda b, i: (b, 0, 0),
+                pl.BlockSpec((1, Hkv, Dk), lambda b, i, lens: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hkv, Dv), lambda b, i: (b, 0, 0),
+                pl.BlockSpec((1, Hkv, Dv), lambda b, i, lens: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, 1), lambda b, i: (0, 0),
-                             memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((1, H, Dv), lambda b, i: (b, 0, 0),
+            out_specs=pl.BlockSpec((1, H, Dv), lambda b, i, lens: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((H, 1), jnp.float32),
                 pltpu.VMEM((H, 1), jnp.float32),
-                pltpu.VMEM((H, Dv), jnp.float32),
+                pltpu.VMEM((H, Hkv * Dv), jnp.float32),
             ],
-            interpret=interpret,
-            **params,
-        )(qp, *k_planes, *v_planes, kcp, vcp, seq_len.reshape(B, 1))
-    else:
-        kern = functools.partial(_decode_kernel, Hkv, rep, scale, softcap,
-                                 window, gsk, gsv, kind_k, kind_v,
-                                 len(k_planes), len(v_planes))
-        cache_specs = [
-            pl.BlockSpec((None, 1, S, p.shape[-1]),
-                         (lambda b, _il=il: (_il, b, 0, 0)),
-                         memory_space=pltpu.VMEM)
-            for p in (*k_planes, *v_planes)
-        ]
-        out = pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((B, H, Dv), q.dtype),
-            grid=(B,),
-            in_specs=[
-                pl.BlockSpec((1, H, Dk), lambda b: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                *cache_specs,
-                pl.BlockSpec((1, Hkv, Dk), lambda b: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hkv, Dv), lambda b: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((1, H, Dv), lambda b: (b, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-            **params,
-        )(qp, *k_planes, *v_planes, kcp, vcp, seq_len.reshape(B, 1))
+        ),
+        interpret=interpret,
+        **params,
+    )(seq_len.astype(jnp.int32), qb, *k_planes, *v_planes, kcp, vcp)
     return QuantKVCache.kv_unpermute(out) if permute else out
 
 
@@ -704,11 +782,11 @@ def _decode_flat_dense_kernel(hkv, rep, n_tiles, Dv, scale, softcap, window,
     head j % Hkv) zeroing off-group scores through exp(-1e30). Same math as
     ops/attention._decode_attention_flat, which this replaces on the
     production path (the XLA version forced per-layer cache copies)."""
-    (q_ref, k_ref, v_ref, kc_ref, vc_ref, len_ref, o_ref,
+    (len_ref, q_ref, k_ref, v_ref, kc_ref, vc_ref, o_ref,
      m_ref, l_ref, acc_ref) = refs
     b = pl.program_id(0)
     i = pl.program_id(1)
-    n = len_ref[b, 0]
+    n = len_ref[b]
     H = q_ref.shape[1]
 
     @pl.when(i == 0)
@@ -718,37 +796,44 @@ def _decode_flat_dense_kernel(hkv, rep, n_tiles, Dv, scale, softcap, window,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     TSs = k_ref.shape[1]
-    J = TSs * hkv
-    k_flat = k_ref[0, :, :, :].reshape(J, k_ref.shape[-1])
     q = q_ref[0, :, :].astype(jnp.float32)  # [H, Dk]
-    s = jax.lax.dot_general(
-        q, k_flat.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [H, J]
-    if softcap > 0.0:
-        s = softcap * jnp.tanh(s / softcap)
-    col = jax.lax.broadcasted_iota(jnp.int32, (H, J), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (H, J), 0)
-    pos = i * TSs + col // hkv
-    ok = (col % hkv == row // rep) & (pos < n)
-    if window > 0:
-        ok = ok & (pos > n - window)
-    s = jnp.where(ok, s, -1e30)
-    m_prev = m_ref[:, :1]
-    l_prev = l_ref[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # off-group/invalid -> exactly 0
-    v_flat = v_ref[0, :, :, :].reshape(J, Dv)
-    pv = jax.lax.dot_general(
-        p, v_flat.astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_ref[:, :1] = m_new
-    l_ref[:, :1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(i * TSs < n)
+    def _():
+        # rows whose depth ends before this tile skip it (the index maps
+        # also clamp, so no DMA is issued either) — at mixed-depth B=32
+        # serving this is the difference between streaming B*kv_cap and
+        # streaming sum(depth_b) of cache
+        J = TSs * hkv
+        k_flat = k_ref[0, :, :, :].reshape(J, k_ref.shape[-1])
+        s = jax.lax.dot_general(
+            q, k_flat.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [H, J]
+        if softcap > 0.0:
+            s = softcap * jnp.tanh(s / softcap)
+        col = jax.lax.broadcasted_iota(jnp.int32, (H, J), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, J), 0)
+        pos = i * TSs + col // hkv
+        ok = (col % hkv == row // rep) & (pos < n)
+        if window > 0:
+            ok = ok & (pos > n - window)
+        s = jnp.where(ok, s, -1e30)
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # off-group/invalid -> exactly 0
+        v_flat = v_ref[0, :, :, :].reshape(J, Dv)
+        pv = jax.lax.dot_general(
+            p, v_flat.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:, :1] = m_new
+        l_ref[:, :1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + pv
 
     @pl.when(i == n_tiles - 1)
     def _():
@@ -791,37 +876,46 @@ def _flash_decode_stacked_dense(q, k_stack, v_stack, il, k_cur, v_cur,
     n_tiles = S // ts
     kern = functools.partial(_decode_flat_dense_kernel, Hkv, rep, n_tiles,
                              Dv, scale, softcap, window)
+
+    def _clamp(i, lens, b, _ts=ts):
+        need = jnp.maximum((lens[b] + _ts - 1) // _ts - 1, 0)
+        return jnp.minimum(i, need)
+
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, H, Dv), q.dtype),
-        grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, H, Dk), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, ts, Hkv, Dk),
-                         (lambda b, i, _il=il: (_il, b, i, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, ts, Hkv, Dv),
-                         (lambda b, i, _il=il: (_il, b, i, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, Dk), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, Dv), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, H, Dv), lambda b, i: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((H, 1), jnp.float32),
-            pltpu.VMEM((H, 1), jnp.float32),
-            pltpu.VMEM((H, Dv), jnp.float32),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, H, Dk), lambda b, i, lens: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, ts, Hkv, Dk),
+                             (lambda b, i, lens, _il=il:
+                              (_il, b, _clamp(i, lens, b), 0, 0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 1, ts, Hkv, Dv),
+                             (lambda b, i, lens, _il=il:
+                              (_il, b, _clamp(i, lens, b), 0, 0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, Dk), lambda b, i, lens: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, Dv), lambda b, i, lens: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, H, Dv), lambda b, i, lens: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((H, 1), jnp.float32),
+                pltpu.VMEM((H, 1), jnp.float32),
+                pltpu.VMEM((H, Dv), jnp.float32),
+            ],
+        ),
         interpret=interpret,
         **({} if interpret else {"compiler_params": pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024)}),
-    )(q, k_stack, v_stack, k_cur, v_cur, seq_len.reshape(B, 1))
+    )(seq_len.astype(jnp.int32), q, k_stack, v_stack, k_cur, v_cur)
 
 
 def decode_from_cache(q, cache, il, k_cur, v_cur, seq_len, scale,
