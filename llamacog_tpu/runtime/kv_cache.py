@@ -70,14 +70,19 @@ class KVCache:
         length are harmless in a linear store)."""
 
         def write_row(k_col, v_col, kn, vn, pos, act):
-            # k_col [L, S, H, D], kn [L, T, H, D]
-            k2 = jax.lax.dynamic_update_slice(
-                k_col, kn.astype(k_col.dtype), (0, pos, 0, 0)
-            )
-            v2 = jax.lax.dynamic_update_slice(
-                v_col, vn.astype(v_col.dtype), (0, pos, 0, 0)
-            )
-            return jnp.where(act, k2, k_col), jnp.where(act, v2, v_col)
+            # k_col [L, S, H, D], kn [L, T, H, D]. The act gate selects on
+            # the T-sized UPDATE (old slice read back), never on the whole
+            # cache column: a jnp.where(act, updated, cache) materializes
+            # a full cache copy per step, which at 32k context costs GBs
+            # of traffic per token (measured 62 -> 26 t/s at d=1024 with
+            # a 32k-allocated q8 cache before this fix)
+            def gated(col, new):
+                start = (0, pos) + (0,) * (col.ndim - 2)
+                old = jax.lax.dynamic_slice(col, start, new.shape)
+                upd = jnp.where(act, new.astype(col.dtype), old)
+                return jax.lax.dynamic_update_slice(col, upd, start)
+
+            return gated(k_col, kn), gated(v_col, vn)
 
         if active is None:
             active = jnp.ones(write_pos.shape, bool)
@@ -379,16 +384,25 @@ class QuantKVCache:
         if active is None:
             active = jnp.ones(write_pos.shape, bool)
 
-        def write_plane(c, n, pos, act):
-            upd = jax.lax.dynamic_update_slice(
-                c, n.astype(c.dtype), (0, pos) + (0,) * (c.ndim - 2)
-            )
-            return jnp.where(act, upd, c)
+        def write_plane(c, n):
+            # per-row DUS unrolled over the (static, small) batch; a
+            # vmapped DUS lowers to a scatter, which makes XLA negotiate
+            # a rotated {0,3,2,1} layout for the while-loop cache carry
+            # and insert FULL-PLANE layout-conversion copies each decode
+            # step (measured 22.8 ms/tok on a 32k q8 cache). act gates on
+            # the T-sized update slice only (a whole-cache jnp.where
+            # copies GBs per step).
+            for b in range(c.shape[1]):
+                start = (0, b, write_pos[b]) + (0,) * (c.ndim - 3)
+                nb = n[:, b:b + 1]
+                old = jax.lax.dynamic_slice(c, start, nb.shape)
+                upd = jnp.where(active[b], nb.astype(c.dtype), old)
+                c = jax.lax.dynamic_update_slice(c, upd, start)
+            return c
 
-        wr = jax.vmap(write_plane, in_axes=(1, 1, 0, 0), out_axes=1)
-        kp = tuple(wr(c, n, write_pos, active)
+        kp = tuple(write_plane(c, n)
                    for c, n in zip(self.k_planes, kp_new))
-        vp = tuple(wr(c, n, write_pos, active)
+        vp = tuple(write_plane(c, n)
                    for c, n in zip(self.v_planes, vp_new))
         return type(self)(kp, vp, self.kinds, self.hkv)
 

@@ -33,7 +33,8 @@ def capture(n):
     jax.block_until_ready(params["layers"][0]["attn_qk"].planes[next(iter(params["layers"][0]["attn_qk"].planes))])
     print(f"[build] {time.time()-t0:.0f}s", file=sys.stderr)
     kv = os.environ.get("LLAMACOG_PROF_KV", "dense")
-    eng = Engine(params, cfg, batch_size=1, max_seq=1024, kv_type=kv)
+    ms = int(os.environ.get("LLAMACOG_PROF_SEQ", "1024"))
+    eng = Engine(params, cfg, batch_size=1, max_seq=ms, kv_type=kv)
     eng.prefill(list(range(2, 130)))
     eng.decode_greedy_tokens(np.array([5]), n)  # compile+warm
     eng.reset()
