@@ -872,7 +872,10 @@ def _flash_decode_stacked_dense(q, k_stack, v_stack, il, k_cur, v_cur,
     rep = H // Hkv
     # tile S when it divides cleanly; otherwise whole-S (fits VMEM to ~4k,
     # which stacked_decode_supported guarantees for non-DTS-multiple S)
-    ts = DTS if (S > DTS and S % DTS == 0) else S
+    # finer tiles let the per-row depth clamp skip real DMA: at B=32 with
+    # ~260-token rows in a 1024-slot cache, ts=256 streams 1 tile/row
+    # instead of 4 (the whole-cache read was the r4 batched-decode gap)
+    ts = next((t for t in (256, 512, DTS) if S > t and S % t == 0), S)
     n_tiles = S // ts
     kern = functools.partial(_decode_flat_dense_kernel, Hkv, rep, n_tiles,
                              Dv, scale, softcap, window)

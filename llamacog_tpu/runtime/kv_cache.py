@@ -69,27 +69,25 @@ class KVCache:
         accepted for interface parity with SwaKVCache (pads beyond the valid
         length are harmless in a linear store)."""
 
-        def write_row(k_col, v_col, kn, vn, pos, act):
-            # k_col [L, S, H, D], kn [L, T, H, D]. The act gate selects on
-            # the T-sized UPDATE (old slice read back), never on the whole
-            # cache column: a jnp.where(act, updated, cache) materializes
-            # a full cache copy per step, which at 32k context costs GBs
-            # of traffic per token (measured 62 -> 26 t/s at d=1024 with
-            # a 32k-allocated q8 cache before this fix)
-            def gated(col, new):
-                start = (0, pos) + (0,) * (col.ndim - 2)
-                old = jax.lax.dynamic_slice(col, start, new.shape)
-                upd = jnp.where(act, new.astype(col.dtype), old)
-                return jax.lax.dynamic_update_slice(col, upd, start)
-
-            return gated(k_col, kn), gated(v_col, vn)
-
         if active is None:
             active = jnp.ones(write_pos.shape, bool)
-        k, v = jax.vmap(write_row, in_axes=(1, 1, 1, 1, 0, 0), out_axes=(1, 1))(
-            self.k, self.v, k_new, v_new, write_pos, active
-        )
-        return KVCache(k, v)
+
+        def write_plane(c, n):
+            # Per-row DUS unrolled over the (static, small) batch. A
+            # vmapped DUS lowers to a scatter, which breaks the while-loop
+            # carry's in-place aliasing: at B=32 XLA inserted two .remat
+            # copies of the ENTIRE 4.3 GB cache per decode step (13.1
+            # ms/tok, XPlane r5). The act gate selects on the T-sized
+            # update slice only — a whole-cache jnp.where copies GBs.
+            for b in range(c.shape[1]):
+                start = (0, b, write_pos[b], 0, 0)
+                nb = n[:, b:b + 1]
+                old = jax.lax.dynamic_slice(c, start, nb.shape)
+                upd = jnp.where(active[b], nb.astype(c.dtype), old)
+                c = jax.lax.dynamic_update_slice(c, upd, start)
+            return c
+
+        return KVCache(write_plane(self.k, k_new), write_plane(self.v, v_new))
 
 
 # ---------------------------------------------------------------------------

@@ -34,15 +34,22 @@ def capture(n):
     print(f"[build] {time.time()-t0:.0f}s", file=sys.stderr)
     kv = os.environ.get("LLAMACOG_PROF_KV", "dense")
     ms = int(os.environ.get("LLAMACOG_PROF_SEQ", "1024"))
-    eng = Engine(params, cfg, batch_size=1, max_seq=ms, kv_type=kv)
-    eng.prefill(list(range(2, 130)))
-    eng.decode_greedy_tokens(np.array([5]), n)  # compile+warm
+    bsz = int(os.environ.get("LLAMACOG_PROF_B", "1"))
+    eng = Engine(params, cfg, batch_size=bsz, max_seq=ms, kv_type=kv)
+    for row in range(bsz):
+        eng.prefill(list(range(2, 130)), row=row) if bsz > 1 else None
+    if bsz == 1:
+        eng.prefill(list(range(2, 130)))
+    eng.decode_greedy_tokens(np.full((bsz,), 5, np.int32), n)  # compile+warm
     eng.reset()
-    eng.prefill(list(range(2, 130)))
+    for row in range(bsz):
+        eng.prefill(list(range(2, 130)), row=row) if bsz > 1 else None
+    if bsz == 1:
+        eng.prefill(list(range(2, 130)))
     os.system(f"rm -rf {TRACE}")
     with jax.profiler.trace(TRACE):
         t1 = time.time()
-        eng.decode_greedy_tokens(np.array([7]), n)
+        eng.decode_greedy_tokens(np.full((bsz,), 7, np.int32), n)
         dt = time.time() - t1
     print(f"[timed] {n/dt:.1f} t/s ({dt/n*1e3:.2f} ms/tok)", file=sys.stderr)
     return dt
