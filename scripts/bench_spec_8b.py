@@ -92,9 +92,9 @@ def main():
 
     # ---- controlled-divergence sweep: perturb the draft's output_norm to
     # dial acceptance into the realistic band, measure ACTUAL uplift
-    depth, ks = 4, (4, 8)
+    depth, ks = 4, (8,)
     rng = np.random.default_rng(0)
-    for eps in (0.0, 0.02, 0.05, 0.1, 0.2):
+    for eps in (2.5, 3.0, 3.5):
         d_params = truncated_draft_params(params, depth)
         if eps > 0.0:
             noise = 1.0 + eps * rng.standard_normal(
