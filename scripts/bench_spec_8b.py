@@ -94,7 +94,7 @@ def main():
     # dial acceptance into the realistic band, measure ACTUAL uplift
     depth, ks = 4, (8,)
     rng = np.random.default_rng(0)
-    for eps in (2.5, 3.0, 3.5):
+    for eps in (0.0, 2.0, 4.0):  # envelope: accept=1.0 / 1.0 / 0.0 (binary attractors, PERF r5)
         d_params = truncated_draft_params(params, depth)
         if eps > 0.0:
             noise = 1.0 + eps * rng.standard_normal(
