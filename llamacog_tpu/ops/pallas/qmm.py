@@ -491,6 +491,8 @@ _DECODE_TN_V5E = {
     ("Q4_K", 4096, 14336): 512,    # ffn_down:       64 -> 45 us
     ("Q4_KC", 28672, 4096): 1024,  # compact-scales variants of the same
     ("Q4_KC", 4096, 14336): 512,
+    ("Q4_K", 5120, 4096): 1024,    # qk phase of the qk+v fused launch
+    ("Q6_K", 1024, 4096): 512,     # v phase
 }
 
 
