@@ -353,6 +353,10 @@ def load_model(
                 layer["attn_post_norm"] = layer.pop("attn_norm")
             if "ffn_norm" in layer:
                 layer["ffn_post_norm"] = layer.pop("ffn_norm")
+        if cfg.arch == "dbrx" and "attn_out_norm" in layer:
+            # dbrx stores its pre-FFN norm under the attn_output_norm NAME
+            # (llm_build_dbrx applies it to ffn_inp, llama-model.cpp:5788)
+            layer["ffn_norm"] = layer.pop("attn_out_norm")
         if cfg.arch == "grok":
             # grok's per-branch post-norms are stored under the bert-style
             # names attn_output_norm/layer_output_norm but apply to the

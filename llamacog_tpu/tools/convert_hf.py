@@ -1140,7 +1140,9 @@ def _convert_dbrx(d, cfg, sd, out_path, outtype, progress) -> dict:
     if ac.get("clip_qkv"):
         meta["attention.clamp_kqv"] = float(ac["clip_qkv"])
     layer = [("norm_attn_norm.norm_1.weight", "attn_norm.weight", None),
-             ("norm_attn_norm.norm_2.weight", "ffn_norm.weight", None),
+             # norm_2 = pre-FFN norm, but the reference NAMES it
+             # attn_output_norm (llm_build_dbrx, llama-model.cpp:5788)
+             ("norm_attn_norm.norm_2.weight", "attn_output_norm.weight", None),
              ("norm_attn_norm.attn.Wqkv.weight", "attn_qkv.weight", None),
              ("norm_attn_norm.attn.out_proj.weight", "attn_output.weight", None),
              ("ffn.router.layer.weight", "ffn_gate_inp.weight", None)]

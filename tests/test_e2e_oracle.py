@@ -1052,7 +1052,13 @@ def test_hf_converted_matches_reference_cli_batch2(llama_cli, tmp_path, name):
         pytest.skip("arch not in this transformers version")
     kw = dict(kw, pad_token_id=0, bos_token_id=1, eos_token_id=2)
     torch.manual_seed(0)
-    m = model_cls(cfg_cls(**kw)).eval()
+    if name == "dbrx":
+        c = _dbrx_cfg(T)
+        for k, v in kw.items():
+            setattr(c, k, v)
+        m = model_cls(c).eval()
+    else:
+        m = model_cls(cfg_cls(**kw)).eval()
     g = torch.Generator().manual_seed(7)
     with torch.no_grad():
         for p in m.parameters():
@@ -1140,6 +1146,22 @@ HF_CONVERTED_CASES3 = {
 }
 
 
+def _dbrx_cfg(T):
+    return T.DbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, max_seq_len=256, vocab_size=128,
+        attn_config=T.models.dbrx.configuration_dbrx.DbrxAttentionConfig(
+            kv_n_heads=2, rope_theta=10000.0, clip_qkv=8.0),
+        ffn_config=T.models.dbrx.configuration_dbrx.DbrxFFNConfig(
+            ffn_hidden_size=48, moe_num_experts=4, moe_top_k=2))
+
+
+# fused-Wqkv-with-clamp + fused expert mats (llm_build_dbrx). Nested HF
+# config objects, so it builds its own config instead of flat kwargs;
+# clip_qkv is set like every real DBRX checkpoint (the reference runtime
+# .get_key()-REQUIRES dbrx.attention.clamp_kqv).
+HF_CONVERTED_CASES3["dbrx"] = ("DbrxConfig", "DbrxForCausalLM", dict())
+
+
 @pytest.mark.parametrize("name", sorted(HF_CONVERTED_CASES3))
 def test_hf_converted_matches_reference_cli_batch3(llama_cli, tmp_path, name):
     torch = pytest.importorskip("torch")
@@ -1154,7 +1176,13 @@ def test_hf_converted_matches_reference_cli_batch3(llama_cli, tmp_path, name):
         pytest.skip("arch not in this transformers version")
     kw = dict(kw, pad_token_id=0, bos_token_id=1, eos_token_id=2)
     torch.manual_seed(0)
-    m = model_cls(cfg_cls(**kw)).eval()
+    if name == "dbrx":
+        c = _dbrx_cfg(T)
+        for k, v in kw.items():
+            setattr(c, k, v)
+        m = model_cls(c).eval()
+    else:
+        m = model_cls(cfg_cls(**kw)).eval()
     g = torch.Generator().manual_seed(7)
     with torch.no_grad():
         for p in m.parameters():
