@@ -493,6 +493,14 @@ _DECODE_TN_V5E = {
     ("Q4_KC", 4096, 14336): 512,
     ("Q4_K", 5120, 4096): 1024,    # qk phase of the qk+v fused launch
     ("Q6_K", 1024, 4096): 512,     # v phase
+    # llama-3-70B per-layer shapes (BASELINE config 5; exp_tn_sweep 70b):
+    ("Q4_K", 57344, 8192): 2048,   # gate_up full        459 -> 421 us
+    ("Q4_K", 14336, 8192): 1024,   # gate_up TP4 shard   141 -> 92 us
+    ("Q4_K", 9216, 8192): 1024,    # qk fused            83 -> 77 us
+    ("Q4_K", 8192, 8192): 512,     # wo                  72 -> 56 us (roofline)
+    ("Q4_K", 8192, 28672): 256,    # ffn_down
+    ("Q6_K", 8192, 28672): 256,    # ffn_down (6-bit layers)
+    ("Q4_K", 2048, 28672): 512,    # ffn_down TP4 shard  67 -> 52 us
 }
 
 

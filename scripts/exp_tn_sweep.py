@@ -71,9 +71,22 @@ SHAPES = [
     ("head_q6", "Q6_K", 128256, 4096),
 ]
 
+# llama-3-70B per-layer geometry (BASELINE config 5): E=8192, FF=28672,
+# 64 q heads + 8 kv heads of 128. TP4 row-shards divide N by 4.
+SHAPES_70B = [
+    ("70b_gate_up", "Q4_K", 57344, 8192),
+    ("70b_gate_up_tp4", "Q4_K", 14336, 8192),
+    ("70b_qk", "Q4_K", 9216, 8192),
+    ("70b_wo", "Q4_K", 8192, 8192),
+    ("70b_down_q4", "Q4_K", 8192, 28672),
+    ("70b_down_q6", "Q6_K", 8192, 28672),
+    ("70b_down_tp4", "Q4_K", 2048, 28672),
+]
+
 if __name__ == "__main__":
+    shapes = SHAPES_70B if len(sys.argv) > 1 and sys.argv[1] == "70b" else SHAPES
     best = {}
-    for nm, kind, n, k in SHAPES:
+    for nm, kind, n, k in shapes:
         cur = qmm_mod.pick_tile_n(n, k, kind)
         print(f"--- {nm} [{n},{k}] {kind} (production pick tn={cur})")
         for tn in (128, 256, 512, 1024, 2048):
