@@ -585,6 +585,80 @@ def flash_decode_q8_auto(q, k_planes, v_planes, k_cur, v_cur, seq_len, scale,
 
 
 
+# kinds whose flat [S, Hkv*W] tile dequantizes in ONE pass (payload cast +
+# an MXU-built scale expansion) instead of Hkv per-head op chains — the
+# per-head path costs ~8x the op count and dominated at depth (q8_0 32k
+# decode 22.9 -> 67.3 t/s with the one-pass deq, beating dense's 64.4).
+# q4_0's single nibble unpack emits columns in (half, head, col') order;
+# the scale expansion matrix and the block-diagonal q lane layout absorb
+# the permutation, so it one-passes too.
+_FLAT_DEQ_KINDS = ("q8_0", "q4_0", "f16", "bf16")
+
+
+def _scale_expand(sc, hkv, HD, head_w):
+    """[S, Hkv*G] scales -> [S, HD] per-column scales via ONE tiny MXU dot
+    against a 0/1 expansion matrix: decoded col j belongs to head
+    (j // head_w) % hkv and group j % G (head_w % G == 0), so
+    E[r, j] = 1 iff r == head(j)*G + j%G."""
+    HG = sc.shape[-1]
+    G = HG // hkv
+    jj = jax.lax.broadcasted_iota(jnp.int32, (HG, HD), 1)
+    g_idx = ((jj // head_w) % hkv) * G + jj % G
+    rows = jax.lax.broadcasted_iota(jnp.int32, (HG, HD), 0)
+    E = (rows == g_idx).astype(jnp.float32)
+    return jax.lax.dot_general(
+        sc.astype(jnp.float32), E,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _deq_whole(kind, hkv, tiles):
+    """Flat [S, Hkv*W] plane tiles -> f32 [S, Hkv*D] in one pass. For
+    q4_0 the output columns are in (half, head, col') order — callers
+    account for it via the q lane layout (_qb_lanes) and per-head output
+    slices (_acc_slices)."""
+    q = tiles[0]
+    if kind in ("f16", "bf16"):
+        return q.astype(jnp.float32)
+    if kind == "q4_0":
+        qi = q.astype(jnp.int32)  # [S, Hkv*D/2] packed
+        v = jnp.concatenate([qi & 0xF, qi >> 4], axis=-1).astype(jnp.float32)
+        st = _scale_expand(tiles[1], hkv, v.shape[-1], q.shape[-1] // hkv)
+        return (v - 8.0) * st
+    v = q.astype(jnp.float32)  # [S, Hkv*D] int8 levels
+    st = _scale_expand(tiles[1], hkv, v.shape[-1], v.shape[-1] // hkv)
+    return v * st
+
+
+def _deq_cat(kind, gs, hkv, refs):
+    """[S, Hkv*D] f32 from flat plane refs: one-pass for q8_0/q4_0/dense,
+    per-head slices otherwise."""
+    if kind in _FLAT_DEQ_KINDS:
+        return _deq_whole(kind, hkv, tuple(r[0, :, :] for r in refs))
+    return jnp.concatenate(
+        [_deq(kind, gs, tuple(_hslice(r[0, :, :], h, hkv) for r in refs))
+         for h in range(hkv)], axis=1)
+
+
+def _split2(kind):
+    """True when the kind's one-pass deq emits (half, head, col') column
+    order (q4_0's single nibble unpack) instead of (head, col)."""
+    return kind == "q4_0"
+
+
+def _head_block(flat, h, hkv, split):
+    """Head h's [.., D] strip of a flat [.., Hkv*D] row in the deq column
+    order: contiguous block, or two half-blocks for split2 kinds."""
+    D = flat.shape[-1] // hkv
+    if not split:
+        return flat[..., h * D:(h + 1) * D]
+    D2 = D // 2
+    HD2 = hkv * D2
+    return jnp.concatenate(
+        [flat[..., h * D2:(h + 1) * D2],
+         flat[..., HD2 + h * D2:HD2 + (h + 1) * D2]], axis=-1)
+
+
 def _decode_onedot_kernel(hkv, rep, n_tiles, Dk, Dv, scale, softcap, window,
                           gsk, gsv, kind_k, kind_v, nk, nv, *refs):
     """Quantized-KV decode with ONE score dot and ONE pv dot per tile.
@@ -624,14 +698,8 @@ def _decode_onedot_kernel(hkv, rep, n_tiles, Dk, Dv, scale, softcap, window,
     def _():
         # rows whose depth ends before this tile skip it entirely; the
         # index maps also clamp their block index so no new DMA is issued
-        k_cat = jnp.concatenate(
-            [_deq(kind_k, gsk,
-                  tuple(_hslice(r[0, :, :], h, hkv) for r in k_refs))
-             for h in range(hkv)], axis=1)  # [TSs, Hkv*Dk]
-        v_cat = jnp.concatenate(
-            [_deq(kind_v, gsv,
-                  tuple(_hslice(r[0, :, :], h, hkv) for r in v_refs))
-             for h in range(hkv)], axis=1)  # [TSs, Hkv*Dv]
+        k_cat = _deq_cat(kind_k, gsk, hkv, k_refs)  # [TSs, Hkv*Dk]
+        v_cat = _deq_cat(kind_v, gsv, hkv, v_refs)  # [TSs, Hkv*Dv]
         qb = qb_ref[0, :, :].astype(jnp.float32)  # [H, Hkv*Dk] block-diag
         s = jax.lax.dot_general(
             qb, k_cat, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -659,10 +727,17 @@ def _decode_onedot_kernel(hkv, rep, n_tiles, Dk, Dv, scale, softcap, window,
 
     @pl.when(i == n_tiles - 1)
     def _():
-        # current-step K/V + per-head block extraction, once per call
+        # current-step K/V + per-head block extraction, once per call.
+        # Head strips follow each side's deq column order (split2 for the
+        # q4_0 one-pass unpack; the current-step K is in the q lane
+        # order, so q.kc still contracts correctly per head)
+        sk = _split2(kind_k) and kind_k in _FLAT_DEQ_KINDS
+        sv = _split2(kind_v) and kind_v in _FLAT_DEQ_KINDS
         for h in range(hkv):
             sl = slice(h * rep, (h + 1) * rep)
-            q_h = qb_ref[0, sl, h * Dk:(h + 1) * Dk].astype(jnp.float32)
+            q_h = _head_block(qb_ref[0, sl, :], h, hkv, sk).astype(jnp.float32)
+            # (_head_block reassembles the split2 halves back into the
+            # strided col order, so q_h matches kc_h directly)
             kc_h = kc_ref[0, h, :].astype(jnp.float32)
             s_cur = jnp.sum(q_h * kc_h[None, :], axis=-1, keepdims=True) * scale
             if softcap > 0.0:
@@ -672,7 +747,7 @@ def _decode_onedot_kernel(hkv, rep, n_tiles, Dk, Dv, scale, softcap, window,
             m_new = jnp.maximum(m_prev, s_cur)
             alpha = jnp.exp(m_prev - m_new)
             e_cur = jnp.exp(s_cur - m_new)
-            acc = (acc_ref[sl, h * Dv:(h + 1) * Dv] * alpha
+            acc = (_head_block(acc_ref[sl, :], h, hkv, sv) * alpha
                    + e_cur * vc_ref[0, h, :].astype(jnp.float32)[None, :])
             denom = l_prev * alpha + e_cur
             o_ref[0, sl, :] = (acc / denom).astype(o_ref.dtype)
@@ -722,11 +797,17 @@ def flash_decode_stacked(
     params = {} if interpret else {"compiler_params": pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
         vmem_limit_bytes=100 * 1024 * 1024)}
-    # block-diagonal q: row i carries q_i at lane block h(i)*Dk
+    # block-diagonal q: row i carries q_i at head h(i)'s lanes in the
+    # K side's deq column order ((head, col), or (half, head, col') for
+    # q4_0's one-pass unpack)
     onehot = (jnp.arange(H)[:, None] // rep ==
               jnp.arange(Hkv)[None, :]).astype(qp.dtype)
-    qb = (onehot[None, :, :, None] * qp[:, :, None, :]).reshape(
-        B, H, Hkv * Dk)
+    if _split2(kind_k) and kind_k in _FLAT_DEQ_KINDS:
+        qb = (onehot[None, :, None, :, None]
+              * qp.reshape(B, H, 2, 1, Dk // 2)).reshape(B, H, Hkv * Dk)
+    else:
+        qb = (onehot[None, :, :, None] * qp[:, :, None, :]).reshape(
+            B, H, Hkv * Dk)
     kern = functools.partial(_decode_onedot_kernel, Hkv, rep, n_tiles, Dk,
                              Dv, scale, softcap, window, gsk, gsv,
                              kind_k, kind_v, len(k_planes), len(v_planes))

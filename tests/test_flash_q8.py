@@ -285,19 +285,24 @@ def test_flash_decode_stacked_matches(kv_cap, S):
             0.25, interpret=True, kv_cap=kv_cap)
         np.testing.assert_allclose(np.asarray(flat), ref, rtol=2e-5, atol=2e-5)
 
-    # quantized stacked planes: per-layer slice vs stacked must agree exactly
-    kp, vp, _, _ = _rand_cache_and_qkv(B, S, Hkv, Dk, Dv, seed=7)
-    kps = tuple(jnp.stack([p] * L) for p in kp)
-    vps = tuple(jnp.stack([p] * L) for p in vp)
-    qp = jnp.asarray(q)
-    want = flash_q8.flash_decode_q8_auto(
-        qp, kp, vp, jnp.asarray(k_cur), jnp.asarray(v_cur),
-        jnp.asarray(n_valid), 0.25, interpret=True, kv_cap=kv_cap)
-    got = flash_q8.flash_decode_stacked(
-        qp, kps, vps, 1, jnp.asarray(k_cur), jnp.asarray(v_cur),
-        jnp.asarray(n_valid), 0.25, interpret=True, kv_cap=kv_cap)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-6, atol=1e-6)
+    # quantized stacked planes: per-layer slice vs stacked must agree —
+    # across the one-pass flat-deq kinds (q8_0/q4_0, incl the q4_0
+    # split-lane order) and a per-head-path mix
+    for kinds in (("q8_0", "q8_0"), ("q4_0", "q4_0"), ("q4_0", "q5_1"),
+                  ("q8_0", "q4_0")):
+        kp, vp, k_ref, v_ref = _rand_cache_and_qkv(B, S, Hkv, Dk, Dv,
+                                                   kinds, seed=7)
+        kps = tuple(jnp.stack([p] * L) for p in kp)
+        vps = tuple(jnp.stack([p] * L) for p in vp)
+        qp = jnp.asarray(q)
+        got = flash_q8.flash_decode_stacked(
+            qp, kps, vps, 1, jnp.asarray(k_cur), jnp.asarray(v_cur),
+            jnp.asarray(n_valid), 0.25, interpret=True, kv_cap=kv_cap,
+            kinds=kinds)
+        ref = _ref_attention(q[:, None], k_ref, v_ref, k_cur[:, None],
+                             v_cur[:, None], n_valid, 0.25, rep)[:, 0]
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4,
+                                   atol=2e-4, err_msg=str(kinds))
 
 
 def test_flash_decode_tiled_32k():
