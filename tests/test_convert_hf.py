@@ -259,6 +259,15 @@ def test_convert_dbrx(tmp_path):
 
 
 def test_convert_jamba_moe(tmp_path):
+    # Observed ~1/750 full-suite-only flake (corr 0.68, catastrophic not
+    # precision): passes standalone and in every targeted pairing, both
+    # jamba tests flaked in different full runs. Clearing jax's compiled
+    # caches guards the one nameable mechanism (long-process cache
+    # collision); if it recurs with this guard, suspect the torch side.
+    import jax
+
+    jax.clear_caches()
+
     """jamba: hybrid attn/mamba layers + per-layer dense-or-MoE FFN."""
     from transformers import JambaConfig, JambaForCausalLM
 
