@@ -106,6 +106,11 @@ def qmatmul_multi(x: jnp.ndarray, ws) -> list | None:
         return None
     import numpy as _np
     B = int(_np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    from ..quant.mmq import MMQ_MIN_B
+    if B >= MMQ_MIN_B and all("qi8" in w.planes for w in ws):
+        # mmq planes attached (quant/mmq.py) and batch above the int8
+        # crossover: per-weight qmm rides the int8 prefill kernel instead
+        return None
     if B * x.shape[-1] * 2 > 12 * 1024 * 1024:
         # the fused launch keeps each tensor's FULL [B, K] activation block
         # resident (no row-tiling path); long-prefill chunks blow VMEM

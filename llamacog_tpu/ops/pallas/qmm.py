@@ -645,6 +645,13 @@ def qmm(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False) -> jnp.ndarray
     N, K = int(np.prod(qt.shape[:-1])), qt.shape[-1]
     lead = x.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
+    if "qi8" in qt.planes:
+        from ...quant.mmq import MMQ_MIN_B
+
+        if B >= MMQ_MIN_B:
+            from .qmm_i8 import qmm_i8
+
+            return qmm_i8(x, qt, interpret=interpret)
     xp = permute_activation(x, qt).reshape(B, K)
     tn = pick_tile_n(N, K, qt.kind, b=B)
     if tn == 0:

@@ -10,6 +10,7 @@ positions as inputs, additive masks.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -55,6 +56,12 @@ class Engine:
         from .kv_cache import make_cache
 
         self.params = params
+        if mesh is None and os.environ.get("LLAMACOG_MMQ", "0") == "1":
+            # int8-MXU prefill relayout (the reference's mmq analog):
+            # attach per-block int8 planes to every eligible weight
+            from ..quant.mmq import attach_mmq_planes
+
+            attach_mmq_planes(params)
         self.config = config
         self.batch_size = batch_size
         self.max_seq = max_seq
